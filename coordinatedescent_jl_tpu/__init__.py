@@ -1,0 +1,84 @@
+"""tpu-coordinate-descent: a TPU-native (JAX/XLA/Pallas/pjit) framework for
+proximal coordinate descent on L1- and weighted-L1-penalized smooth losses.
+
+Built from scratch against the capability surface of the Julia reference
+``mlakolar/CoordinateDescent.jl`` (see SURVEY.md).  The public export list
+mirrors the reference module root (``src/CoordinateDescent.jl:9-22``):
+estimators, the core CD driver + losses + options, and the
+varying-coefficient suite.
+"""
+
+from .utils.options import CDOptions, IterLassoOptions
+from .utils.helpers import (
+    std_X,
+    get_loadings,
+    get_sigma,
+    sample_std,
+    find_largest_correlations,
+    find_init_residuals,
+    find_init_sigma,
+)
+from .ops.prox import ProxL1, ProxZero, soft_threshold
+from .ops.losses import (
+    LeastSquaresLoss,
+    WeightedLSLoss,
+    SqrtLassoLoss,
+    QuadraticLoss,
+    gradient,
+    value,
+    num_coordinates,
+)
+from .ops.block_cd import coordinate_descent
+from .ops.diagnostics import lasso_duality_gap
+from .models.lasso import (
+    LassoSolution,
+    lasso,
+    sqrt_lasso,
+    scaled_lasso,
+    feasible_lasso,
+)
+from .models.lasso_path import LassoPath, lasso_path, refit_lasso_path
+from .models.varying_coefficient import (
+    GaussianKernel,
+    EpanechnikovKernel,
+    SmoothingKernel,
+    create_kernel,
+    evaluate,
+    expand_X,
+    locpoly,
+    locpolyl1,
+    refit_locpolyl1,
+    lvocv_locpoly,
+    lvocv_locpolyl1,
+    split_locpoly,
+    get_beta,
+    get_nonzero_coordinates,
+    get_residuals,
+    get_standard_error,
+    get_standard_error_hew,
+)
+
+__all__ = [
+    # options
+    "CDOptions", "IterLassoOptions",
+    # penalties
+    "ProxL1", "ProxZero", "soft_threshold",
+    # losses + core driver
+    "LeastSquaresLoss", "WeightedLSLoss", "SqrtLassoLoss", "QuadraticLoss",
+    "gradient", "value", "num_coordinates", "coordinate_descent",
+    "lasso_duality_gap",
+    # estimators
+    "LassoSolution", "lasso", "sqrt_lasso", "scaled_lasso", "feasible_lasso",
+    "LassoPath", "lasso_path", "refit_lasso_path",
+    # helpers
+    "std_X", "get_loadings", "get_sigma", "sample_std",
+    "find_largest_correlations", "find_init_residuals", "find_init_sigma",
+    # varying coefficients
+    "GaussianKernel", "EpanechnikovKernel", "SmoothingKernel",
+    "create_kernel", "evaluate", "expand_X", "locpoly", "locpolyl1",
+    "refit_locpolyl1", "lvocv_locpoly", "lvocv_locpolyl1", "split_locpoly",
+    "get_beta", "get_nonzero_coordinates", "get_residuals",
+    "get_standard_error", "get_standard_error_hew",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,506 @@
+"""Core TPU block-coordinate-descent engine.
+
+This is the TPU-native re-design of the reference driver
+(``src/coordinate_descent.jl:1-149``) plus the per-coordinate update rules of
+the four losses (``src/cd_differentiable_function.jl``).  The reference's hot
+loop is inherently sequential: each scalar coordinate update mutates the
+residual vector before the next coordinate reads it.  Instead of
+transliterating that, the engine here:
+
+1. Partitions the ``p`` coordinates into blocks of width ``B`` (lane-width
+   multiples).  ``X`` is stored column-blocked as ``Xb: (nb, n, B)`` so a
+   block visit is one contiguous dynamic-index load.
+
+2. Recovers **exact sequential CD semantics inside a block** via the Gram
+   recursion: with ``K = Xw_blk' X_blk`` (one MXU matmul, computed on the fly
+   — data is already on-chip) and ``c = Xw_blk' r``, updating coordinate
+   ``i`` by ``h`` implies ``c ← c − K[:, i] h``, which is exactly what the
+   reference's per-coordinate residual refresh
+   (cd_differentiable_function.jl:107-109) does to the gradients of the
+   remaining coordinates.  After the block, one fused matvec applies
+   ``r ← r − X_blk @ h`` once.  Within-block-sequential + across-block-cyclic
+   therefore reproduces cyclic CD exactly (SURVEY.md §7 delta 2).
+
+3. Replaces the reference's sequential *full pass*
+   (coordinate_descent.jl:76-82) with a **vectorized KKT sweep**: one big
+   matvec ``c = Xw' r`` on the MXU gives every coordinate's Jacobi-style
+   potential displacement ``h_pot`` at once; blocks containing violations are
+   (re)activated.  Convergence is declared exactly like the reference —
+   two consecutive converged passes, the confirming one being a full pass
+   (coordinate_descent.jl:72-90) — with ``maxH < opt_tol`` on the
+   order-independent ``h_pot`` certificate, which is at least as strict as
+   the reference's sequential-pass criterion.
+
+4. Keeps the active set as an on-device boolean **block mask** — the
+   reference's ``SparseIterate`` + ``dropzeros!`` (coordinate_descent.jl:108)
+   become a mask refresh ``active = any(beta ≠ 0, per block)``.
+
+5. Runs λ-continuation (coordinate_descent.jl:24-37) as a ``lax.scan`` over
+   log-spaced λ values carrying ``(β, r, mask)``, and the epoch loop as a
+   ``lax.while_loop``.
+
+Randomization (reference ``RandomIterator``, atom_iterator.jl:41-75) becomes
+a per-pass permutation of the block visit order plus a per-pass permutation
+of the within-block coordinate order, driven by a threaded PRNG key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .losses import (
+    LeastSquaresLoss,
+    QuadraticLoss,
+    SqrtLassoLoss,
+    WeightedLSLoss,
+)
+from .prox import ProxL1, ProxZero, as_l1, soft_threshold
+from ..utils.options import CDOptions
+
+
+# ---------------------------------------------------------------------------
+# Blocked problem representation
+# ---------------------------------------------------------------------------
+
+
+class BlockedProblem(NamedTuple):
+    """Column-blocked problem data (a pytree; ``kind`` is carried statically).
+
+    For ls/wls/sqrt: ``Xb`` is the design, ``Xwb`` its row-weighted copy
+    (the same array when unweighted), ``y`` the response.
+    For quad: ``Xb`` holds the column blocks of ``A`` (shape ``(nb, P, B)``),
+    ``q`` the linear term; ``y``/``Xwb`` are unused.
+    ``adiag[b, i]`` is the curvature of coordinate ``(b, i)``:
+    ``Σ w X²`` for ls/wls/sqrt, ``A_jj`` for quad.
+    ``lamw`` are the per-coordinate penalty weights, blocked.
+    ``valid`` masks out the zero columns added by padding ``p`` up to a
+    multiple of the block width.
+    """
+
+    Xb: jnp.ndarray
+    Xwb: Optional[jnp.ndarray]
+    y: Optional[jnp.ndarray]
+    q: Optional[jnp.ndarray]
+    adiag: jnp.ndarray
+    lamw: jnp.ndarray
+    valid: jnp.ndarray
+
+
+class CDState(NamedTuple):
+    """Solver state threaded through passes (a small pytree —
+    this is also the checkpointable unit, SURVEY.md §5.4)."""
+
+    beta: jnp.ndarray   # (nb, B) blocked coefficients
+    r: jnp.ndarray      # residuals y - Xβ (ls/wls/sqrt) or Ax (quad)
+    rsqr: jnp.ndarray   # ‖r‖² running value (sqrt-lasso only; else 0)
+    active: jnp.ndarray  # (nb,) bool block mask
+    key: jnp.ndarray    # PRNG key for randomized visit order
+    it: jnp.ndarray     # epoch counter within the current solve
+    conv: jnp.ndarray   # last pass converged (maxH < tol)
+    done: jnp.ndarray   # two consecutive converged passes (full confirming)
+
+
+def _pad_to_blocks(v, B, fill=0.0):
+    p = v.shape[-1]
+    P = -(-p // B) * B
+    if P != p:
+        pad = [(0, 0)] * (v.ndim - 1) + [(0, P - p)]
+        v = jnp.pad(v, pad, constant_values=fill)
+    return v
+
+
+def _blockify_cols(X, B):
+    """(n, P) → (nb, n, B) contiguous column blocks."""
+    n, P = X.shape
+    return X.reshape(n, P // B, B).transpose(1, 0, 2)
+
+
+def build_blocked(kind: str, opts: CDOptions, lamw_full, *, X=None, y=None,
+                  w=None, A=None, q=None) -> BlockedProblem:
+    """Assemble the blocked problem representation (runs under jit)."""
+    B = opts.block_size
+    if kind == "quad":
+        P0 = q.shape[0]
+        dtype = q.dtype
+        Ap = _pad_to_blocks(A, B)            # pad cols
+        Ap = _pad_to_blocks(Ap.T, B).T       # pad rows (keeps symmetry)
+        qp = _pad_to_blocks(q, B)
+        Ab = _blockify_cols(Ap, B)           # (nb, P, B)
+        adiag = _blockify_cols(jnp.diagonal(Ap)[None, :], B)[:, 0, :]
+        Xb, Xwb, yv = Ab, None, None
+    else:
+        P0 = X.shape[1]
+        dtype = X.dtype
+        Xp = _pad_to_blocks(X, B)
+        Xb = _blockify_cols(Xp, B)
+        if kind == "wls":
+            Xwb = _blockify_cols(Xp * w[:, None], B)
+        else:
+            Xwb = Xb
+        adiag = jnp.sum(Xwb * Xb, axis=1)    # (nb, B): Σ w X²  (= X'X unwtd)
+        yv, qp = y, None
+    lamw_b = _blockify_cols(
+        _pad_to_blocks(jnp.asarray(lamw_full, dtype), B, fill=1.0)[None, :], B
+    )[:, 0, :]
+    valid = _blockify_cols(
+        _pad_to_blocks(jnp.ones((P0,), dtype=bool), B, fill=False)[None, :], B
+    )[:, 0, :]
+    return BlockedProblem(Xb=Xb, Xwb=Xwb, y=yv, q=qp, adiag=adiag,
+                          lamw=lamw_b, valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# Per-coordinate update rules (shared by the in-block scan & the KKT sweep)
+# ---------------------------------------------------------------------------
+
+
+def _ls_candidate(beta, c, a, lam0, lamw, n_scale):
+    """Closed-form (weighted) least-squares / quadratic coordinate minimizer.
+
+    Matches reference ``descendCoordinate!`` for CDLeastSquaresLoss
+    (cd_differentiable_function.jl:83-111): ``x ← prox(x + b/a; scale·λ/a)``
+    where ``scale`` is ``n`` for ls/wls and ``1`` for quad (which calls
+    ``cdprox!`` with ``γ = 1/a``, :324-348).
+    """
+    safe = a > 0
+    asafe = jnp.where(safe, a, 1.0)
+    z = beta + c / asafe
+    val = soft_threshold(z, n_scale * lam0 * lamw / asafe)
+    return jnp.where(safe, val, beta)
+
+
+def _sqrt_candidate(beta, c, a, rsqr, lam0, lamw):
+    """Exact sqrt-lasso coordinate minimizer (three-branch soft threshold).
+
+    Matches reference cd_differentiable_function.jl:242-291.  With the
+    coordinate's own contribution added back, ``s = X_k'r_back = c + a·β`` and
+    ``rsqr_back = ‖r_back‖² = rsqr + 2βc + β²a``:
+
+    - zero if ``|s| ≤ λ √rsqr_back``  (by Cauchy-Schwarz this always holds
+      when ``λ² ≥ a``, so the λ²<a guard below never changes the result);
+    - else ``sign(s)·(|s| − λ/√(1−λ²/a)·√(rsqr_back − s²/a)) / a``.
+
+    Returns ``(val, s, rsqr_back)`` so callers can update ``rsqr``:
+    ``‖r_back − X_k·val‖² = rsqr_back − 2·val·s + val²·a``.
+    """
+    safe = a > 0
+    asafe = jnp.where(safe, a, 1.0)
+    s = c + a * beta
+    rsb = jnp.maximum(rsqr + 2.0 * beta * c + beta * beta * a, 0.0)
+    lam = lam0 * lamw
+    ok = safe & (lam * lam < a)
+    den = jnp.sqrt(jnp.where(ok, 1.0 - lam * lam / asafe, 1.0))
+    inner = jnp.sqrt(jnp.maximum(rsb - s * s / asafe, 0.0))
+    mag = (jnp.abs(s) - lam / den * inner) / asafe
+    nonzero = ok & (jnp.abs(s) > lam * jnp.sqrt(rsb))
+    val = jnp.where(nonzero, jnp.sign(s) * mag, 0.0)
+    val = jnp.where(safe, val, beta)
+    return val, s, rsb
+
+
+# ---------------------------------------------------------------------------
+# Block visit: exact sequential CD on one block via the Gram recursion
+# ---------------------------------------------------------------------------
+
+
+def _visit_block(kind, G, Gw, K, beta_b, lamw_b, lam0, c, rsqr, n_scale,
+                 order):
+    """Sequentially minimize each coordinate of one block.
+
+    ``K = Gw'G``, ``c = Gw'r`` on entry.  Equivalent to the reference's
+    per-coordinate loop restricted to this block: after coordinate ``i``
+    moves by ``h``, every remaining gradient shifts by ``K[:, i] h``
+    (the lifted form of the rank-1 residual update at
+    cd_differentiable_function.jl:107-109).
+    """
+    a_diag = jnp.diagonal(K)
+
+    def step(carry, i):
+        beta_b, c, rsqr, maxh = carry
+        a = a_diag[i]
+        bi = beta_b[i]
+        ci = c[i]
+        lw = lamw_b[i]
+        if kind == "sqrt":
+            val, s, rsb = _sqrt_candidate(bi, ci, a, rsqr, lam0, lw)
+            rsqr = jnp.maximum(rsb - 2.0 * val * s + val * val * a, 0.0)
+        else:
+            val = _ls_candidate(bi, ci, a, lam0, lw, n_scale)
+        h = val - bi
+        c = c - K[:, i] * h
+        beta_b = beta_b.at[i].set(val)
+        maxh = jnp.maximum(maxh, jnp.abs(h))
+        return (beta_b, c, rsqr, maxh), None
+
+    zero = jnp.zeros((), beta_b.dtype)
+    (beta_b, c, rsqr, maxh), _ = lax.scan(
+        step, (beta_b, c, rsqr, zero), order)
+    return beta_b, rsqr, maxh
+
+
+def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
+                 randomize: bool):
+    """One pass over the active blocks (reference's nonzero pass,
+    coordinate_descent.jl:94-110, at block granularity)."""
+    nb, B = prob.lamw.shape
+    key, k1, k2 = jax.random.split(st.key, 3)
+    if randomize:
+        border = jax.random.permutation(k1, nb)
+        corder = jax.random.permutation(k2, B)
+    else:
+        border = jnp.arange(nb)
+        corder = jnp.arange(B)
+
+    def body(t, carry):
+        beta, r, rsqr, maxh = carry
+        b = border[t]
+
+        def do(args):
+            beta, r, rsqr, maxh = args
+            G = prob.Xb[b]
+            if kind == "quad":
+                Gw = G
+                K = lax.dynamic_slice(G, (b * B, 0), (B, B))
+                rb = lax.dynamic_slice(r, (b * B,), (B,))
+                qb = lax.dynamic_slice(prob.q, (b * B,), (B,))
+                c = -(rb + qb)
+            else:
+                Gw = prob.Xwb[b]
+                K = jnp.dot(Gw.T, G, preferred_element_type=G.dtype)
+                c = Gw.T @ r
+            bb = beta[b]
+            bb2, rsqr2, mh = _visit_block(
+                kind, G, Gw, K, bb, prob.lamw[b], lam0, c, rsqr, n_scale,
+                corder)
+            h = bb2 - bb
+            if kind == "quad":
+                r2 = r + G @ h           # Ax update (cd_diff…jl:344-346)
+            else:
+                r2 = r - G @ h           # residual update (:107-109)
+            beta = beta.at[b].set(bb2)
+            return beta, r2, rsqr2, jnp.maximum(maxh, mh)
+
+        return lax.cond(st.active[b], do, lambda a: a,
+                        (beta, r, rsqr, maxh))
+
+    zero = jnp.zeros((), st.beta.dtype)
+    beta, r, rsqr, maxh = lax.fori_loop(
+        0, nb, body, (st.beta, st.r, st.rsqr, zero))
+    # dropzeros! (coordinate_descent.jl:108) → mask refresh
+    active = jnp.any(beta != 0, axis=1)
+    return st._replace(beta=beta, r=r, rsqr=rsqr, active=active, key=key), \
+        maxh
+
+
+def _full_gradient_c(kind, prob: BlockedProblem, r):
+    """Blocked ``c`` for every coordinate at once (one MXU matvec)."""
+    if kind == "quad":
+        nb, B = prob.lamw.shape
+        return -(r.reshape(nb, B) + prob.q.reshape(nb, B))
+    return jnp.einsum("bnk,n->bk", prob.Xwb, r)
+
+
+def _potential_steps(kind, prob, beta, c, rsqr, lam0, n_scale):
+    """Jacobi-style per-coordinate optimal displacement ``h_pot`` given the
+    full gradient — the order-independent optimality residual used by the
+    vectorized full pass."""
+    if kind == "sqrt":
+        val, _, _ = _sqrt_candidate(beta, c, prob.adiag, rsqr, lam0,
+                                    prob.lamw)
+    else:
+        val = _ls_candidate(beta, c, prob.adiag, lam0, prob.lamw, n_scale)
+    h = jnp.where(prob.valid, val - beta, 0.0)
+    return h
+
+
+def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
+                opt_tol):
+    """Vectorized full pass: KKT sweep + (re)activation of violating blocks
+    (replaces the reference's sequential full pass, SURVEY.md §7)."""
+    if kind == "sqrt":
+        rsqr = st.r @ st.r               # refresh exact ‖r‖² (drift control)
+    else:
+        rsqr = st.rsqr
+    c = _full_gradient_c(kind, prob, st.r)
+    h = _potential_steps(kind, prob, st.beta, c, rsqr, lam0, n_scale)
+    maxh = jnp.max(jnp.abs(h))
+    viol = jnp.any(jnp.abs(h) >= opt_tol, axis=1)
+    active = jnp.any(st.beta != 0, axis=1) | viol
+    return st._replace(rsqr=rsqr, active=active), maxh
+
+
+# ---------------------------------------------------------------------------
+# Epoch loop and λ-continuation
+# ---------------------------------------------------------------------------
+
+
+def _solve_at_lambda(kind, opts: CDOptions, prob: BlockedProblem, lam0,
+                     st: CDState, n_scale) -> CDState:
+    """Reference ``_coordinateDescent!`` (coordinate_descent.jl:65-92):
+    alternate full/active passes until two consecutive converged passes,
+    the confirming one full."""
+    tol = opts.opt_tol
+
+    def cond(s):
+        return jnp.logical_and(~s.done, s.it < opts.max_iter)
+
+    def body(s):
+        was_full = s.conv
+
+        def full(s):
+            return _full_check(kind, prob, s, lam0, n_scale, tol)
+
+        def act(s):
+            return _active_pass(kind, prob, s, lam0, n_scale, opts.randomize)
+
+        s2, maxh = lax.cond(was_full, full, act, s)
+        conv = maxh < tol
+        return s2._replace(it=s.it + 1, conv=conv, done=was_full & conv)
+
+    st = st._replace(it=jnp.zeros((), jnp.int32),
+                     conv=jnp.ones((), bool),      # first pass is full
+                     done=jnp.zeros((), bool))
+    return lax.while_loop(cond, body, st)
+
+
+def _init_state(kind, prob: BlockedProblem, beta_b, key) -> CDState:
+    """Reference ``initialize!``: recompute residuals (or Ax) from scratch
+    (cd_differentiable_function.jl:59-72, :311-320)."""
+    if kind == "quad":
+        r = jnp.einsum("bpk,bk->p", prob.Xb, beta_b)
+    else:
+        r = prob.y - jnp.einsum("bnk,bk->n", prob.Xb, beta_b)
+    rsqr = r @ r if kind == "sqrt" else jnp.zeros((), r.dtype)
+    active = jnp.any(beta_b != 0, axis=1)
+    return CDState(beta=beta_b, r=r, rsqr=rsqr, active=active, key=key,
+                   it=jnp.zeros((), jnp.int32), conv=jnp.ones((), bool),
+                   done=jnp.zeros((), bool))
+
+
+def _lambda_max(kind, prob: BlockedProblem, st: CDState, n_scale):
+    """Smallest λ0 zeroing the solution: ``max_k |∇_k f(0)| / λw_k``
+    (reference ``_findLambdaMax``, coordinate_descent.jl:118-149)."""
+    c = _full_gradient_c(kind, prob, st.r)
+    if kind == "ls" or kind == "wls":
+        g = jnp.abs(c) / n_scale
+    elif kind == "sqrt":
+        g = jnp.abs(c) / jnp.sqrt(jnp.maximum(st.rsqr, 1e-30))
+    else:  # quad: gradient at 0 is q; c = -(Ax + q) with Ax = 0
+        g = jnp.abs(c)
+    t = jnp.where(prob.valid, g / prob.lamw, 0.0)
+    return jnp.max(t)
+
+
+def solve_blocked(kind: str, opts: CDOptions, prob: BlockedProblem, lam0,
+                  beta0_b, key) -> CDState:
+    """Reference ``coordinateDescent!`` (coordinate_descent.jl:7-39):
+    warm start from ``beta0`` or zero-start with log-spaced λ-continuation."""
+    dtype = beta0_b.dtype
+    if kind == "quad":
+        n_scale = jnp.asarray(1.0, dtype)
+    else:
+        n_scale = jnp.asarray(prob.y.shape[0], dtype)
+    lam0 = jnp.asarray(lam0, dtype)
+
+    if opts.warm_start:
+        st = _init_state(kind, prob, beta0_b, key)
+        return _solve_at_lambda(kind, opts, prob, lam0, st, n_scale)
+
+    # cold start: β = 0, then λmax → λ0 continuation
+    st = _init_state(kind, prob, jnp.zeros_like(beta0_b), key)
+    lammax = _lambda_max(kind, prob, st, n_scale)
+    # log-spaced schedule, num_steps+1 points inclusive
+    # (coordinate_descent.jl:29-36)
+    ts = jnp.linspace(jnp.log(lammax), jnp.log(lam0), opts.num_steps + 1)
+    lams = jnp.exp(ts)
+
+    def scan_body(s, lam):
+        s = _solve_at_lambda(kind, opts, prob, lam, s, n_scale)
+        return s, None
+
+    st, _ = lax.scan(scan_body, st, lams)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Public driver
+# ---------------------------------------------------------------------------
+
+
+def _unblock(beta_b, p):
+    return beta_b.reshape(-1)[:p]
+
+
+def _to_blocked_beta(beta0, B):
+    P = -(-beta0.shape[0] // B) * B
+    return _pad_to_blocks(beta0, B).reshape(P // B, B)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "opts"))
+def _cd_ls_core(kind, opts, X, y, w, lam0, lamw, beta0, key):
+    prob = build_blocked(kind, opts, lamw, X=X, y=y, w=w)
+    st = solve_blocked(kind, opts, prob, lam0,
+                       _to_blocked_beta(beta0, opts.block_size), key)
+    return _unblock(st.beta, beta0.shape[0]), st.r, st.it
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _cd_quad_core(opts, A, q, lam0, lamw, beta0, key):
+    prob = build_blocked("quad", opts, lamw, A=A, q=q)
+    st = solve_blocked("quad", opts, prob, lam0,
+                       _to_blocked_beta(beta0, opts.block_size), key)
+    return _unblock(st.beta, beta0.shape[0]), st.r, st.it
+
+
+def coordinate_descent(beta0, loss, penalty, options: CDOptions = CDOptions(),
+                       *, seed: int = 0, key=None):
+    """Minimize ``f(β) + Σ_j λ0 λw_j |β_j|``.
+
+    Functional analogue of the reference's ``coordinateDescent!``
+    (coordinate_descent.jl:7-60): returns ``(beta, residuals)`` instead of
+    mutating a ``SparseIterate``.  ``residuals`` is ``y − Xβ`` for the
+    regression losses and ``Aβ`` for ``QuadraticLoss``.
+
+    ``penalty`` is a ``ProxL1`` (optionally weighted) or ``ProxZero``.
+    """
+    p = beta0.shape[0]
+    from .losses import num_coordinates
+    if num_coordinates(loss) != p:
+        raise ValueError("dimension mismatch between beta0 and loss")
+    if isinstance(penalty, ProxL1) and penalty.weights is not None:
+        if jnp.shape(penalty.weights) != (p,):
+            raise ValueError("penalty weight vector has wrong length")
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+
+    if isinstance(penalty, ProxZero):
+        # Reference coordinate_descent.jl:41-60: the unpenalized overload
+        # never does λ-continuation — warm-start solves from beta0,
+        # cold-start zeroes beta first, then a single solve either way.
+        if not options.warm_start:
+            beta0 = jnp.zeros_like(beta0)
+        options = options.replace(warm_start=True)
+
+    if isinstance(loss, QuadraticLoss):
+        dtype = loss.b.dtype
+        lam0, lamw = as_l1(penalty, p, dtype)
+        beta0 = jnp.asarray(beta0, dtype)
+        beta, r, _ = _cd_quad_core(options, loss.A, loss.b, lam0, lamw,
+                                   beta0, key)
+        return beta, r
+
+    dtype = loss.X.dtype
+    lam0, lamw = as_l1(penalty, p, dtype)
+    beta0 = jnp.asarray(beta0, dtype)
+    kind = loss.kind
+    w = loss.w if isinstance(loss, WeightedLSLoss) else None
+    if w is None:
+        w = jnp.ones((loss.X.shape[0],), dtype)  # unused for ls/sqrt
+    beta, r, _ = _cd_ls_core(kind, options, loss.X, loss.y, w, lam0, lamw,
+                             beta0, key)
+    return beta, r

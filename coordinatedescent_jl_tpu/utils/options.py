@@ -1,0 +1,74 @@
+"""Solver option records.
+
+Mirrors the reference's option structs (semantic API parity):
+
+- ``CDOptions``       — reference ``src/utils.jl:7-20``
+- ``IterLassoOptions`` — reference ``src/utils.jl:24-39``
+
+Both are frozen (hashable) dataclasses so they can be passed as static
+arguments to ``jax.jit``.  ``block_size`` is new: it controls the width of the
+TPU block-coordinate updates (lane-width multiples are best); it has no effect
+on the solution, only on how work maps to hardware.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CDOptions:
+    """Options for the core coordinate-descent driver.
+
+    Fields mirror reference ``src/utils.jl:7-20``:
+
+    - ``max_iter``: maximum number of epochs (full or active-set passes).
+    - ``opt_tol``: convergence tolerance on the maximum per-epoch coordinate
+      displacement ``maxH`` (reference ``src/coordinate_descent.jl:83-89``).
+    - ``randomize``: visit blocks / coordinates in a random order each pass.
+    - ``warm_start``: if True the solver starts from the supplied iterate; if
+      False it starts from zero and follows a log-spaced λ-continuation path
+      from ``λ_max`` down to the target λ with ``num_steps`` segments
+      (reference ``src/coordinate_descent.jl:20-38``).
+    - ``num_steps``: number of λ-continuation segments (path has
+      ``num_steps + 1`` points).
+    - ``block_size``: TPU block width for block-coordinate updates (new).
+    """
+
+    max_iter: int = 2000
+    opt_tol: float = 1e-7
+    randomize: bool = True
+    warm_start: bool = True
+    num_steps: int = 50
+    block_size: int = 128
+
+    def replace(self, **kw) -> "CDOptions":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class IterLassoOptions:
+    """Options for the outer loops of Scaled-Lasso and Feasible-Lasso.
+
+    Fields mirror reference ``src/utils.jl:24-39``:
+
+    - ``max_iter``: maximum outer (σ / loading) iterations.
+    - ``opt_tol``: relative tolerance on the outer fixed point.
+    - ``init_procedure``: one of ``'screening' | 'init_std' | 'warm_start'``
+      (reference symbols ``:Screening | :InitStd | :WarmStart``).
+    - ``s_init``: number of screened columns used for the initial σ /
+      residual estimate (reference ``sinit``).
+    - ``sigma_init``: initial σ for ``'init_std'`` (reference ``σinit``).
+    - ``options_cd``: inner CD options.
+    """
+
+    max_iter: int = 20
+    opt_tol: float = 1e-2
+    init_procedure: str = "screening"
+    s_init: int = 5
+    sigma_init: float = 1.0
+    options_cd: CDOptions = field(default_factory=CDOptions)
+
+    def replace(self, **kw) -> "IterLassoOptions":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,22 @@
+"""Test configuration: CPU backend with 8 virtual devices + float64.
+
+Multi-device sharding tests follow the standard JAX pattern of simulating a
+TPU mesh with ``--xla_force_host_platform_device_count`` (SURVEY.md §4 "TPU
+test mapping").  float64 is enabled so solver tolerances match the reference
+test suite (which runs in Julia Float64).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on the CPU mesh
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# jax may have been pre-imported by the environment with platform 'axon'
+# (the TPU tunnel); tests must run on the virtual CPU mesh regardless.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

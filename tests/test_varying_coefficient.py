@@ -1,0 +1,262 @@
+"""Varying-coefficient suite tests — ports of reference
+test/varying_coefficient_lasso.jl patterns plus the benchmark-file oracles
+(benchmark/locpoly_bench.jl alt implementations, SURVEY.md §4 pattern 2)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from coordinatedescent_jl_tpu import (
+    CDOptions,
+    EpanechnikovKernel,
+    GaussianKernel,
+    WeightedLSLoss,
+    ProxL1,
+    coordinate_descent,
+    create_kernel,
+    evaluate,
+    expand_X,
+    get_beta,
+    get_nonzero_coordinates,
+    get_residuals,
+    get_standard_error,
+    get_standard_error_hew,
+    locpoly,
+    locpolyl1,
+    lvocv_locpoly,
+    lvocv_locpolyl1,
+    refit_locpolyl1,
+    split_locpoly,
+    std_X,
+)
+from coordinatedescent_jl_tpu.models.varying_coefficient import (
+    expand_Xt_w_X,
+    expand_Xt_w_Y,
+    expand_wX,
+)
+
+RNG = np.random.default_rng(4)
+OPTS = CDOptions(opt_tol=1e-10, block_size=16)
+
+
+def gen_data(n, p, seed=0):
+    """sin-varying coefficients, mirroring the reference data generator
+    (benchmark/locpoly_bench.jl:156-169)."""
+    rng = np.random.default_rng(seed)
+    z = rng.uniform(0.02, 0.98, size=n)
+    X = rng.standard_normal((n, p))
+    freqs = rng.choice([2, 4, 6, 8], size=p)
+    beta_z = np.sin(freqs[None, :] * z[:, None])
+    y = (X * beta_z).sum(axis=1) + 0.3 * rng.standard_normal(n)
+    return X, z, y
+
+
+def test_kernels_match_formulas():
+    # (reference test/varying_coefficient_lasso.jl:16-41)
+    x = RNG.standard_normal(50)
+    g = GaussianKernel(0.3)
+    np.testing.assert_allclose(
+        np.asarray(evaluate(g, jnp.asarray(x), 0.4)),
+        np.exp(-((x - 0.4) ** 2) / 0.3) / 0.3, rtol=1e-12)
+    e = EpanechnikovKernel(0.5)
+    u = (x - 0.4) / 0.5
+    ref = np.where(np.abs(u) >= 1, 0.0, 0.75 * (1 - u**2) / 0.5)
+    np.testing.assert_allclose(
+        np.asarray(evaluate(e, jnp.asarray(x), 0.4)), ref, rtol=1e-12)
+    assert create_kernel(GaussianKernel, 0.2) == GaussianKernel(0.2)
+
+
+@pytest.mark.parametrize("degree", [0, 1, 2])
+def test_expand_X_identities(degree):
+    # hand-built row-wise Kronecker (reference test :43-92)
+    n, p = 20, 3
+    X = RNG.standard_normal((n, p))
+    z = RNG.uniform(size=n)
+    z0 = 0.37
+    w = RNG.uniform(0.1, 1.0, size=n)
+    y = RNG.standard_normal(n)
+    eX = np.asarray(expand_X(jnp.asarray(X), jnp.asarray(z), z0, degree))
+    ref = np.zeros((n, p * (degree + 1)))
+    for i in range(n):
+        for j in range(p):
+            for l in range(degree + 1):
+                ref[i, j * (degree + 1) + l] = X[i, j] * (z[i] - z0) ** l
+    np.testing.assert_allclose(eX, ref, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(expand_wX(jnp.asarray(w), jnp.asarray(X), jnp.asarray(z),
+                             z0, degree)),
+        w[:, None] * ref, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(expand_Xt_w_X(jnp.asarray(w), jnp.asarray(X),
+                                 jnp.asarray(z), z0, degree)),
+        ref.T @ np.diag(w) @ ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(expand_Xt_w_Y(jnp.asarray(w), jnp.asarray(X),
+                                 jnp.asarray(z), jnp.asarray(y), z0, degree)),
+        ref.T @ (w * y), rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("degree", [0, 1, 2])
+def test_locpoly_vs_normal_equations(degree):
+    # locpoly ≡ (eX' W eX) \ (eX' W y) — the reference's locpoly_alt oracle
+    # (benchmark/locpoly_bench.jl:48-67)
+    n, p = 150, 3
+    X, z, y = gen_data(n, p, seed=1)
+    kernel = GaussianKernel(0.2)
+    zgrid = np.linspace(0.05, 0.95, 7)
+    out = np.asarray(locpoly(X, z, y, zgrid, degree, kernel))
+    assert out.shape == (p * (degree + 1), 7)
+    for k, z0 in enumerate(zgrid):
+        w = np.exp(-((z - z0) ** 2) / 0.2) / 0.2
+        eX = np.asarray(expand_X(jnp.asarray(X), jnp.asarray(z), z0, degree))
+        ref = np.linalg.solve(eX.T @ np.diag(w) @ eX, eX.T @ (w * y))
+        np.testing.assert_allclose(out[:, k], ref, atol=1e-6)
+
+
+def test_locpolyl1_matches_direct_weighted_lasso():
+    # locpolyl1 per grid point ≡ weighted lasso on the expanded design with
+    # std loadings — the reference's locpolyl1_alt oracle pattern
+    # (benchmark/locpoly_bench.jl:72-120)
+    n, p, degree = 120, 10, 1
+    X, z, y = gen_data(n, p, seed=2)
+    kernel = GaussianKernel(0.25)
+    zgrid = np.array([0.3, 0.5, 0.7])
+    lam0 = 0.05
+    out, out_r = locpolyl1(X, z, y, zgrid, degree, kernel, lam0,
+                           refit=True, options=OPTS)
+    out = np.asarray(out)
+    ep = p * (degree + 1)
+    assert out.shape == (ep, 3)
+    for k, z0 in enumerate(zgrid):
+        w = np.exp(-((z - z0) ** 2) / 0.25) / 0.25
+        eX = np.asarray(expand_X(jnp.asarray(X), jnp.asarray(z), z0, degree))
+        stdx = np.asarray(std_X(jnp.asarray(eX), jnp.asarray(w)))
+        beta_ref, _ = coordinate_descent(
+            jnp.zeros(ep),
+            WeightedLSLoss(jnp.asarray(y), jnp.asarray(eX), jnp.asarray(w)),
+            ProxL1(lam0, jnp.asarray(stdx)), OPTS)
+        np.testing.assert_allclose(out[:, k], np.asarray(beta_ref),
+                                   atol=1e-6)
+        # refit = weighted OLS on the expanded group support (:71-76)
+        S = np.asarray(get_nonzero_coordinates(out[:, k], p, degree, True))
+        if S.any():
+            Xs = eX[:, S]
+            ref = np.linalg.solve(Xs.T @ np.diag(w) @ Xs,
+                                  Xs.T @ (w * y))
+            np.testing.assert_allclose(np.asarray(out_r)[S, k], ref,
+                                       atol=1e-6)
+            assert np.all(np.asarray(out_r)[~S, k] == 0)
+
+
+def test_group_support_collapse():
+    # (reference get_nonzero_coordinates!, :488-512)
+    p, degree = 4, 2
+    beta = np.zeros(p * (degree + 1))
+    beta[0 * 3 + 1] = 1.0   # feature 0 active via slope coord
+    beta[2 * 3 + 0] = -2.0  # feature 2 active via level coord
+    collapsed = np.asarray(get_nonzero_coordinates(beta, p, degree, False))
+    np.testing.assert_array_equal(collapsed, [True, False, True, False])
+    expanded = np.asarray(get_nonzero_coordinates(beta, p, degree, True))
+    ref = np.repeat(collapsed, degree + 1)
+    np.testing.assert_array_equal(expanded, ref)
+
+
+def test_get_beta_interpolation():
+    zgrid = jnp.asarray(np.array([0.0, 0.5, 1.0]))
+    bg = jnp.asarray(np.array([[1.0, 2.0, 3.0], [0.0, 10.0, 20.0]]))
+    # exact grid point
+    np.testing.assert_allclose(np.asarray(get_beta(zgrid, bg, 0.5)),
+                               [2.0, 10.0])
+    # halfway between grid points (continuous interpolation)
+    np.testing.assert_allclose(np.asarray(get_beta(zgrid, bg, 0.25)),
+                               [1.5, 5.0])
+    # clamped outside the grid
+    np.testing.assert_allclose(np.asarray(get_beta(zgrid, bg, -1.0)),
+                               [1.0, 0.0])
+    np.testing.assert_allclose(np.asarray(get_beta(zgrid, bg, 2.0)),
+                               [3.0, 20.0])
+
+
+def test_get_residuals():
+    n, p, degree = 60, 2, 1
+    X, z, y = gen_data(n, p, seed=3)
+    zgrid = np.linspace(0.02, 0.98, 25)
+    kernel = GaussianKernel(0.2)
+    bg = locpoly(X, z, y, zgrid, degree, kernel)
+    eps = np.asarray(get_residuals(X, z, y, zgrid, bg, degree))
+    # manual: interpolate level coefficients
+    bg_np = np.asarray(bg)
+    for i in [0, 10, 30]:
+        bi = np.asarray(get_beta(jnp.asarray(zgrid), jnp.asarray(bg_np),
+                                 z[i]))
+        ref = y[i] - X[i] @ bi[:: degree + 1]
+        np.testing.assert_allclose(eps[i], ref, atol=1e-10)
+
+
+def test_standard_errors_sandwich():
+    n, p, degree = 100, 2, 1
+    X, z, y = gen_data(n, p, seed=5)
+    kernel = GaussianKernel(0.3)
+    z0 = 0.5
+    w = np.exp(-((z - z0) ** 2) / 0.3) / 0.3
+    eX = np.asarray(expand_X(jnp.asarray(X), jnp.asarray(z), z0, degree))
+    A = np.linalg.inv(eX.T @ np.diag(w) @ eX)
+    mid = eX.T @ np.diag(w**2) @ eX
+    var = A @ mid @ A
+    lvl = np.arange(p) * (degree + 1)
+    se = np.asarray(get_standard_error(X, z, 2.0, z0, degree, kernel))
+    np.testing.assert_allclose(se, 2.0 * np.diagonal(var)[lvl], rtol=1e-6)
+    eps2 = RNG.uniform(0.5, 1.5, size=n)
+    mid_h = eX.T @ np.diag(w**2 * eps2) @ eX
+    var_h = A @ mid_h @ A
+    se_h = np.asarray(get_standard_error_hew(X, z, eps2, z0, degree, kernel))
+    np.testing.assert_allclose(se_h, np.diagonal(var_h)[lvl], rtol=1e-6)
+
+
+def test_lvocv_locpoly_matches_manual_loo():
+    n, p, degree = 50, 2, 1
+    X, z, y = gen_data(n, p, seed=6)
+    h_arr = [0.2, 0.4]
+    mse = np.asarray(lvocv_locpoly(X, z, y, degree, h_arr, GaussianKernel))
+    # manual LOO with row removal (the reference's view-based subproblems)
+    for k, h in enumerate(h_arr):
+        total = 0.0
+        for i in range(n):
+            keep = np.ones(n, bool)
+            keep[i] = False
+            w = np.exp(-((z[keep] - z[i]) ** 2) / h) / h
+            eX = np.asarray(expand_X(jnp.asarray(X[keep]),
+                                     jnp.asarray(z[keep]), z[i], degree))
+            sw = np.sqrt(w)
+            coef = np.linalg.lstsq(sw[:, None] * eX, sw * y[keep],
+                                   rcond=None)[0]
+            yh = X[i] @ coef[:: degree + 1]
+            total += (yh - y[i]) ** 2
+        np.testing.assert_allclose(mse[k], total, rtol=1e-6)
+
+
+def test_lvocv_locpolyl1_and_split_run():
+    n, p, degree = 40, 4, 0
+    X, z, y = gen_data(n, p, seed=7)
+    mse = np.asarray(lvocv_locpolyl1(
+        X, z, y, degree, [0.3], GaussianKernel, 0.1,
+        options=CDOptions(opt_tol=1e-8, block_size=8)))
+    assert mse.shape == (1,) and np.isfinite(mse).all() and mse[0] > 0
+    Xt, zt, yt = gen_data(30, p, seed=8)
+    zgrid = np.linspace(0.05, 0.95, 10)
+    mse2 = np.asarray(split_locpoly(X, z, y, Xt, zt, yt, zgrid, degree,
+                                    [0.2, 0.5], GaussianKernel))
+    assert mse2.shape == (2,) and np.isfinite(mse2).all()
+
+
+def test_refit_locpolyl1():
+    n, p, degree = 80, 5, 1
+    X, z, y = gen_data(n, p, seed=9)
+    kernel = GaussianKernel(0.3)
+    out, _ = locpolyl1(X, z, y, np.array([0.5]), degree, kernel, 0.05,
+                       refit=False, options=OPTS)
+    beta = np.asarray(out)[:, 0]
+    br, S = refit_locpolyl1(X, z, y, 0.5, degree, kernel, beta)
+    assert S.shape == (p,)
+    assert np.asarray(br).shape == (S.sum() * (degree + 1),)
