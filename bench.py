@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Headline benchmark: warm-started full-λ-path Lasso (BASELINE.json metric).
+
+Problem: dense Gaussian design, n=10K, p=100K, s=100, 100-point log-spaced
+λ path solved with warm starts by the block-CD engine (the reference's
+LassoPath workload, lasso.jl:229-260, at the BASELINE.json scale).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <path wall-seconds>, "unit": "s",
+   "vs_baseline": <speedup vs the NumPy sequential-CD oracle on the
+                   reference's own cd_bench shape n=3000/p=5000>, ...}
+
+The reference publishes no performance numbers (BASELINE.md), so
+``vs_baseline`` is measured against this repo's NumPy re-derivation of the
+reference's exact sequential algorithm (tests/oracle.py) on the reference's
+benchmark shape (benchmark/cd_bench.jl:8-14), same λ and tolerance, same
+machine/host.  Env knobs: BENCH_SMALL=1 (tiny smoke shapes),
+BENCH_SKIP_ORACLE=1 (report vs_baseline=-1).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _duality_gap_f64(X, y, beta, lam0, lamw):
+    """Fenchel duality gap in float64 on the host (SURVEY.md §7 hard part d:
+    gap-at-1e-7 needs f64 accumulation, which the TPU solve path avoids)."""
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64)
+    beta = np.asarray(beta, np.float64)
+    lamw = np.asarray(lamw, np.float64)
+    n = y.shape[0]
+    r = y - X @ beta
+    g = X.T @ r
+    ratio = np.max(np.abs(g) / (n * lam0 * lamw))
+    theta = r * min(1.0, 1.0 / max(ratio, 1e-300))
+    primal = r @ r / (2 * n) + lam0 * np.sum(lamw * np.abs(beta))
+    dual = (y @ y - (y - theta) @ (y - theta)) / (2 * n)
+    return primal - dual, primal
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import coordinatedescent_jl_tpu as cd
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+    small = os.environ.get("BENCH_SMALL") == "1" or platform == "cpu"
+    if small:
+        n, p, s, L = 1000, 5000, 50, 20
+    else:
+        n, p, s, L = 10_000, 100_000, 100, 100
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    X = jax.random.normal(k1, (n, p), dtype)
+    beta_true = jnp.zeros((p,), dtype).at[:s].set(
+        jax.random.normal(k2, (s,), dtype))
+    y = (X @ beta_true + jax.random.normal(k3, (n,), dtype)
+         ).block_until_ready()
+
+    lammax = float(jnp.max(jnp.abs(X.T @ y)) / n)
+    lams = np.exp(np.linspace(np.log(0.5 * lammax),
+                              np.log(0.05 * lammax), L))
+    opts = cd.CDOptions(opt_tol=1e-7, max_iter=300, block_size=128,
+                        randomize=False)
+
+    # first call compiles; second call times the cached executable
+    t0 = time.perf_counter()
+    path = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    jax.block_until_ready(path.beta_path)
+    t_with_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    path = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    jax.block_until_ready(path.beta_path)
+    t_path = time.perf_counter() - t0
+
+    gap, primal = _duality_gap_f64(X, y, path.beta_path[-1],
+                                   float(lams[-1]), np.ones(p))
+    nnz = int(np.sum(np.asarray(path.beta_path[-1]) != 0))
+
+    # --- vs_baseline: NumPy sequential-CD oracle on the reference's
+    # cd_bench shape (benchmark/cd_bench.jl:8-14), same λ / tolerance ------
+    speedup = -1.0
+    oracle_s = ours_small_s = -1.0
+    if os.environ.get("BENCH_SKIP_ORACLE") != "1":
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from oracle import cd_lasso
+
+        no, po, so = (500, 1000, 20) if small else (3000, 5000, 100)
+        rng = np.random.default_rng(1)
+        Xo = rng.standard_normal((no, po))
+        bo = np.zeros(po)
+        bo[:so] = rng.standard_normal(so)
+        yo = Xo @ bo + rng.standard_normal(no)
+        lam_o = 0.1 * float(np.max(np.abs(Xo.T @ yo)) / no)
+        tol_o = 1e-6
+
+        t0 = time.perf_counter()
+        beta_np, _ = cd_lasso(Xo, yo, lam_o, max_epochs=200, tol=tol_o)
+        oracle_s = time.perf_counter() - t0
+
+        opts_o = cd.CDOptions(opt_tol=tol_o, max_iter=200, block_size=128,
+                              randomize=False)
+        Xo_d = jnp.asarray(Xo, dtype)
+        yo_d = jnp.asarray(yo, dtype)
+        sol = cd.lasso(Xo_d, yo_d, lam_o, options=opts_o)  # compile
+        jax.block_until_ready(sol.x)
+        t0 = time.perf_counter()
+        sol = cd.lasso(Xo_d, yo_d, lam_o, options=opts_o)
+        jax.block_until_ready(sol.x)
+        ours_small_s = time.perf_counter() - t0
+        agree = float(np.max(np.abs(np.asarray(sol.x) - beta_np)))
+        speedup = oracle_s / ours_small_s
+
+    print(json.dumps({
+        "metric": "lasso_path_wall_time_n10k_p100k_100pts"
+                  if not small else "lasso_path_wall_time_small",
+        "value": round(t_path, 4),
+        "unit": "s",
+        "vs_baseline": round(speedup, 2),
+        "details": {
+            "platform": platform,
+            "shape": {"n": n, "p": p, "s": s, "path_points": L},
+            "path_points_per_s": round(L / t_path, 3),
+            "compile_plus_run_s": round(t_with_compile, 4),
+            "final_point_duality_gap": float(gap),
+            "final_point_rel_gap": float(gap / max(primal, 1e-300)),
+            "final_point_nnz": nnz,
+            "oracle_cd_bench_s": round(oracle_s, 4),
+            "ours_cd_bench_s": round(ours_small_s, 4),
+            "oracle_solution_max_abs_diff":
+                float(agree) if speedup > 0 else None,
+            "note": "vs_baseline = NumPy sequential-CD oracle time / ours "
+                    "on reference cd_bench shape; reference publishes no "
+                    "numbers (BASELINE.md)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

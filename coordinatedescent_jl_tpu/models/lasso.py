@@ -128,7 +128,8 @@ def _scaled_lasso_core(X, y, lam, lamw, beta0, key, opts: IterLassoOptions,
     elif init_procedure == "init_std":
         sig = jnp.asarray(opts.sigma_init, dtype)
     elif init_procedure == "warm_start":
-        r0 = y - jnp.einsum("bnk,bk->n", prob.Xb, beta_b)
+        r0 = y - jnp.einsum("bnk,bk->n", prob.Xb, beta_b,
+                             precision=lax.Precision.HIGHEST)
         sig = sample_std(r0)
     else:
         raise ValueError("init_procedure must be one of "
@@ -202,7 +203,8 @@ def _feasible_lasso_core(X, y, lam0, beta0, key, opts: IterLassoOptions,
                             lam0 * opts.sigma_init, beta_b, k0)
         beta_b, r = st0.beta, st0.r
     elif init_procedure == "warm_start":
-        r = y - jnp.einsum("bnk,bk->n", prob.Xb, beta_b)
+        r = y - jnp.einsum("bnk,bk->n", prob.Xb, beta_b,
+                           precision=lax.Precision.HIGHEST)
     else:
         raise ValueError("init_procedure must be one of "
                          "'screening' | 'init_std' | 'warm_start'")

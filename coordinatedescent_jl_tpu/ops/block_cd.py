@@ -62,6 +62,12 @@ from .losses import (
 from .prox import ProxL1, ProxZero, as_l1, soft_threshold
 from ..utils.options import CDOptions
 
+# CD convergence hinges on accurate coordinate gradients: on TPU the default
+# f32 matmul precision lowers to bf16 MXU passes (~1e-3 relative error),
+# which silently caps the achievable KKT residual.  Every solver-critical
+# contraction therefore pins HIGHEST precision (full-f32 MXU accumulation).
+_PREC = lax.Precision.HIGHEST
+
 
 # ---------------------------------------------------------------------------
 # Blocked problem representation
@@ -271,17 +277,20 @@ def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
                 c = -(rb + qb)
             else:
                 Gw = prob.Xwb[b]
-                K = jnp.dot(Gw.T, G, preferred_element_type=G.dtype)
-                c = Gw.T @ r
+                K = jnp.dot(Gw.T, G, preferred_element_type=G.dtype,
+                            precision=_PREC)
+                c = jnp.dot(Gw.T, r, precision=_PREC)
             bb = beta[b]
             bb2, rsqr2, mh = _visit_block(
                 kind, G, Gw, K, bb, prob.lamw[b], lam0, c, rsqr, n_scale,
                 corder)
             h = bb2 - bb
             if kind == "quad":
-                r2 = r + G @ h           # Ax update (cd_diff…jl:344-346)
+                # Ax update (cd_diff…jl:344-346)
+                r2 = r + jnp.dot(G, h, precision=_PREC)
             else:
-                r2 = r - G @ h           # residual update (:107-109)
+                # residual update (:107-109)
+                r2 = r - jnp.dot(G, h, precision=_PREC)
             beta = beta.at[b].set(bb2)
             return beta, r2, rsqr2, jnp.maximum(maxh, mh)
 
@@ -302,7 +311,7 @@ def _full_gradient_c(kind, prob: BlockedProblem, r):
     if kind == "quad":
         nb, B = prob.lamw.shape
         return -(r.reshape(nb, B) + prob.q.reshape(nb, B))
-    return jnp.einsum("bnk,n->bk", prob.Xwb, r)
+    return jnp.einsum("bnk,n->bk", prob.Xwb, r, precision=_PREC)
 
 
 def _potential_steps(kind, prob, beta, c, rsqr, lam0, n_scale):
@@ -372,9 +381,10 @@ def _init_state(kind, prob: BlockedProblem, beta_b, key) -> CDState:
     """Reference ``initialize!``: recompute residuals (or Ax) from scratch
     (cd_differentiable_function.jl:59-72, :311-320)."""
     if kind == "quad":
-        r = jnp.einsum("bpk,bk->p", prob.Xb, beta_b)
+        r = jnp.einsum("bpk,bk->p", prob.Xb, beta_b, precision=_PREC)
     else:
-        r = prob.y - jnp.einsum("bnk,bk->n", prob.Xb, beta_b)
+        r = prob.y - jnp.einsum("bnk,bk->n", prob.Xb, beta_b,
+                                precision=_PREC)
     rsqr = r @ r if kind == "sqrt" else jnp.zeros((), r.dtype)
     active = jnp.any(beta_b != 0, axis=1)
     return CDState(beta=beta_b, r=r, rsqr=rsqr, active=active, key=key,

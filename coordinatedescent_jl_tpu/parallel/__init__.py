@@ -1,0 +1,34 @@
+"""Multi-chip parallel layer: feature-sharded CD + sharded scenario batches.
+
+The reference has no parallelism of any kind (SURVEY.md §2.5); this package
+provides the TPU-native scaling story (SURVEY.md §5.7-5.8): ``shard_map``
+over a ``jax.sharding.Mesh`` with XLA collectives (psum of residual
+corrections over ICI, pmax convergence certificates, consensus σ), plus
+batch-axis sharding of the embarrassingly-parallel scenario loops.
+"""
+
+from .sharded_cd import (
+    coordinate_descent_sharded,
+    lasso_sharded,
+    sqrt_lasso_sharded,
+    scaled_lasso_sharded,
+    lasso_path_sharded,
+    solve_blocked_sharded,
+)
+from .batch import (
+    lasso_lambda_batch,
+    locpoly_batch,
+    lvocv_locpoly_batch,
+)
+
+__all__ = [
+    "coordinate_descent_sharded",
+    "lasso_sharded",
+    "sqrt_lasso_sharded",
+    "scaled_lasso_sharded",
+    "lasso_path_sharded",
+    "solve_blocked_sharded",
+    "lasso_lambda_batch",
+    "locpoly_batch",
+    "lvocv_locpoly_batch",
+]

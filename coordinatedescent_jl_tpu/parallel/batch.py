@@ -1,0 +1,156 @@
+"""Sharded scenario batches: λ grids, evaluation grids, bandwidth sweeps.
+
+The reference executes its embarrassingly-parallel outer loops serially
+(SURVEY.md §2.5): the λ-path loop (lasso.jl:250-257), the zgrid loop
+(varying_coefficient_lasso.jl:59-77), and the bandwidth × LOO loop
+(:105-135).  On a device mesh these become **batch-axis shards**: the
+scenario dimension is partitioned across ``mesh[batch_axis]``, the problem
+data ``(X, y)`` is replicated, and each device sweeps its local scenarios
+with ``lax.map`` (SURVEY.md §5.7).
+
+Warm-start caveat: the reference's λ-path and locpolyl1 warm-start β across
+consecutive scenarios, which serializes them; those warm-started variants
+live in ``models/lasso_path.py`` / ``models/varying_coefficient.py`` (scan)
+and ``parallel/sharded_cd.py`` (feature-sharded scan).  The batched solvers
+here treat scenarios as independent cold solves — per the reference's own
+config-invariance tests (SURVEY.md §4.3), warm starts change only speed,
+never the converged solution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.block_cd import _to_blocked_beta, build_blocked, solve_blocked
+from ..utils.options import CDOptions
+
+
+def _pad_batch(v, D):
+    """Pad the leading (scenario) axis to a multiple of the batch-shard
+    count, repeating the last scenario (results are truncated after)."""
+    L = v.shape[0]
+    Lp = -(-L // D) * D
+    if Lp != L:
+        v = jnp.concatenate(
+            [v, jnp.broadcast_to(v[-1:], (Lp - L,) + v.shape[1:])])
+    return v, L
+
+
+@functools.lru_cache(maxsize=None)
+def _make_lambda_batch(opts: CDOptions, mesh: Mesh, axis: str):
+    def local_fn(X, y, lamw, lams_local, key):
+        prob = build_blocked("ls", opts, lamw, X=X, y=y)
+        p = X.shape[1]
+        beta_b0 = _to_blocked_beta(jnp.zeros((p,), X.dtype),
+                                   opts.block_size)
+
+        def one(lam):
+            st = solve_blocked("ls", opts, prob, lam, beta_b0, key)
+            return st.beta.reshape(-1)[:p]
+
+        return lax.map(one, lams_local)
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def lasso_lambda_batch(X, y, lams, mesh: Mesh,
+                       options: CDOptions = CDOptions(), *, weights=None,
+                       batch_axis: str = "batch", seed: int = 0):
+    """Solve many *independent* Lasso problems — one per λ — with the λ grid
+    sharded over ``mesh[batch_axis]`` and ``(X, y)`` replicated.
+
+    The sharded, cold-start counterpart of the reference's serial
+    ``LassoPath`` loop (lasso.jl:250-257).  Returns ``(len(lams), p)``
+    coefficients.
+    """
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    lams = jnp.asarray(lams, X.dtype)
+    lamw = (jnp.ones((X.shape[1],), X.dtype) if weights is None
+            else jnp.asarray(weights, X.dtype))
+    D = mesh.shape[batch_axis]
+    lams_p, L = _pad_batch(lams, D)
+    opts = options.replace(warm_start=True)  # cold solves, direct at each λ
+    solver = _make_lambda_batch(opts, mesh, batch_axis)
+    betas = solver(X, y, lamw, lams_p, jax.random.PRNGKey(seed))
+    return betas[:L]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_locpoly_batch(degree: int, kernel_type, mesh: Mesh, axis: str):
+    from ..models.varying_coefficient import _locpoly_point
+
+    def local_fn(X, z, y, h, zgrid_local):
+        kernel = kernel_type(h)
+        return lax.map(
+            lambda z0: _locpoly_point(X, z, y, z0, degree, kernel),
+            zgrid_local)
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def locpoly_batch(X, z, y, zgrid, degree, kernel, mesh: Mesh, *,
+                  batch_axis: str = "batch"):
+    """``locpoly`` with the evaluation grid sharded over the batch axis
+    (the reference's serial zgrid loop, varying_coefficient_lasso.jl:230-234,
+    as an embarrassingly-parallel scenario batch).  Returns
+    ``(p(degree+1), len(zgrid))`` like ``locpoly``."""
+    X = jnp.asarray(X)
+    z = jnp.asarray(z, X.dtype)
+    y = jnp.asarray(y, X.dtype)
+    zgrid = jnp.asarray(zgrid, X.dtype)
+    D = mesh.shape[batch_axis]
+    zg, L = _pad_batch(zgrid, D)
+    solver = _make_locpoly_batch(degree, type(kernel), mesh, batch_axis)
+    out = solver(X, z, y, jnp.asarray(kernel.h, X.dtype), zg)
+    return out[:L].T
+
+
+@functools.lru_cache(maxsize=None)
+def _make_lvocv_batch(degree: int, kernel_type, mesh: Mesh, axis: str):
+    from ..models.varying_coefficient import _lvocv_locpoly_one_h
+
+    def local_fn(X, z, y, hs_local):
+        return lax.map(
+            lambda h: _lvocv_locpoly_one_h(X, z, y, h, degree, kernel_type),
+            hs_local)
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis)),
+        out_specs=P(axis), check_vma=False)
+    return jax.jit(fn)
+
+
+def lvocv_locpoly_batch(X, z, y, degree, h_arr, kernel_type, mesh: Mesh, *,
+                        batch_axis: str = "batch"):
+    """Bandwidth LOO-CV with the bandwidth sweep sharded over the batch axis
+    (reference ``lvocv_locpoly``'s serial ``hArr`` loop, :348-380)."""
+    X = jnp.asarray(X)
+    z = jnp.asarray(z, X.dtype)
+    y = jnp.asarray(y, X.dtype)
+    h_arr = jnp.asarray(h_arr, X.dtype)
+    D = mesh.shape[batch_axis]
+    hs, L = _pad_batch(h_arr, D)
+    solver = _make_lvocv_batch(degree, kernel_type, mesh, batch_axis)
+    return solver(X, z, y, hs)[:L]

@@ -1,0 +1,171 @@
+"""Single-device vs sharded equivalence on the 8-device CPU mesh.
+
+SURVEY.md §4 "TPU test mapping" (b): the standard JAX way to test multi-host
+collectives without a pod — ``--xla_force_host_platform_device_count=8``
+(set in conftest.py) and a real ``Mesh`` + ``shard_map``.  Every test checks
+that the feature-sharded / batch-sharded solver converges to the same
+solution as the single-device engine (which is itself oracle-checked in
+test_coordinate_descent.py), to solver tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import coordinatedescent_jl_tpu as cd
+from coordinatedescent_jl_tpu.parallel import (
+    coordinate_descent_sharded,
+    lasso_lambda_batch,
+    lasso_path_sharded,
+    lasso_sharded,
+    locpoly_batch,
+    lvocv_locpoly_batch,
+    scaled_lasso_sharded,
+    sqrt_lasso_sharded,
+)
+
+
+OPTS = cd.CDOptions(block_size=16)
+
+
+@pytest.fixture(scope="module")
+def feature_mesh():
+    devs = np.array(jax.devices()[:8])
+    assert devs.size == 8, "conftest must provide 8 virtual CPU devices"
+    return Mesh(devs, ("feature",))
+
+@pytest.fixture(scope="module")
+def batch_mesh():
+    devs = np.array(jax.devices()[:8])
+    return Mesh(devs, ("batch",))
+
+
+def _gen(n, p, s, seed=0, sigma=0.3):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, p))
+    beta = np.zeros(p)
+    beta[:s] = rng.standard_normal(s)
+    y = X @ beta + sigma * rng.standard_normal(n)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def test_sharded_lasso_matches_single_device(feature_mesh):
+    X, y = _gen(120, 100, 10)
+    lam = 0.1
+    sol1 = cd.lasso(X, y, lam, options=OPTS)
+    sol8 = lasso_sharded(X, y, lam, feature_mesh, options=OPTS)
+    np.testing.assert_allclose(sol8.x, sol1.x, atol=1e-5)
+    np.testing.assert_allclose(sol8.residuals, sol1.residuals, atol=1e-5)
+    # KKT certificate holds for the sharded solution directly
+    gap = cd.lasso_duality_gap(X, y, sol8.x, lam)
+    assert float(gap) < 1e-6
+
+
+def test_sharded_lasso_uneven_p(feature_mesh):
+    # p not divisible by (devices × block size) exercises the padding path
+    X, y = _gen(90, 37, 5, seed=3)
+    lam = 0.15
+    sol1 = cd.lasso(X, y, lam, options=OPTS)
+    sol8 = lasso_sharded(X, y, lam, feature_mesh, options=OPTS)
+    np.testing.assert_allclose(sol8.x, sol1.x, atol=1e-5)
+
+
+def test_sharded_weighted_lasso(feature_mesh):
+    X, y = _gen(80, 64, 6, seed=1)
+    rng = np.random.default_rng(11)
+    lamw = jnp.asarray(0.5 + rng.random(64))
+    g = cd.ProxL1(0.08, lamw)
+    loss = cd.LeastSquaresLoss(y, X)
+    b1, _ = cd.coordinate_descent(jnp.zeros(64), loss, g, OPTS)
+    b8, _ = coordinate_descent_sharded(jnp.zeros(64), loss, g, feature_mesh,
+                                       OPTS)
+    np.testing.assert_allclose(b8, b1, atol=1e-5)
+
+
+def test_sharded_cold_start_continuation(feature_mesh):
+    X, y = _gen(100, 48, 6, seed=5)
+    lam = 0.05
+    opts = OPTS.replace(warm_start=False, num_steps=20)
+    sol1 = cd.lasso(X, y, lam, options=opts)
+    sol8 = lasso_sharded(X, y, lam, feature_mesh, options=opts)
+    np.testing.assert_allclose(sol8.x, sol1.x, atol=1e-5)
+
+
+def test_sharded_sqrt_lasso(feature_mesh):
+    X, y = _gen(100, 64, 6, seed=7)
+    lam = 0.3 / np.sqrt(100)
+    s1 = cd.sqrt_lasso(X, y, lam, options=OPTS, standardize_X=False)
+    s8 = sqrt_lasso_sharded(X, y, lam, feature_mesh, options=OPTS)
+    np.testing.assert_allclose(s8.x, s1.x, atol=1e-4)
+
+
+def test_sharded_scaled_lasso_consensus_sigma(feature_mesh):
+    X, y = _gen(150, 64, 8, seed=9, sigma=0.5)
+    lam = np.sqrt(2 * np.log(64) / 150)
+    opts = cd.IterLassoOptions(options_cd=OPTS)
+    s1 = cd.scaled_lasso(X, y, lam, options=opts)
+    s8 = scaled_lasso_sharded(X, y, lam, feature_mesh, options=opts)
+    np.testing.assert_allclose(s8.x, s1.x, atol=1e-4)
+    np.testing.assert_allclose(float(s8.penalty.lam0),
+                               float(s1.penalty.lam0), rtol=1e-3)
+
+
+def test_sharded_lasso_path(feature_mesh):
+    X, y = _gen(100, 48, 6, seed=13)
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.05), 8))
+    p1 = cd.lasso_path(X, y, lams, options=OPTS, standardize_X=False)
+    p8 = lasso_path_sharded(X, y, lams, feature_mesh, options=OPTS,
+                            standardize_X=False)
+    assert p8.beta_path.shape == p1.beta_path.shape
+    np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-5)
+
+
+def test_sharded_path_early_stop(feature_mesh):
+    X, y = _gen(100, 48, 6, seed=13)
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.01), 10))
+    p1 = cd.lasso_path(X, y, lams, options=OPTS, max_hat_s=10,
+                       standardize_X=False)
+    p8 = lasso_path_sharded(X, y, lams, feature_mesh, options=OPTS,
+                            max_hat_s=10, standardize_X=False)
+    assert p8.lam_path.shape == p1.lam_path.shape
+    np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-5)
+
+
+def test_lambda_batch_matches_individual_solves(batch_mesh):
+    X, y = _gen(90, 40, 5, seed=17)
+    lams = np.exp(np.linspace(np.log(0.4), np.log(0.08), 6))  # 6 % 8 != 0
+    betas = lasso_lambda_batch(X, y, lams, batch_mesh, options=OPTS)
+    assert betas.shape == (6, 40)
+    for i, lam in enumerate(lams):
+        sol = cd.lasso(X, y, lam, options=OPTS)
+        np.testing.assert_allclose(betas[i], sol.x, atol=1e-5)
+
+
+def test_locpoly_batch_matches_serial(batch_mesh):
+    rng = np.random.default_rng(23)
+    n, p = 80, 3
+    X = rng.standard_normal((n, p))
+    z = rng.random(n)
+    y = np.sum(X * np.sin(2 * z)[:, None], axis=1) + \
+        0.1 * rng.standard_normal(n)
+    zgrid = np.linspace(0.1, 0.9, 9)
+    k = cd.GaussianKernel(0.2)
+    serial = cd.locpoly(X, z, y, zgrid, 1, k)
+    batched = locpoly_batch(X, z, y, zgrid, 1, k, batch_mesh)
+    np.testing.assert_allclose(batched, serial, atol=1e-8)
+
+
+def test_lvocv_batch_matches_serial(batch_mesh):
+    rng = np.random.default_rng(29)
+    n, p = 60, 2
+    X = rng.standard_normal((n, p))
+    z = rng.random(n)
+    y = np.sum(X * np.cos(3 * z)[:, None], axis=1) + \
+        0.1 * rng.standard_normal(n)
+    h_arr = np.array([0.1, 0.2, 0.4])
+    serial = cd.lvocv_locpoly(X, z, y, 0, h_arr, cd.GaussianKernel)
+    batched = lvocv_locpoly_batch(X, z, y, 0, h_arr, cd.GaussianKernel,
+                                  batch_mesh)
+    np.testing.assert_allclose(batched, serial, rtol=1e-10)
