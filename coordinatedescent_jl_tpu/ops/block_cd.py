@@ -249,8 +249,27 @@ def _visit_block(kind, G, Gw, K, beta_b, lamw_b, lam0, c, rsqr, n_scale,
     return beta_b, rsqr, maxh
 
 
+def _use_pallas(kind, opts: CDOptions, prob: BlockedProblem):
+    """Trace-time decision: fused Pallas pass vs pure-XLA pass."""
+    if kind not in ("ls", "wls"):
+        return False, False
+    use = opts.use_pallas
+    on_tpu = jax.default_backend() == "tpu"
+    if use is None:
+        use = on_tpu
+    if not use:
+        return False, False
+    from .pallas_block import pallas_pass_fits
+
+    nb, B = prob.lamw.shape
+    n = prob.y.shape[0]
+    if on_tpu and not pallas_pass_fits(n, B, nb, kind == "wls"):
+        return False, False
+    return True, not on_tpu  # interpret mode off-TPU (test-only)
+
+
 def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
-                 randomize: bool):
+                 randomize: bool, opts: Optional[CDOptions] = None):
     """One pass over the active blocks (reference's nonzero pass,
     coordinate_descent.jl:94-110, at block granularity)."""
     nb, B = prob.lamw.shape
@@ -261,6 +280,18 @@ def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
     else:
         border = jnp.arange(nb)
         corder = jnp.arange(B)
+
+    if opts is not None:
+        use, interpret = _use_pallas(kind, opts, prob)
+        if use:
+            from .pallas_block import fused_active_pass
+
+            beta2, r2, maxh = fused_active_pass(
+                prob, st.beta, st.r, st.active, lam0, n_scale, border,
+                corder, weighted=(kind == "wls"), interpret=interpret)
+            active = jnp.any(beta2 != 0, axis=1)
+            return st._replace(beta=beta2, r=r2, active=active, key=key), \
+                maxh
 
     def body(t, carry):
         beta, r, rsqr, maxh = carry
@@ -365,7 +396,8 @@ def _solve_at_lambda(kind, opts: CDOptions, prob: BlockedProblem, lam0,
             return _full_check(kind, prob, s, lam0, n_scale, tol)
 
         def act(s):
-            return _active_pass(kind, prob, s, lam0, n_scale, opts.randomize)
+            return _active_pass(kind, prob, s, lam0, n_scale, opts.randomize,
+                                opts)
 
         s2, maxh = lax.cond(was_full, full, act, s)
         conv = maxh < tol

@@ -1,0 +1,370 @@
+"""Pallas TPU kernels: one fused active-set block-CD pass.
+
+This is the framework's native-tier hot loop (SURVEY.md §2 note, §7 M3) —
+the TPU re-design of the reference's innermost sequence
+(``_cdPass!`` → ``descendCoordinate!``, coordinate_descent.jl:94-110 /
+cd_differentiable_function.jl:83-111).  The pure-XLA engine (block_cd.py)
+dispatches per block: a Gram matmul, a B-step ``lax.scan``, and a residual
+matvec — each a separate XLA op with dispatch/latency overhead.
+
+Both kernels fuse the ENTIRE pass into one ``pallas_call``:
+
+- grid major axis = the block-visit sequence; TPU grid steps execute
+  sequentially on the core, so the residual ``r`` and coefficients ``β``
+  live in VMEM for the whole pass (in/out-aliased, written back once).
+- the visit order is a scalar-prefetch array with the active blocks first;
+  the ``X`` column block for step ``t`` is DMA'd HBM→VMEM by the BlockSpec
+  pipeline using ``order[t]`` as the index.  Steps past ``n_active`` are
+  predicated off and their pipeline indices clamped, so consecutive skipped
+  steps re-use the resident buffer and spend no HBM bandwidth.
+- per block: ``K = Xw'X`` and ``c = Xw'r`` on the MXU (HIGHEST precision),
+  then the exact sequential Gauss-Seidel sweep over the block's coordinates
+  via the Gram recursion ``c ← c − K[:,k]·h`` (the lifted form of the
+  reference's rank-1 residual refresh), then a fused residual update
+  ``r ← r − Δβ'X``.
+
+Two variants, auto-selected by VMEM footprint:
+
+- **resident** (small n): the whole ``(n, B)`` block sits in VMEM; each
+  active block is read from HBM exactly once per pass — the speed-of-light
+  HBM traffic for this algorithm.
+- **chunked** (large n): 3D grid ``(block, phase, row-chunk)``; phase 0
+  streams row chunks to accumulate ``K``/``c``, phase 1 re-streams them to
+  apply the residual update (2 reads of each active block per pass, still
+  ahead of the XLA path which reads them twice *and* pays per-op dispatch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PREC = lax.Precision.HIGHEST
+
+# conservative per-core VMEM budget (v5e/v4 have ~16 MiB usable); the
+# resident variant's footprint is ~6× the X-block size (2-3 pipeline
+# buffers + Mosaic transpose scratch for the two non-native dot layouts)
+_VMEM_BUDGET = 11 * 1024 * 1024
+_ROW_CHUNK = 1024
+
+
+def _resident_fits(n: int, B: int) -> bool:
+    return 6 * n * B * 4 < _VMEM_BUDGET - 1024 * 1024
+
+
+def pallas_pass_fits(n: int, B: int, nb: int, weighted: bool) -> bool:
+    """Static check that some variant fits the VMEM budget."""
+    factor = 2 if weighted else 1
+    if _resident_fits(n, B) and factor * 6 * n * B * 4 < _VMEM_BUDGET:
+        return True
+    # chunked variant: chunk buffers + transposes + β/λw/r state
+    state = 3 * nb * B * 4 + 2 * 4 * -(-n // _ROW_CHUNK) * _ROW_CHUNK
+    chunk = factor * 6 * _ROW_CHUNK * B * 4
+    return state + chunk < _VMEM_BUDGET
+
+
+def _soft(x, t):
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
+
+
+def _block_scan(corder_ref, K_ref, c, beta0, lamw, lam0, nsc, B):
+    """Exact sequential CD over one block's coordinates via the Gram
+    recursion (shared by both kernel variants)."""
+    dt = c.dtype
+    iota = lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    eye = lax.broadcasted_iota(jnp.int32, (B, B), 0) == \
+        lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    adiag = jnp.sum(jnp.where(eye, K_ref[:], 0.0), axis=0,
+                    keepdims=True)                    # (1, B)
+
+    def body(i, carry):
+        beta_row, c, mh = carry
+        k = corder_ref[i]
+        onehot = (iota == k).astype(dt)
+        a = jnp.sum(adiag * onehot)
+        bk = jnp.sum(beta_row * onehot)
+        ck = jnp.sum(c * onehot)
+        lw = jnp.sum(lamw * onehot)
+        safe = a > 0.0
+        asafe = jnp.where(safe, a, 1.0)
+        # exact LS coordinate minimizer (cd_differentiable_function.jl:101-103)
+        val = _soft(bk + ck / asafe, nsc * lam0 * lw / asafe)
+        val = jnp.where(safe, val, bk)
+        h = val - bk
+        # Gram recursion: remaining gradients shift by K[:,k]·h (:107-109)
+        c = c - K_ref[pl.ds(k, 1), :] * h
+        beta_row = beta_row + onehot * h
+        return beta_row, c, jnp.maximum(mh, jnp.abs(h))
+
+    return lax.fori_loop(0, B, body, (beta0, c, jnp.zeros((), dt)))
+
+
+# ---------------------------------------------------------------------------
+# Variant 1: whole block resident in VMEM (small/medium n)
+# ---------------------------------------------------------------------------
+
+
+def _make_resident_kernel(B: int, weighted: bool):
+    def kernel(order_ref, na_ref, corder_ref, *refs):
+        if weighted:
+            (Xb_ref, Xwb_ref, lamw_ref, lam_ref, nsc_ref, beta_in, r_in,
+             beta_out, r_out, maxh_ref, K_s) = refs
+        else:
+            (Xb_ref, lamw_ref, lam_ref, nsc_ref, beta_in, r_in,
+             beta_out, r_out, maxh_ref, K_s) = refs
+            Xwb_ref = Xb_ref
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            beta_out[:] = beta_in[:]
+            r_out[:] = r_in[:]
+            maxh_ref[0, 0] = jnp.zeros((), maxh_ref.dtype)
+
+        @pl.when(t < na_ref[0])
+        def _():
+            ob = order_ref[t]
+            X = Xb_ref[0]                             # (n, B)
+            Xw = Xwb_ref[0]
+            r = r_out[:]                              # (1, n)
+            dt = X.dtype
+            K_s[:] = lax.dot_general(
+                Xw, X, (((0,), (0,)), ((), ())),
+                preferred_element_type=dt, precision=_PREC)
+            c = lax.dot_general(
+                r, Xw, (((1,), (0,)), ((), ())),
+                preferred_element_type=dt, precision=_PREC)
+            beta0 = beta_out[pl.ds(ob, 1), :]         # (1, B)
+            lamw = lamw_ref[pl.ds(ob, 1), :]
+            beta1, _, mh = _block_scan(
+                corder_ref, K_s, c, beta0, lamw, lam_ref[0, 0],
+                nsc_ref[0, 0], B)
+            dvec = beta1 - beta0                      # (1, B)
+            r_out[:] = r - lax.dot_general(
+                dvec, X, (((1,), (1,)), ((), ())),
+                preferred_element_type=dt, precision=_PREC)
+            beta_out[pl.ds(ob, 1), :] = beta1
+            maxh_ref[0, 0] = jnp.maximum(maxh_ref[0, 0], mh)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "B", "nb", "weighted", "interpret"))
+def _resident_pass(Xb, Xwb, lamw, beta_b, r, order, n_active, corder, lam0,
+                   n_scale, *, n, B, nb, weighted, interpret):
+    kernel = _make_resident_kernel(B, weighted)
+    x_spec = pl.BlockSpec(
+        (1, n, B), lambda t, order_ref, na_ref, co_ref: (order_ref[t], 0, 0),
+        memory_space=pltpu.VMEM)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    data_in = [Xb] + ([Xwb] if weighted else [])
+    in_specs = [x_spec] * (2 if weighted else 1) + [vm, sm, sm, vm, vm]
+    nio = len(in_specs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, B), beta_b.dtype)],
+    )
+    beta_out, r_out, maxh = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(beta_b.shape, beta_b.dtype),
+            jax.ShapeDtypeStruct(r.shape, r.dtype),
+            jax.ShapeDtypeStruct((1, 1), beta_b.dtype),
+        ],
+        # beta and r stay resident in VMEM across the whole pass
+        input_output_aliases={nio + 1: 0, nio + 2: 1},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * n * B * (B + 2),
+            bytes_accessed=nb * n * B * 4 + 2 * n * 4 + 3 * nb * B * 4,
+            transcendentals=0,
+        ),
+    )(order, n_active, corder, *data_in,
+      lamw, lam0.reshape(1, 1), n_scale.reshape(1, 1), beta_b, r)
+    return beta_out, r_out, maxh[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Variant 2: row-chunked streaming (large n)
+# ---------------------------------------------------------------------------
+
+
+def _make_chunked_kernel(B: int, R: int, n: int, nr: int, weighted: bool):
+    def kernel(order_ref, na_ref, corder_ref, *refs):
+        if weighted:
+            (Xb_ref, Xwb_ref, lamw_ref, lam_ref, nsc_ref, beta_in, r_in,
+             beta_out, r_out, maxh_ref, K_s, c_s, d_s) = refs
+        else:
+            (Xb_ref, lamw_ref, lam_ref, nsc_ref, beta_in, r_in,
+             beta_out, r_out, maxh_ref, K_s, c_s, d_s) = refs
+            Xwb_ref = Xb_ref
+
+        t = pl.program_id(0)
+        phase = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when((t == 0) & (phase == 0) & (j == 0))
+        def _():
+            beta_out[:] = beta_in[:]
+            r_out[:] = r_in[:]
+            maxh_ref[0, 0] = jnp.zeros((), maxh_ref.dtype)
+
+        @pl.when(t < na_ref[0])
+        def _():
+            ob = order_ref[t]
+            dt = r_out.dtype
+            # mask rows past the true n (the tail chunk is padded by the
+            # BlockSpec pipeline with unspecified values)
+            rowmask = (lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+                       + j * R) < n
+            X = jnp.where(rowmask, Xb_ref[0], 0.0)    # (R, B)
+            rc = r_out[:, pl.ds(j * R, R)]            # (1, R)
+
+            @pl.when(phase == 0)
+            def _():
+                Xw = jnp.where(rowmask, Xwb_ref[0], 0.0) if weighted else X
+
+                @pl.when(j == 0)
+                def _():
+                    K_s[:] = jnp.zeros_like(K_s)
+                    c_s[:] = jnp.zeros_like(c_s)
+
+                K_s[:] += lax.dot_general(
+                    Xw, X, (((0,), (0,)), ((), ())),
+                    preferred_element_type=dt, precision=_PREC)
+                c_s[:] += lax.dot_general(
+                    rc, Xw, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dt, precision=_PREC)
+
+                @pl.when(j == nr - 1)
+                def _():
+                    beta0 = beta_out[pl.ds(ob, 1), :]
+                    lamw = lamw_ref[pl.ds(ob, 1), :]
+                    beta1, _, mh = _block_scan(
+                        corder_ref, K_s, c_s[:], beta0, lamw,
+                        lam_ref[0, 0], nsc_ref[0, 0], B)
+                    d_s[:] = beta1 - beta0
+                    beta_out[pl.ds(ob, 1), :] = beta1
+                    maxh_ref[0, 0] = jnp.maximum(maxh_ref[0, 0], mh)
+
+            @pl.when(phase == 1)
+            def _():
+                r_out[:, pl.ds(j * R, R)] = rc - lax.dot_general(
+                    d_s[:], X, (((1,), (1,)), ((), ())),
+                    preferred_element_type=dt, precision=_PREC)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "B", "nb", "R", "weighted", "interpret"))
+def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, order, n_active, corder,
+                  lam0, n_scale, *, n, B, nb, R, weighted, interpret):
+    nr = -(-n // R)
+    kernel = _make_chunked_kernel(B, R, n, nr, weighted)
+
+    def xmap(t, ph, j, order_ref, na_ref, co_ref):
+        # clamp skipped steps to chunk 0 of the last active block so the
+        # pipeline re-uses the resident buffer
+        jj = jnp.where(t < na_ref[0], j, 0)
+        return (order_ref[t], jj, 0)
+
+    x_spec = pl.BlockSpec((1, R, B), xmap, memory_space=pltpu.VMEM)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    data_in = [Xb] + ([Xwb] if weighted else [])
+    in_specs = [x_spec] * (2 if weighted else 1) + [vm, sm, sm, vm, vm]
+    nio = len(in_specs)
+    dt = beta_b.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb, 2, nr),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, B), dt),
+            pltpu.VMEM((1, B), dt),
+            pltpu.VMEM((1, B), dt),
+        ],
+    )
+    beta_out, r_out, maxh = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(beta_b.shape, dt),
+            jax.ShapeDtypeStruct(r_pad.shape, r_pad.dtype),
+            jax.ShapeDtypeStruct((1, 1), dt),
+        ],
+        input_output_aliases={nio + 1: 0, nio + 2: 1},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * n * B * (B + 2),
+            bytes_accessed=2 * nb * n * B * 4 + 2 * n * 4 + 3 * nb * B * 4,
+            transcendentals=0,
+        ),
+    )(order, n_active, corder, *data_in,
+      lamw, lam0.reshape(1, 1), n_scale.reshape(1, 1), beta_b, r_pad)
+    return beta_out, r_out, maxh[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+
+def fused_active_pass(prob, beta_b, r, active, lam0, n_scale, border,
+                      corder, *, weighted: bool, interpret: bool = False):
+    """Run one fused active-set pass.  ``border``/``corder`` are the block /
+    within-block visit orders (permuted when randomizing).  Returns
+    ``(beta_b, r, maxh)`` with the same semantics as the XLA
+    ``_active_pass`` for the ls/wls kinds."""
+    nb, B = prob.lamw.shape
+    n = prob.y.shape[0]
+    keep = active[border]
+    # stable partition: active blocks first, preserving the visit order
+    idx = jnp.argsort(~keep, stable=True)
+    order = border[idx].astype(jnp.int32)
+    n_active = jnp.sum(keep).astype(jnp.int32)
+    # clamp the skipped tail to the last active block so the pipeline
+    # re-uses the resident buffer (no wasted HBM traffic)
+    last = order[jnp.maximum(n_active - 1, 0)]
+    tpos = jnp.arange(nb, dtype=jnp.int32)
+    order = jnp.where(tpos < n_active, order, last)
+
+    dt = beta_b.dtype
+    args = (prob.Xb, prob.Xwb, prob.lamw, beta_b)
+    scalars = (order, n_active.reshape(1), corder.astype(jnp.int32),
+               jnp.asarray(lam0, dt), jnp.asarray(n_scale, dt))
+    if _resident_fits(n, B):
+        beta2, r_row, maxh = _resident_pass(
+            *args, r.reshape(1, n), *scalars,
+            n=n, B=B, nb=nb, weighted=weighted, interpret=interpret)
+        return beta2, r_row.reshape(n), maxh
+
+    R = _ROW_CHUNK
+    nr = -(-n // R)
+    r_pad = jnp.pad(r, (0, nr * R - n)).reshape(1, nr * R)
+    beta2, r_row, maxh = _chunked_pass(
+        *args, r_pad, *scalars,
+        n=n, B=B, nb=nb, R=R, weighted=weighted, interpret=interpret)
+    return beta2, r_row.reshape(-1)[:n], maxh

@@ -74,7 +74,7 @@ def _sharded_objective(kind, prob, r, beta_b, lam0, n_scale, w, axis):
 
 
 def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
-                         axis, n_shards: int, w=None):
+                         axis, n_shards: int, w=None, opts=None):
     """One concurrent pass: exact sequential block CD within each shard,
     block-Jacobi across shards, merged by one residual psum over ICI.
 
@@ -89,7 +89,7 @@ def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
     convergence is certified by the order-independent KKT sweep either way.
     """
     r0, beta0_b = st.r, st.beta
-    st2, maxh = _active_pass(kind, prob, st, lam0, n_scale, randomize)
+    st2, maxh = _active_pass(kind, prob, st, lam0, n_scale, randomize, opts)
     dbeta = st2.beta - beta0_b
     # Δr_s = local residual drift = −X_s Δβ_s ; merge all shards' corrections
     dr = lax.psum(st2.r - r0, axis)
@@ -147,7 +147,8 @@ def _sharded_solve_at_lambda(kind, opts: CDOptions, prob, lam0, st: CDState,
 
         def act(s):
             return _sharded_active_pass(kind, prob, s, lam0, n_scale,
-                                        opts.randomize, axis, n_shards, w)
+                                        opts.randomize, axis, n_shards, w,
+                                        opts)
 
         s2, maxh = lax.cond(was_full, full, act, s)
         conv = maxh < tol

@@ -34,6 +34,11 @@ class CDOptions:
     - ``num_steps``: number of λ-continuation segments (path has
       ``num_steps + 1`` points).
     - ``block_size``: TPU block width for block-coordinate updates (new).
+    - ``use_pallas``: use the fused Pallas active-pass kernel
+      (ops/pallas_block.py) for the ls/wls losses.  ``None`` (default) =
+      auto: on when compiling for TPU and the block buffers fit VMEM.
+      ``True`` forces it (interpret mode off-TPU — slow, test-only);
+      ``False`` forces the pure-XLA path.  No effect on solutions (new).
     """
 
     max_iter: int = 2000
@@ -42,6 +47,7 @@ class CDOptions:
     warm_start: bool = True
     num_steps: int = 50
     block_size: int = 128
+    use_pallas: bool | None = None
 
     def replace(self, **kw) -> "CDOptions":
         return dataclasses.replace(self, **kw)

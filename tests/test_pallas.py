@@ -1,0 +1,104 @@
+"""Pallas fused-pass kernel vs pure-XLA engine equivalence.
+
+SURVEY.md §4 "TPU test mapping" (c): the fused kernel (ops/pallas_block.py)
+must reproduce the XLA block engine exactly.  On the CPU test platform the
+kernel runs in interpreter mode (``use_pallas=True`` forces it off-TPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import coordinatedescent_jl_tpu as cd
+from coordinatedescent_jl_tpu.ops.block_cd import (
+    _active_pass,
+    _init_state,
+    build_blocked,
+)
+from coordinatedescent_jl_tpu.ops.pallas_block import fused_active_pass
+
+
+def _gen(n, p, s, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, p))
+    beta = np.zeros(p)
+    beta[:s] = rng.standard_normal(s)
+    y = X @ beta + 0.3 * rng.standard_normal(n)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def test_fused_pass_matches_xla_pass():
+    rng = np.random.default_rng(3)
+    n, p, B = 96, 70, 16
+    X, y = _gen(n, p, 8, seed=3)
+    opts = cd.CDOptions(block_size=B, randomize=False)
+    lamw = jnp.asarray(0.5 + rng.random(p))
+    prob = build_blocked("ls", opts, lamw, X=X, y=y)
+    nb = prob.lamw.shape[0]
+    beta_b = jnp.asarray(
+        rng.standard_normal((nb, B)) * (rng.random((nb, B)) < 0.3))
+    beta_b = beta_b * prob.valid
+    beta_b = beta_b.at[1].set(0.0)  # one fully-inactive block
+    st = _init_state("ls", prob, beta_b, jax.random.PRNGKey(0))
+    lam0 = jnp.asarray(0.05)
+    nsc = jnp.asarray(float(n))
+
+    st2, maxh2 = _active_pass("ls", prob, st, lam0, nsc, randomize=False)
+    b3, r3, mh3 = fused_active_pass(
+        prob, st.beta, st.r, st.active, lam0, nsc,
+        jnp.arange(nb), jnp.arange(B), weighted=False, interpret=True)
+    np.testing.assert_allclose(b3, st2.beta, atol=1e-12)
+    np.testing.assert_allclose(r3, st2.r, atol=1e-12)
+    np.testing.assert_allclose(float(mh3), float(maxh2), atol=1e-12)
+
+
+def test_fused_pass_weighted():
+    rng = np.random.default_rng(7)
+    n, p, B = 80, 48, 16
+    X, y = _gen(n, p, 6, seed=7)
+    w = jnp.asarray(0.2 + rng.random(n))
+    opts = cd.CDOptions(block_size=B, randomize=False)
+    lamw = jnp.ones((p,))
+    prob = build_blocked("wls", opts, lamw, X=X, y=y, w=w)
+    nb = prob.lamw.shape[0]
+    beta_b = jnp.asarray(
+        rng.standard_normal((nb, B)) * (rng.random((nb, B)) < 0.4))
+    beta_b = beta_b * prob.valid
+    st = _init_state("wls", prob, beta_b, jax.random.PRNGKey(0))
+    lam0 = jnp.asarray(0.03)
+    nsc = jnp.asarray(float(n))
+
+    st2, maxh2 = _active_pass("wls", prob, st, lam0, nsc, randomize=False)
+    b3, r3, mh3 = fused_active_pass(
+        prob, st.beta, st.r, st.active, lam0, nsc,
+        jnp.arange(nb), jnp.arange(B), weighted=True, interpret=True)
+    np.testing.assert_allclose(b3, st2.beta, atol=1e-12)
+    np.testing.assert_allclose(r3, st2.r, atol=1e-12)
+    np.testing.assert_allclose(float(mh3), float(maxh2), atol=1e-12)
+
+
+def test_lasso_solve_with_forced_pallas_matches():
+    X, y = _gen(120, 90, 10, seed=11)
+    lam = 0.1
+    o_xla = cd.CDOptions(block_size=16, use_pallas=False)
+    o_pl = cd.CDOptions(block_size=16, use_pallas=True)
+    s1 = cd.lasso(X, y, lam, options=o_xla)
+    s2 = cd.lasso(X, y, lam, options=o_pl)
+    np.testing.assert_allclose(s2.x, s1.x, atol=1e-10)
+    np.testing.assert_allclose(s2.residuals, s1.residuals, atol=1e-10)
+
+
+def test_weighted_lasso_solve_with_forced_pallas_matches():
+    rng = np.random.default_rng(13)
+    X, y = _gen(100, 64, 8, seed=13)
+    w = jnp.asarray(0.2 + rng.random(100))
+    loss = cd.WeightedLSLoss(y, X, w)
+    g = cd.ProxL1(0.05)
+    b1, r1 = cd.coordinate_descent(
+        jnp.zeros(64), loss, g, cd.CDOptions(block_size=16,
+                                             use_pallas=False))
+    b2, r2 = cd.coordinate_descent(
+        jnp.zeros(64), loss, g, cd.CDOptions(block_size=16,
+                                             use_pallas=True))
+    np.testing.assert_allclose(b2, b1, atol=1e-10)
