@@ -38,6 +38,20 @@ from .models.lasso import (
     feasible_lasso,
 )
 from .models.lasso_path import LassoPath, lasso_path, refit_lasso_path
+from .utils.checkpoint import (
+    PathCheckpoint,
+    save_checkpoint,
+    load_checkpoint,
+    lasso_path_resumable,
+)
+from .utils.profiling import (
+    EpochTrace,
+    RooflineReport,
+    simple_timeit,
+    solve_with_trace,
+    pass_roofline,
+    debug_nans,
+)
 from .models.varying_coefficient import (
     GaussianKernel,
     EpanechnikovKernel,
@@ -70,6 +84,10 @@ __all__ = [
     # estimators
     "LassoSolution", "lasso", "sqrt_lasso", "scaled_lasso", "feasible_lasso",
     "LassoPath", "lasso_path", "refit_lasso_path",
+    # checkpoint / observability
+    "PathCheckpoint", "save_checkpoint", "load_checkpoint",
+    "lasso_path_resumable", "EpochTrace", "RooflineReport", "simple_timeit",
+    "solve_with_trace", "pass_roofline", "debug_nans",
     # helpers
     "std_X", "get_loadings", "get_sigma", "sample_std",
     "find_largest_correlations", "find_init_residuals", "find_init_sigma",
@@ -80,5 +98,7 @@ __all__ = [
     "get_beta", "get_nonzero_coordinates", "get_residuals",
     "get_standard_error", "get_standard_error_hew",
 ]
+
+from . import parallel  # noqa: E402  (sharded solvers: cd.parallel.*)
 
 __version__ = "0.1.0"

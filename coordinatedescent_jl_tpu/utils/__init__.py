@@ -1,2 +1,17 @@
 from .options import CDOptions, IterLassoOptions
 from . import helpers
+from .checkpoint import (
+    PathCheckpoint,
+    save_checkpoint,
+    load_checkpoint,
+    lasso_path_resumable,
+)
+from .profiling import (
+    EpochTrace,
+    RooflineReport,
+    simple_timeit,
+    solve_with_trace,
+    pass_roofline,
+    debug_nans,
+    trace,
+)

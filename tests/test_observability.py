@@ -1,0 +1,88 @@
+"""Checkpoint/resume + convergence-trace + NaN-mode tests (SURVEY.md §5)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import coordinatedescent_jl_tpu as cd
+
+
+def _gen(n, p, s, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, p))
+    beta = np.zeros(p)
+    beta[:s] = rng.standard_normal(s)
+    y = X @ beta + 0.3 * rng.standard_normal(n)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+OPTS = cd.CDOptions(block_size=16)
+
+
+def test_resumable_path_matches_plain_path(tmp_path):
+    X, y = _gen(100, 48, 6)
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.05), 6))
+    f = str(tmp_path / "ck.npz")
+    p1 = cd.lasso_path(X, y, lams, options=OPTS, standardize_X=False)
+    p2 = cd.lasso_path_resumable(X, y, lams, f, options=OPTS,
+                                 standardize_X=False)
+    np.testing.assert_allclose(p2.beta_path, p1.beta_path, atol=1e-7)
+
+
+def test_resume_mid_path(tmp_path):
+    X, y = _gen(100, 48, 6, seed=1)
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.05), 6))
+    f = str(tmp_path / "ck.npz")
+    # simulate an interrupted run: solve only the first 3 points
+    cd.lasso_path_resumable(X, y, lams[:3], f, options=OPTS,
+                            standardize_X=False)
+    ck = cd.load_checkpoint(f)
+    assert ck.next_index == 3
+    # overwrite with a checkpoint claiming the full grid, 3 points solved
+    cd.save_checkpoint(f, ck._replace(lam_path=np.asarray(lams)))
+    p2 = cd.lasso_path_resumable(X, y, lams, f, options=OPTS,
+                                 standardize_X=False)
+    p1 = cd.lasso_path(X, y, lams, options=OPTS, standardize_X=False)
+    np.testing.assert_allclose(p2.beta_path, p1.beta_path, atol=1e-7)
+    ck2 = cd.load_checkpoint(f)
+    assert ck2.next_index == 6
+
+
+def test_checkpoint_ignored_for_different_grid(tmp_path):
+    X, y = _gen(80, 32, 4, seed=2)
+    f = str(tmp_path / "ck.npz")
+    cd.lasso_path_resumable(X, y, [0.5, 0.2], f, options=OPTS,
+                            standardize_X=False)
+    # a different λ grid must restart from scratch, not resume
+    p = cd.lasso_path_resumable(X, y, [0.4, 0.1], f, options=OPTS,
+                                standardize_X=False)
+    assert p.beta_path.shape[0] == 2
+    sol = cd.lasso(X, y, 0.1, options=OPTS)
+    np.testing.assert_allclose(p.beta_path[-1], sol.x, atol=1e-6)
+
+
+def test_solve_with_trace_converges_and_logs():
+    X, y = _gen(120, 64, 8, seed=3)
+    beta, tr = cd.solve_with_trace(X, y, 0.1, options=OPTS)
+    sol = cd.lasso(X, y, 0.1, options=OPTS)
+    np.testing.assert_allclose(beta, sol.x, atol=1e-6)
+    assert tr.max_h.shape == tr.duality_gap.shape == tr.nnz.shape
+    assert tr.max_h[-1] < OPTS.opt_tol
+    assert tr.duality_gap[-1] < 1e-6
+    # gap history is (weakly) decreasing towards the end
+    assert tr.duality_gap[-1] <= tr.duality_gap[0]
+
+
+def test_debug_nans_context():
+    import jax
+
+    with cd.debug_nans(True):
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jnp.log(jnp.asarray(-1.0)) / jnp.asarray(0.0)
+    assert not jax.config.jax_debug_nans
+
+
+def test_simple_timeit_returns_positive():
+    f = lambda: jnp.sum(jnp.ones((64, 64)))
+    assert cd.simple_timeit(f, tries=2, warmup=1) > 0
