@@ -251,7 +251,7 @@ def _visit_block(kind, G, Gw, K, beta_b, lamw_b, lam0, c, rsqr, n_scale,
 
 def _use_pallas(kind, opts: CDOptions, prob: BlockedProblem):
     """Trace-time decision: fused Pallas pass vs pure-XLA pass."""
-    if kind not in ("ls", "wls"):
+    if kind not in ("ls", "wls", "sqrt"):
         return False, False
     use = opts.use_pallas
     on_tpu = jax.default_backend() == "tpu"
@@ -286,12 +286,12 @@ def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
         if use:
             from .pallas_block import fused_active_pass
 
-            beta2, r2, maxh = fused_active_pass(
+            beta2, r2, maxh, rsqr2 = fused_active_pass(
                 prob, st.beta, st.r, st.active, lam0, n_scale, border,
-                corder, weighted=(kind == "wls"), interpret=interpret)
+                corder, kind=kind, rsqr=st.rsqr, interpret=interpret)
             active = jnp.any(beta2 != 0, axis=1)
-            return st._replace(beta=beta2, r=r2, active=active, key=key), \
-                maxh
+            return st._replace(beta=beta2, r=r2, rsqr=rsqr2, active=active,
+                               key=key), maxh
 
     def body(t, carry):
         beta, r, rsqr, maxh = carry
@@ -383,13 +383,21 @@ def _solve_at_lambda(kind, opts: CDOptions, prob: BlockedProblem, lam0,
                      st: CDState, n_scale) -> CDState:
     """Reference ``_coordinateDescent!`` (coordinate_descent.jl:65-92):
     alternate full/active passes until two consecutive converged passes,
-    the confirming one full."""
+    the confirming one full.  A stall detector (no ≥30% maxH improvement
+    for ``stall_patience`` epochs) bounds the epochs wasted at the float32
+    rounding floor when ``opt_tol`` is unreachable; it is active only for
+    sub-f64 dtypes — float64 runs keep pure reference semantics."""
     tol = opts.opt_tol
+    dtype = st.beta.dtype
+    patience = (opts.stall_patience
+                if jnp.dtype(dtype).itemsize < 8 else jnp.iinfo(jnp.int32).max)
 
-    def cond(s):
+    def cond(c):
+        s, best, stall = c
         return jnp.logical_and(~s.done, s.it < opts.max_iter)
 
-    def body(s):
+    def body(c):
+        s, best, stall = c
         was_full = s.conv
 
         def full(s):
@@ -401,12 +409,18 @@ def _solve_at_lambda(kind, opts: CDOptions, prob: BlockedProblem, lam0,
 
         s2, maxh = lax.cond(was_full, full, act, s)
         conv = maxh < tol
-        return s2._replace(it=s.it + 1, conv=conv, done=was_full & conv)
+        improved = maxh < 0.7 * best
+        stall = jnp.where(improved, 0, stall + 1)
+        best = jnp.minimum(best, maxh)
+        done = (was_full & conv) | (stall >= patience)
+        return (s2._replace(it=s.it + 1, conv=conv, done=done), best, stall)
 
     st = st._replace(it=jnp.zeros((), jnp.int32),
                      conv=jnp.ones((), bool),      # first pass is full
                      done=jnp.zeros((), bool))
-    return lax.while_loop(cond, body, st)
+    init = (st, jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32))
+    st, _, _ = lax.while_loop(cond, body, init)
+    return st
 
 
 def _init_state(kind, prob: BlockedProblem, beta_b, key) -> CDState:

@@ -72,18 +72,24 @@ def _soft(x, t):
     return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
 
 
-def _block_scan(corder_ref, K_ref, c, beta0, lamw, lam0, nsc, B):
+def _block_scan(corder_ref, K_ref, c, beta0, lamw, lam0, nsc, B,
+                kind="ls", rsqr0=None):
     """Exact sequential CD over one block's coordinates via the Gram
-    recursion (shared by both kernel variants)."""
+    recursion (shared by both kernel variants).  For ``kind="sqrt"`` the
+    running ``‖r‖²`` is threaded through the exact three-branch
+    closed-form minimizer (cd_differentiable_function.jl:242-291).
+    Returns ``(beta1, c, maxh, rsqr1)``."""
     dt = c.dtype
     iota = lax.broadcasted_iota(jnp.int32, (1, B), 1)
     eye = lax.broadcasted_iota(jnp.int32, (B, B), 0) == \
         lax.broadcasted_iota(jnp.int32, (B, B), 1)
     adiag = jnp.sum(jnp.where(eye, K_ref[:], 0.0), axis=0,
                     keepdims=True)                    # (1, B)
+    if rsqr0 is None:
+        rsqr0 = jnp.zeros((), dt)
 
     def body(i, carry):
-        beta_row, c, mh = carry
+        beta_row, c, mh, rsqr = carry
         k = corder_ref[i]
         onehot = (iota == k).astype(dt)
         a = jnp.sum(adiag * onehot)
@@ -92,16 +98,32 @@ def _block_scan(corder_ref, K_ref, c, beta0, lamw, lam0, nsc, B):
         lw = jnp.sum(lamw * onehot)
         safe = a > 0.0
         asafe = jnp.where(safe, a, 1.0)
-        # exact LS coordinate minimizer (cd_differentiable_function.jl:101-103)
-        val = _soft(bk + ck / asafe, nsc * lam0 * lw / asafe)
-        val = jnp.where(safe, val, bk)
+        if kind == "sqrt":
+            # exact sqrt-lasso minimizer with the coordinate's own
+            # contribution added back (cd_differentiable_function.jl:242-291)
+            sv = ck + a * bk
+            rsb = jnp.maximum(rsqr + 2.0 * bk * ck + bk * bk * a, 0.0)
+            lam = lam0 * lw
+            ok = safe & (lam * lam < a)
+            den = jnp.sqrt(jnp.where(ok, 1.0 - lam * lam / asafe, 1.0))
+            inner = jnp.sqrt(jnp.maximum(rsb - sv * sv / asafe, 0.0))
+            mag = (jnp.abs(sv) - lam / den * inner) / asafe
+            nonzero = ok & (jnp.abs(sv) > lam * jnp.sqrt(rsb))
+            val = jnp.where(nonzero, jnp.sign(sv) * mag, 0.0)
+            val = jnp.where(safe, val, bk)
+            rsqr = jnp.maximum(rsb - 2.0 * val * sv + val * val * a, 0.0)
+        else:
+            # exact LS coordinate minimizer
+            # (cd_differentiable_function.jl:101-103)
+            val = _soft(bk + ck / asafe, nsc * lam0 * lw / asafe)
+            val = jnp.where(safe, val, bk)
         h = val - bk
         # Gram recursion: remaining gradients shift by K[:,k]·h (:107-109)
         c = c - K_ref[pl.ds(k, 1), :] * h
         beta_row = beta_row + onehot * h
-        return beta_row, c, jnp.maximum(mh, jnp.abs(h))
+        return beta_row, c, jnp.maximum(mh, jnp.abs(h)), rsqr
 
-    return lax.fori_loop(0, B, body, (beta0, c, jnp.zeros((), dt)))
+    return lax.fori_loop(0, B, body, (beta0, c, jnp.zeros((), dt), rsqr0))
 
 
 # ---------------------------------------------------------------------------
@@ -109,14 +131,16 @@ def _block_scan(corder_ref, K_ref, c, beta0, lamw, lam0, nsc, B):
 # ---------------------------------------------------------------------------
 
 
-def _make_resident_kernel(B: int, weighted: bool):
+def _make_resident_kernel(B: int, kind: str):
+    weighted = kind == "wls"
+
     def kernel(order_ref, na_ref, corder_ref, *refs):
         if weighted:
-            (Xb_ref, Xwb_ref, lamw_ref, lam_ref, nsc_ref, beta_in, r_in,
-             beta_out, r_out, maxh_ref, K_s) = refs
+            (Xb_ref, Xwb_ref, lamw_ref, lam_ref, nsc_ref, rsqr_in, beta_in,
+             r_in, beta_out, r_out, maxh_ref, rsqr_out, K_s) = refs
         else:
-            (Xb_ref, lamw_ref, lam_ref, nsc_ref, beta_in, r_in,
-             beta_out, r_out, maxh_ref, K_s) = refs
+            (Xb_ref, lamw_ref, lam_ref, nsc_ref, rsqr_in, beta_in,
+             r_in, beta_out, r_out, maxh_ref, rsqr_out, K_s) = refs
             Xwb_ref = Xb_ref
 
         t = pl.program_id(0)
@@ -126,6 +150,7 @@ def _make_resident_kernel(B: int, weighted: bool):
             beta_out[:] = beta_in[:]
             r_out[:] = r_in[:]
             maxh_ref[0, 0] = jnp.zeros((), maxh_ref.dtype)
+            rsqr_out[0, 0] = rsqr_in[0, 0]
 
         @pl.when(t < na_ref[0])
         def _():
@@ -142,31 +167,33 @@ def _make_resident_kernel(B: int, weighted: bool):
                 preferred_element_type=dt, precision=_PREC)
             beta0 = beta_out[pl.ds(ob, 1), :]         # (1, B)
             lamw = lamw_ref[pl.ds(ob, 1), :]
-            beta1, _, mh = _block_scan(
+            beta1, _, mh, rs1 = _block_scan(
                 corder_ref, K_s, c, beta0, lamw, lam_ref[0, 0],
-                nsc_ref[0, 0], B)
+                nsc_ref[0, 0], B, kind, rsqr_out[0, 0])
             dvec = beta1 - beta0                      # (1, B)
             r_out[:] = r - lax.dot_general(
                 dvec, X, (((1,), (1,)), ((), ())),
                 preferred_element_type=dt, precision=_PREC)
             beta_out[pl.ds(ob, 1), :] = beta1
             maxh_ref[0, 0] = jnp.maximum(maxh_ref[0, 0], mh)
+            rsqr_out[0, 0] = rs1
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "B", "nb", "weighted", "interpret"))
-def _resident_pass(Xb, Xwb, lamw, beta_b, r, order, n_active, corder, lam0,
-                   n_scale, *, n, B, nb, weighted, interpret):
-    kernel = _make_resident_kernel(B, weighted)
+    jax.jit, static_argnames=("n", "B", "nb", "kind", "interpret"))
+def _resident_pass(Xb, Xwb, lamw, beta_b, r, rsqr, order, n_active, corder,
+                   lam0, n_scale, *, n, B, nb, kind, interpret):
+    weighted = kind == "wls"
+    kernel = _make_resident_kernel(B, kind)
     x_spec = pl.BlockSpec(
         (1, n, B), lambda t, order_ref, na_ref, co_ref: (order_ref[t], 0, 0),
         memory_space=pltpu.VMEM)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     data_in = [Xb] + ([Xwb] if weighted else [])
-    in_specs = [x_spec] * (2 if weighted else 1) + [vm, sm, sm, vm, vm]
+    in_specs = [x_spec] * (2 if weighted else 1) + [vm, sm, sm, sm, vm, vm]
     nio = len(in_specs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -176,18 +203,22 @@ def _resident_pass(Xb, Xwb, lamw, beta_b, r, order, n_active, corder, lam0,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[pltpu.VMEM((B, B), beta_b.dtype)],
     )
-    beta_out, r_out, maxh = pl.pallas_call(
+    beta_out, r_out, maxh, rsqr_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(beta_b.shape, beta_b.dtype),
             jax.ShapeDtypeStruct(r.shape, r.dtype),
             jax.ShapeDtypeStruct((1, 1), beta_b.dtype),
+            jax.ShapeDtypeStruct((1, 1), beta_b.dtype),
         ],
         # beta and r stay resident in VMEM across the whole pass
+        # (all-input indexing incl. the 3 scalar-prefetch args:
+        #  beta = 3 + nio - 2 = nio + 1, r = nio + 2)
         input_output_aliases={nio + 1: 0, nio + 2: 1},
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -196,8 +227,9 @@ def _resident_pass(Xb, Xwb, lamw, beta_b, r, order, n_active, corder, lam0,
             transcendentals=0,
         ),
     )(order, n_active, corder, *data_in,
-      lamw, lam0.reshape(1, 1), n_scale.reshape(1, 1), beta_b, r)
-    return beta_out, r_out, maxh[0, 0]
+      lamw, lam0.reshape(1, 1), n_scale.reshape(1, 1), rsqr.reshape(1, 1),
+      beta_b, r)
+    return beta_out, r_out, maxh[0, 0], rsqr_out[0, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -205,14 +237,16 @@ def _resident_pass(Xb, Xwb, lamw, beta_b, r, order, n_active, corder, lam0,
 # ---------------------------------------------------------------------------
 
 
-def _make_chunked_kernel(B: int, R: int, n: int, nr: int, weighted: bool):
+def _make_chunked_kernel(B: int, R: int, n: int, nr: int, kind: str):
+    weighted = kind == "wls"
+
     def kernel(order_ref, na_ref, corder_ref, *refs):
         if weighted:
-            (Xb_ref, Xwb_ref, lamw_ref, lam_ref, nsc_ref, beta_in, r_in,
-             beta_out, r_out, maxh_ref, K_s, c_s, d_s) = refs
+            (Xb_ref, Xwb_ref, lamw_ref, lam_ref, nsc_ref, rsqr_in, beta_in,
+             r_in, beta_out, r_out, maxh_ref, rsqr_out, K_s, c_s, d_s) = refs
         else:
-            (Xb_ref, lamw_ref, lam_ref, nsc_ref, beta_in, r_in,
-             beta_out, r_out, maxh_ref, K_s, c_s, d_s) = refs
+            (Xb_ref, lamw_ref, lam_ref, nsc_ref, rsqr_in, beta_in,
+             r_in, beta_out, r_out, maxh_ref, rsqr_out, K_s, c_s, d_s) = refs
             Xwb_ref = Xb_ref
 
         t = pl.program_id(0)
@@ -224,6 +258,7 @@ def _make_chunked_kernel(B: int, R: int, n: int, nr: int, weighted: bool):
             beta_out[:] = beta_in[:]
             r_out[:] = r_in[:]
             maxh_ref[0, 0] = jnp.zeros((), maxh_ref.dtype)
+            rsqr_out[0, 0] = rsqr_in[0, 0]
 
         @pl.when(t < na_ref[0])
         def _():
@@ -256,12 +291,14 @@ def _make_chunked_kernel(B: int, R: int, n: int, nr: int, weighted: bool):
                 def _():
                     beta0 = beta_out[pl.ds(ob, 1), :]
                     lamw = lamw_ref[pl.ds(ob, 1), :]
-                    beta1, _, mh = _block_scan(
+                    beta1, _, mh, rs1 = _block_scan(
                         corder_ref, K_s, c_s[:], beta0, lamw,
-                        lam_ref[0, 0], nsc_ref[0, 0], B)
+                        lam_ref[0, 0], nsc_ref[0, 0], B, kind,
+                        rsqr_out[0, 0])
                     d_s[:] = beta1 - beta0
                     beta_out[pl.ds(ob, 1), :] = beta1
                     maxh_ref[0, 0] = jnp.maximum(maxh_ref[0, 0], mh)
+                    rsqr_out[0, 0] = rs1
 
             @pl.when(phase == 1)
             def _():
@@ -273,11 +310,12 @@ def _make_chunked_kernel(B: int, R: int, n: int, nr: int, weighted: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "B", "nb", "R", "weighted", "interpret"))
-def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, order, n_active, corder,
-                  lam0, n_scale, *, n, B, nb, R, weighted, interpret):
+    jax.jit, static_argnames=("n", "B", "nb", "R", "kind", "interpret"))
+def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, rsqr, order, n_active,
+                  corder, lam0, n_scale, *, n, B, nb, R, kind, interpret):
+    weighted = kind == "wls"
     nr = -(-n // R)
-    kernel = _make_chunked_kernel(B, R, n, nr, weighted)
+    kernel = _make_chunked_kernel(B, R, n, nr, kind)
 
     def xmap(t, ph, j, order_ref, na_ref, co_ref):
         # clamp skipped steps to chunk 0 of the last active block so the
@@ -289,7 +327,7 @@ def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, order, n_active, corder,
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     data_in = [Xb] + ([Xwb] if weighted else [])
-    in_specs = [x_spec] * (2 if weighted else 1) + [vm, sm, sm, vm, vm]
+    in_specs = [x_spec] * (2 if weighted else 1) + [vm, sm, sm, sm, vm, vm]
     nio = len(in_specs)
     dt = beta_b.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -300,6 +338,7 @@ def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, order, n_active, corder,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, B), dt),
@@ -307,12 +346,13 @@ def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, order, n_active, corder,
             pltpu.VMEM((1, B), dt),
         ],
     )
-    beta_out, r_out, maxh = pl.pallas_call(
+    beta_out, r_out, maxh, rsqr_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(beta_b.shape, dt),
             jax.ShapeDtypeStruct(r_pad.shape, r_pad.dtype),
+            jax.ShapeDtypeStruct((1, 1), dt),
             jax.ShapeDtypeStruct((1, 1), dt),
         ],
         input_output_aliases={nio + 1: 0, nio + 2: 1},
@@ -323,8 +363,9 @@ def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, order, n_active, corder,
             transcendentals=0,
         ),
     )(order, n_active, corder, *data_in,
-      lamw, lam0.reshape(1, 1), n_scale.reshape(1, 1), beta_b, r_pad)
-    return beta_out, r_out, maxh[0, 0]
+      lamw, lam0.reshape(1, 1), n_scale.reshape(1, 1), rsqr.reshape(1, 1),
+      beta_b, r_pad)
+    return beta_out, r_out, maxh[0, 0], rsqr_out[0, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -333,11 +374,13 @@ def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, order, n_active, corder,
 
 
 def fused_active_pass(prob, beta_b, r, active, lam0, n_scale, border,
-                      corder, *, weighted: bool, interpret: bool = False):
+                      corder, *, kind: str = "ls", rsqr=None,
+                      interpret: bool = False):
     """Run one fused active-set pass.  ``border``/``corder`` are the block /
     within-block visit orders (permuted when randomizing).  Returns
-    ``(beta_b, r, maxh)`` with the same semantics as the XLA
-    ``_active_pass`` for the ls/wls kinds."""
+    ``(beta_b, r, maxh, rsqr)`` with the same semantics as the XLA
+    ``_active_pass`` for the ls/wls/sqrt kinds (``rsqr`` is the running
+    ``‖r‖²``, used only by sqrt)."""
     nb, B = prob.lamw.shape
     n = prob.y.shape[0]
     keep = active[border]
@@ -352,19 +395,21 @@ def fused_active_pass(prob, beta_b, r, active, lam0, n_scale, border,
     order = jnp.where(tpos < n_active, order, last)
 
     dt = beta_b.dtype
+    if rsqr is None:
+        rsqr = jnp.zeros((), dt)
     args = (prob.Xb, prob.Xwb, prob.lamw, beta_b)
     scalars = (order, n_active.reshape(1), corder.astype(jnp.int32),
                jnp.asarray(lam0, dt), jnp.asarray(n_scale, dt))
     if _resident_fits(n, B):
-        beta2, r_row, maxh = _resident_pass(
-            *args, r.reshape(1, n), *scalars,
-            n=n, B=B, nb=nb, weighted=weighted, interpret=interpret)
-        return beta2, r_row.reshape(n), maxh
+        beta2, r_row, maxh, rsqr2 = _resident_pass(
+            *args, r.reshape(1, n), jnp.asarray(rsqr, dt), *scalars,
+            n=n, B=B, nb=nb, kind=kind, interpret=interpret)
+        return beta2, r_row.reshape(n), maxh, rsqr2
 
     R = _ROW_CHUNK
     nr = -(-n // R)
     r_pad = jnp.pad(r, (0, nr * R - n)).reshape(1, nr * R)
-    beta2, r_row, maxh = _chunked_pass(
-        *args, r_pad, *scalars,
-        n=n, B=B, nb=nb, R=R, weighted=weighted, interpret=interpret)
-    return beta2, r_row.reshape(-1)[:n], maxh
+    beta2, r_row, maxh, rsqr2 = _chunked_pass(
+        *args, r_pad, jnp.asarray(rsqr, dt), *scalars,
+        n=n, B=B, nb=nb, R=R, kind=kind, interpret=interpret)
+    return beta2, r_row.reshape(-1)[:n], maxh, rsqr2

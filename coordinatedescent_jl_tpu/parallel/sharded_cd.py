@@ -104,8 +104,10 @@ def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
         tavg = 1.0 / n_shards
         p_avg = _sharded_objective(kind, prob, *at(tavg), lam0, n_scale, w,
                                    axis)
+        # note: maxh stays the *undamped* proposal magnitude — honest
+        # progress measure for the stall detector, and conservative for
+        # the convergence flags (a damped pass never declares conv early)
         t = jnp.where(p_full <= p_avg, 1.0, tavg)
-        maxh = maxh * t
         r_new, beta_new = at(t)
     else:
         r_new, beta_new = r0 + dr, beta0_b + dbeta
@@ -134,11 +136,16 @@ def _sharded_solve_at_lambda(kind, opts: CDOptions, prob, lam0, st: CDState,
     All convergence scalars are replicated across shards (post-pmax), so the
     ``while_loop`` trips identically on every device."""
     tol = opts.opt_tol
+    dtype = st.beta.dtype
+    patience = (opts.stall_patience
+                if jnp.dtype(dtype).itemsize < 8 else jnp.iinfo(jnp.int32).max)
 
-    def cond(s):
+    def cond(c):
+        s, best, stall = c
         return jnp.logical_and(~s.done, s.it < opts.max_iter)
 
-    def body(s):
+    def body(c):
+        s, best, stall = c
         was_full = s.conv
 
         def full(s):
@@ -152,12 +159,18 @@ def _sharded_solve_at_lambda(kind, opts: CDOptions, prob, lam0, st: CDState,
 
         s2, maxh = lax.cond(was_full, full, act, s)
         conv = maxh < tol
-        return s2._replace(it=s.it + 1, conv=conv, done=was_full & conv)
+        improved = maxh < 0.7 * best
+        stall = jnp.where(improved, 0, stall + 1)
+        best = jnp.minimum(best, maxh)
+        done = (was_full & conv) | (stall >= patience)
+        return (s2._replace(it=s.it + 1, conv=conv, done=done), best, stall)
 
     st = st._replace(it=jnp.zeros((), jnp.int32),
                      conv=jnp.ones((), bool),
                      done=jnp.zeros((), bool))
-    return lax.while_loop(cond, body, st)
+    init = (st, jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32))
+    st, _, _ = lax.while_loop(cond, body, init)
+    return st
 
 
 def _sharded_init_state(kind, prob, beta_b, key,

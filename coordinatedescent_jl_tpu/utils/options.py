@@ -39,6 +39,12 @@ class CDOptions:
       auto: on when compiling for TPU and the block buffers fit VMEM.
       ``True`` forces it (interpret mode off-TPU — slow, test-only);
       ``False`` forces the pure-XLA path.  No effect on solutions (new).
+    - ``stall_patience``: stop a λ-solve early if ``maxH`` has not improved
+      by ≥30% for this many consecutive epochs — the escape hatch for
+      float32 runs whose rounding floor sits above ``opt_tol`` (the
+      reference, always float64, has no equivalent; its loops burn
+      ``max_iter``).  Only active for sub-float64 dtypes — float64 runs
+      keep pure reference semantics (new).
     """
 
     max_iter: int = 2000
@@ -48,6 +54,7 @@ class CDOptions:
     num_steps: int = 50
     block_size: int = 128
     use_pallas: bool | None = None
+    stall_patience: int = 20
 
     def replace(self, **kw) -> "CDOptions":
         return dataclasses.replace(self, **kw)

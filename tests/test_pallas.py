@@ -45,9 +45,9 @@ def test_fused_pass_matches_xla_pass():
     nsc = jnp.asarray(float(n))
 
     st2, maxh2 = _active_pass("ls", prob, st, lam0, nsc, randomize=False)
-    b3, r3, mh3 = fused_active_pass(
+    b3, r3, mh3, _ = fused_active_pass(
         prob, st.beta, st.r, st.active, lam0, nsc,
-        jnp.arange(nb), jnp.arange(B), weighted=False, interpret=True)
+        jnp.arange(nb), jnp.arange(B), kind="ls", interpret=True)
     np.testing.assert_allclose(b3, st2.beta, atol=1e-12)
     np.testing.assert_allclose(r3, st2.r, atol=1e-12)
     np.testing.assert_allclose(float(mh3), float(maxh2), atol=1e-12)
@@ -70,9 +70,9 @@ def test_fused_pass_weighted():
     nsc = jnp.asarray(float(n))
 
     st2, maxh2 = _active_pass("wls", prob, st, lam0, nsc, randomize=False)
-    b3, r3, mh3 = fused_active_pass(
+    b3, r3, mh3, _ = fused_active_pass(
         prob, st.beta, st.r, st.active, lam0, nsc,
-        jnp.arange(nb), jnp.arange(B), weighted=True, interpret=True)
+        jnp.arange(nb), jnp.arange(B), kind="wls", interpret=True)
     np.testing.assert_allclose(b3, st2.beta, atol=1e-12)
     np.testing.assert_allclose(r3, st2.r, atol=1e-12)
     np.testing.assert_allclose(float(mh3), float(maxh2), atol=1e-12)
@@ -102,3 +102,38 @@ def test_weighted_lasso_solve_with_forced_pallas_matches():
         jnp.zeros(64), loss, g, cd.CDOptions(block_size=16,
                                              use_pallas=True))
     np.testing.assert_allclose(b2, b1, atol=1e-10)
+
+
+def test_fused_pass_sqrt():
+    rng = np.random.default_rng(17)
+    n, p, B = 90, 48, 16
+    X, y = _gen(n, p, 6, seed=17)
+    opts = cd.CDOptions(block_size=B, randomize=False)
+    lamw = jnp.ones((p,))
+    prob = build_blocked("sqrt", opts, lamw, X=X, y=y)
+    nb = prob.lamw.shape[0]
+    beta_b = jnp.asarray(
+        rng.standard_normal((nb, B)) * (rng.random((nb, B)) < 0.3))
+    beta_b = beta_b * prob.valid
+    st = _init_state("sqrt", prob, beta_b, jax.random.PRNGKey(0))
+    lam0 = jnp.asarray(0.05)
+    nsc = jnp.asarray(float(n))
+
+    st2, maxh2 = _active_pass("sqrt", prob, st, lam0, nsc, randomize=False)
+    b3, r3, mh3, rs3 = fused_active_pass(
+        prob, st.beta, st.r, st.active, lam0, nsc,
+        jnp.arange(nb), jnp.arange(B), kind="sqrt", rsqr=st.rsqr,
+        interpret=True)
+    np.testing.assert_allclose(b3, st2.beta, atol=1e-12)
+    np.testing.assert_allclose(r3, st2.r, atol=1e-12)
+    np.testing.assert_allclose(float(rs3), float(st2.rsqr), rtol=1e-12)
+
+
+def test_sqrt_lasso_solve_with_forced_pallas_matches():
+    X, y = _gen(100, 64, 8, seed=19)
+    lam = 0.3 / np.sqrt(100)
+    s1 = cd.sqrt_lasso(X, y, lam, standardize_X=False,
+                       options=cd.CDOptions(block_size=16, use_pallas=False))
+    s2 = cd.sqrt_lasso(X, y, lam, standardize_X=False,
+                       options=cd.CDOptions(block_size=16, use_pallas=True))
+    np.testing.assert_allclose(s2.x, s1.x, atol=1e-8)
