@@ -286,9 +286,17 @@ def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
         if use:
             from .pallas_block import fused_active_pass
 
+            inner = opts.inner
+            if inner == "auto":
+                # ista = vectorized inexact block solve: same fixed points,
+                # KKT-certified; default for sub-f64 dtypes where exact
+                # reference trajectories are unattainable anyway
+                f32ish = jnp.dtype(st.beta.dtype).itemsize < 8
+                inner = "ista" if (f32ish and kind != "sqrt") else "exact"
             beta2, r2, maxh, rsqr2 = fused_active_pass(
                 prob, st.beta, st.r, st.active, lam0, n_scale, border,
-                corder, kind=kind, rsqr=st.rsqr, interpret=interpret)
+                corder, kind=kind, rsqr=st.rsqr, inner=inner,
+                iters=opts.block_iters, interpret=interpret)
             active = jnp.any(beta2 != 0, axis=1)
             return st._replace(beta=beta2, r=r2, rsqr=rsqr2, active=active,
                                key=key), maxh

@@ -45,6 +45,14 @@ class CDOptions:
       reference, always float64, has no equivalent; its loops burn
       ``max_iter``).  Only active for sub-float64 dtypes — float64 runs
       keep pure reference semantics (new).
+    - ``inner``: within-block solver for the fused Pallas pass.
+      ``'exact'`` = sequential Gauss-Seidel scan (reference-exact
+      trajectory); ``'ista'`` = vectorized inexact block solve (MXU
+      matvecs — ~25× faster per pass, same converged solution, certified
+      by the KKT sweep); ``'auto'`` (default) = ista for sub-f64 dtypes on
+      the ls/wls losses, exact otherwise (new).
+    - ``block_iters``: ISTA iterations per block visit for
+      ``inner='ista'`` (new).
     """
 
     max_iter: int = 2000
@@ -55,6 +63,8 @@ class CDOptions:
     block_size: int = 128
     use_pallas: bool | None = None
     stall_patience: int = 20
+    inner: str = "auto"
+    block_iters: int = 16
 
     def replace(self, **kw) -> "CDOptions":
         return dataclasses.replace(self, **kw)

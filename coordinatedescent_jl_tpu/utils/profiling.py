@@ -161,7 +161,7 @@ class RooflineReport(NamedTuple):
 
 def pass_roofline(n: int, p: int, *, block_size: int = 128,
                   dtype=jnp.float32, active_fraction: float = 1.0,
-                  seed: int = 0) -> RooflineReport:
+                  inner: str = "ista", seed: int = 0) -> RooflineReport:
     """Measure the fused active-pass kernel's achieved HBM bandwidth on a
     synthetic problem and report it against the chip's peak (the
     north-star roofline metric).
@@ -189,9 +189,9 @@ def pass_roofline(n: int, p: int, *, block_size: int = 128,
 
     @jax.jit
     def one_pass():
-        b2, r2, mh = fused_active_pass(
+        b2, r2, mh, _ = fused_active_pass(
             prob, st.beta, st.r, st.active, lam0, nsc, border, corder,
-            weighted=False,
+            kind="ls", inner=inner,
             interpret=(jax.default_backend() != "tpu"))
         return b2, r2
 

@@ -137,3 +137,18 @@ def test_sqrt_lasso_solve_with_forced_pallas_matches():
     s2 = cd.sqrt_lasso(X, y, lam, standardize_X=False,
                        options=cd.CDOptions(block_size=16, use_pallas=True))
     np.testing.assert_allclose(s2.x, s1.x, atol=1e-8)
+
+
+def test_ista_inner_reaches_same_solution():
+    # inexact vectorized block solves must converge to the same KKT point
+    X, y = _gen(120, 90, 10, seed=23)
+    lam = 0.1
+    s_exact = cd.lasso(X, y, lam,
+                       options=cd.CDOptions(block_size=16, use_pallas=True,
+                                            inner="exact"))
+    s_ista = cd.lasso(X, y, lam,
+                      options=cd.CDOptions(block_size=16, use_pallas=True,
+                                           inner="ista", block_iters=16))
+    np.testing.assert_allclose(s_ista.x, s_exact.x, atol=1e-5)
+    gap = cd.lasso_duality_gap(X, y, s_ista.x, lam)
+    assert float(gap) < 1e-6
