@@ -187,15 +187,27 @@ def pass_roofline(n: int, p: int, *, block_size: int = 128,
     border = jnp.arange(nb)
     corder = jnp.arange(B)
 
-    @jax.jit
-    def one_pass():
-        b2, r2, mh, _ = fused_active_pass(
-            prob, st.beta, st.r, st.active, lam0, nsc, border, corder,
-            kind="ls", inner=inner,
-            interpret=(jax.default_backend() != "tpu"))
-        return b2, r2
+    # Per-pass time is measured as the SLOPE between 1 and 1+k chained
+    # passes inside one jit call: a standalone call pays a one-time layout
+    # conversion of the blocked design (~30ms for 60MB through the device
+    # tunnel) that in-solver invocations never see, so absolute
+    # single-call times wildly overstate the kernel cost.
+    interp = jax.default_backend() != "tpu"
 
-    sec = simple_timeit(one_pass)
+    def chained(k):
+        @jax.jit
+        def fn(prob, beta_b, r, active):
+            for _ in range(k):
+                beta_b, r, mh, _ = fused_active_pass(
+                    prob, beta_b, r, active, lam0, nsc, border, corder,
+                    kind="ls", inner=inner, interpret=interp)
+            return beta_b, r
+        return fn
+
+    k = 16
+    t1 = simple_timeit(chained(1), prob, st.beta, st.r, st.active)
+    tk = simple_timeit(chained(1 + k), prob, st.beta, st.r, st.active)
+    sec = max((tk - t1) / k, 1e-9)
     reads = 1 if _resident_fits(n, B) else 2
     nbytes = reads * n_act * n * B * np.dtype(np.float32).itemsize
     kind = jax.devices()[0].device_kind
