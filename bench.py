@@ -127,9 +127,11 @@ def main():
         lam_o = 0.1 * float(np.max(np.abs(Xo.T @ yo)) / no)
         tol_o = 1e-6
 
-        t0 = time.perf_counter()
-        beta_np, _ = cd_lasso(Xo, yo, lam_o, max_epochs=200, tol=tol_o)
-        oracle_s = time.perf_counter() - t0
+        oracle_s = float("inf")
+        for _ in range(2):  # min-of-2: host-load variance is large
+            t0 = time.perf_counter()
+            beta_np, _ = cd_lasso(Xo, yo, lam_o, max_epochs=200, tol=tol_o)
+            oracle_s = min(oracle_s, time.perf_counter() - t0)
         _log(f"bench: oracle {oracle_s:.2f}s")
 
         opts_o = cd.CDOptions(opt_tol=tol_o, max_iter=200, block_size=128,

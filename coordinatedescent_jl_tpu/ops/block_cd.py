@@ -288,11 +288,12 @@ def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
 
             inner = opts.inner
             if inner == "auto":
-                # ista = vectorized inexact block solve: same fixed points,
-                # KKT-certified; default for sub-f64 dtypes where exact
-                # reference trajectories are unattainable anyway
+                # ista = vectorized inexact block solve (MM majorization
+                # for sqrt): same fixed points, KKT-certified; default for
+                # sub-f64 dtypes where exact reference trajectories are
+                # unattainable anyway
                 f32ish = jnp.dtype(st.beta.dtype).itemsize < 8
-                inner = "ista" if (f32ish and kind != "sqrt") else "exact"
+                inner = "ista" if f32ish else "exact"
             beta2, r2, maxh, rsqr2 = fused_active_pass(
                 prob, st.beta, st.r, st.active, lam0, n_scale, border,
                 corder, kind=kind, rsqr=st.rsqr, inner=inner,

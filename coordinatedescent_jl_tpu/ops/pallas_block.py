@@ -126,9 +126,12 @@ def _block_scan(corder_ref, K_ref, c, beta0, lamw, lam0, nsc, B,
     return lax.fori_loop(0, B, body, (beta0, c, jnp.zeros((), dt), rsqr0))
 
 
-def _block_ista(K_ref, c, beta0, lamw, lam0, nsc, B, iters: int):
+def _block_ista(K_ref, c, beta0, lamw, thr_scale, B, iters: int):
     """Vectorized inexact block solve: ``iters`` ISTA steps on the block's
-    (weighted) LS + L1 subproblem.
+    (weighted) LS + L1 subproblem with per-coordinate thresholds
+    ``thr_scale·λw`` (``thr_scale = n·λ0`` for ls/wls; ``λ0·‖r₀‖`` for the
+    sqrt-lasso MM majorization ``‖r‖ ≤ (‖r‖² + ‖r₀‖²)/(2‖r₀‖)``, which
+    makes each block visit a monotone MM step on the true objective).
 
     Sequential scalar CD costs ~B dependent steps per block; on the VPU each
     step is μs-scale, dominating the whole pass.  ISTA replaces them with
@@ -144,7 +147,7 @@ def _block_ista(K_ref, c, beta0, lamw, lam0, nsc, B, iters: int):
     K = K_ref[:]
     L = jnp.max(jnp.sum(jnp.abs(K), axis=0, keepdims=True))  # ≥ λmax(K)
     L = jnp.maximum(L, 1e-30)
-    thr = nsc * lam0 * lamw / L                              # (1, B)
+    thr = thr_scale * lamw / L                               # (1, B)
     Kb0 = lax.dot_general(beta0, K, (((1,), (0,)), ((), ())),
                           preferred_element_type=dt, precision=_PREC)
     q0 = c + Kb0
@@ -155,8 +158,23 @@ def _block_ista(K_ref, c, beta0, lamw, lam0, nsc, B, iters: int):
         return _soft(d + (q0 - Kd) / L, thr)
 
     d = lax.fori_loop(0, iters, body, beta0)
+    # zero-snap epilogue: a finite ISTA budget leaves tiny nonzero "dust"
+    # on coordinates whose exact solo-optimum is 0 (the prox zeroes them
+    # only at convergence).  The exact coordinate-wise zero condition
+    # given the others fixed is |a_k·d_k + q_k| ≤ thr_scale·λw_k
+    # (cd_differentiable_function.jl:101-103 rearranged); snapping those
+    # to exact 0 reduces the L1 term by thr·Σ|dust| against an O(dust²)
+    # quadratic change, keeps the active set honest, and preserves the
+    # solver's exact-sparsity semantics.
+    q = q0 - lax.dot_general(d, K, (((1,), (0,)), ((), ())),
+                             preferred_element_type=dt, precision=_PREC)
+    eye = lax.broadcasted_iota(jnp.int32, (B, B), 0) == \
+        lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    adiag = jnp.sum(jnp.where(eye, K, 0.0), axis=0, keepdims=True)
+    solo_zero = jnp.abs(adiag * d + q) <= thr_scale * lamw
+    d = jnp.where(solo_zero, 0.0, d)
     # dead columns (zero curvature, e.g. padding) must not move
-    alive = jnp.sum(K * K, axis=0, keepdims=True) > 0.0
+    alive = adiag > 0.0
     d = jnp.where(alive, d, beta0)
     return d, jnp.max(jnp.abs(d - beta0))
 
@@ -202,21 +220,31 @@ def _make_resident_kernel(B: int, kind: str, inner: str, iters: int):
                 preferred_element_type=dt, precision=_PREC)
             beta0 = beta_out[pl.ds(ob, 1), :]         # (1, B)
             lamw = lamw_ref[pl.ds(ob, 1), :]
-            if inner == "ista" and kind != "sqrt":
-                beta1, mh = _block_ista(K_s, c, beta0, lamw, lam_ref[0, 0],
-                                        nsc_ref[0, 0], B, iters)
+            if inner == "ista":
+                if kind == "sqrt":
+                    # MM majorizer threshold λ0·‖r₀‖ at the current block
+                    ts = lam_ref[0, 0] * jnp.sqrt(
+                        jnp.maximum(rsqr_out[0, 0], 1e-30))
+                else:
+                    ts = nsc_ref[0, 0] * lam_ref[0, 0]
+                beta1, mh = _block_ista(K_s, c, beta0, lamw, ts, B, iters)
                 rs1 = rsqr_out[0, 0]
             else:
                 beta1, _, mh, rs1 = _block_scan(
                     corder_ref, K_s, c, beta0, lamw, lam_ref[0, 0],
                     nsc_ref[0, 0], B, kind, rsqr_out[0, 0])
             dvec = beta1 - beta0                      # (1, B)
-            r_out[:] = r - lax.dot_general(
+            r_new = r - lax.dot_general(
                 dvec, X, (((1,), (1,)), ((), ())),
                 preferred_element_type=dt, precision=_PREC)
+            r_out[:] = r_new
             beta_out[pl.ds(ob, 1), :] = beta1
             maxh_ref[0, 0] = jnp.maximum(maxh_ref[0, 0], mh)
-            rsqr_out[0, 0] = rs1
+            if kind == "sqrt" and inner == "ista":
+                # exact ‖r‖² refresh for the next block's majorizer
+                rsqr_out[0, 0] = jnp.sum(r_new * r_new)
+            else:
+                rsqr_out[0, 0] = rs1
 
     return kernel
 
@@ -334,10 +362,14 @@ def _make_chunked_kernel(B: int, R: int, n: int, nr: int, kind: str,
                 def _():
                     beta0 = beta_out[pl.ds(ob, 1), :]
                     lamw = lamw_ref[pl.ds(ob, 1), :]
-                    if inner == "ista" and kind != "sqrt":
+                    if inner == "ista":
+                        if kind == "sqrt":
+                            ts = lam_ref[0, 0] * jnp.sqrt(
+                                jnp.maximum(rsqr_out[0, 0], 1e-30))
+                        else:
+                            ts = nsc_ref[0, 0] * lam_ref[0, 0]
                         beta1, mh = _block_ista(
-                            K_s, c_s[:], beta0, lamw, lam_ref[0, 0],
-                            nsc_ref[0, 0], B, iters)
+                            K_s, c_s[:], beta0, lamw, ts, B, iters)
                         rs1 = rsqr_out[0, 0]
                     else:
                         beta1, _, mh, rs1 = _block_scan(
@@ -351,9 +383,16 @@ def _make_chunked_kernel(B: int, R: int, n: int, nr: int, kind: str,
 
             @pl.when(phase == 1)
             def _():
-                r_out[:, pl.ds(j * R, R)] = rc - lax.dot_general(
+                rc_new = rc - lax.dot_general(
                     d_s[:], X, (((1,), (1,)), ((), ())),
                     preferred_element_type=dt, precision=_PREC)
+                r_out[:, pl.ds(j * R, R)] = rc_new
+                if kind == "sqrt" and inner == "ista":
+                    # rebuild ‖r‖² chunk-by-chunk for the next block
+                    @pl.when(j == 0)
+                    def _():
+                        rsqr_out[0, 0] = jnp.zeros((), rsqr_out.dtype)
+                    rsqr_out[0, 0] += jnp.sum(rc_new * rc_new)
 
     return kernel
 

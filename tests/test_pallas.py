@@ -152,3 +152,20 @@ def test_ista_inner_reaches_same_solution():
     np.testing.assert_allclose(s_ista.x, s_exact.x, atol=1e-5)
     gap = cd.lasso_duality_gap(X, y, s_ista.x, lam)
     assert float(gap) < 1e-6
+
+
+def test_sqrt_ista_inner_reaches_same_solution():
+    # the MM-majorized ISTA inner for sqrt-lasso must reach the same
+    # KKT point as the exact three-branch scan
+    X, y = _gen(110, 72, 8, seed=29)
+    lam = 1.1 * np.sqrt(2 * np.log(72) / 110)
+    s_exact = cd.sqrt_lasso(X, y, lam, standardize_X=False,
+                            options=cd.CDOptions(block_size=16,
+                                                 use_pallas=True,
+                                                 inner="exact"))
+    s_ista = cd.sqrt_lasso(X, y, lam, standardize_X=False,
+                           options=cd.CDOptions(block_size=16,
+                                                use_pallas=True,
+                                                inner="ista",
+                                                block_iters=24))
+    np.testing.assert_allclose(s_ista.x, s_exact.x, atol=1e-5)
