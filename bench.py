@@ -74,9 +74,13 @@ def main():
 
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     X = jax.random.normal(k1, (n, p), dtype)
-    beta_true = jnp.zeros((p,), dtype).at[:s].set(
+    # scatter the planted support across the feature range (a contiguous
+    # support would sit in one coordinate block — unrealistically easy for
+    # the active-set machinery)
+    support = jax.random.choice(k4, p, (s,), replace=False)
+    beta_true = jnp.zeros((p,), dtype).at[support].set(
         jax.random.normal(k2, (s,), dtype))
     y = (X @ beta_true + jax.random.normal(k3, (n,), dtype)
          ).block_until_ready()
@@ -90,8 +94,10 @@ def main():
                               np.log(0.05 * lammax), L))
     opt_tol = float(os.environ.get("BENCH_TOL", "1e-6"))
     block_iters = int(os.environ.get("BENCH_BLOCK_ITERS", "32"))
+    inner = os.environ.get("BENCH_INNER", "auto")
     opts = cd.CDOptions(opt_tol=opt_tol, max_iter=300, block_size=128,
-                        randomize=False, block_iters=block_iters)
+                        randomize=False, block_iters=block_iters,
+                        inner=inner)
 
     # first call compiles; second call times the cached executable
     t0 = time.perf_counter()
@@ -157,6 +163,7 @@ def main():
             "platform": platform,
             "shape": {"n": n, "p": p, "s": s, "path_points": L},
             "opt_tol": opt_tol,
+            "inner": inner,
             "path_points_per_s": round(L / t_path, 3),
             "compile_plus_run_s": round(t_with_compile, 4),
             "final_point_duality_gap": float(gap),
@@ -168,10 +175,10 @@ def main():
                 float(agree) if speedup > 0 else None,
             "note": "vs_baseline = NumPy sequential-CD oracle time / ours "
                     "on reference cd_bench shape; reference publishes no "
-                    "numbers (BASELINE.md).  rel gap ~1e-6 is near the "
-                    "float32 floor (exact-inner mode reaches ~8e-7 at +15% "
-                    "time); CPU float64 runs reach the reference's 1e-7 "
-                    "maxH criterion exactly (see tests/)",
+                    "numbers (BASELINE.md).  the final rel gap sits at "
+                    "the problem's float32 floor (1e-6..1e-5; identical "
+                    "for exact and ista inners); CPU float64 runs reach "
+                    "the reference's 1e-7 maxH criterion exactly (tests/)",
         },
     }), flush=True)
 

@@ -27,8 +27,10 @@ from jax import lax
 
 from ..ops.block_cd import (
     BlockedProblem,
+    _init_state,
     _pad_to_blocks,
     _blockify_cols,
+    _solve_at_lambda,
     _to_blocked_beta,
     _unblock,
     build_blocked,
@@ -135,26 +137,30 @@ def _scaled_lasso_core(X, y, lam, lamw, beta0, key, opts: IterLassoOptions,
         raise ValueError("init_procedure must be one of "
                          "'screening' | 'init_std' | 'warm_start'")
 
+    n_scale = jnp.asarray(n, dtype)
+    # the solver state (incl. residuals and the cached KKT gradient, which
+    # is λ-independent) carries across σ rounds — no per-round re-init
+    st0 = _init_state("ls", prob, beta_b, key)
+
     def cond(c):
-        beta_b, r, sig, sig_used, it, done, key = c
+        st, sig, sig_used, it, done = c
         return jnp.logical_and(~done, it < opts.max_iter)
 
     def body(c):
-        beta_b, r, sig, sig_used, it, done, key = c
-        key, k1 = jax.random.split(key)
-        st = solve_blocked("ls", cd, prob, lam * sig, beta_b, k1)
+        st, sig, sig_used, it, done = c
+        key, k1 = jax.random.split(st.key)
+        st = _solve_at_lambda("ls", cd, prob, lam * sig,
+                              st._replace(key=k1), n_scale)
         signew = jnp.sqrt(jnp.sum(st.r * st.r) / n)
         done = jnp.abs(signew - sig) / sig < opts.opt_tol
         sig_used = sig
         sig = jnp.where(done, sig, signew)
-        return (st.beta, st.r, sig, sig_used, it + 1, done, key)
+        return (st, sig, sig_used, it + 1, done)
 
-    r0 = y  # placeholder; first body iteration recomputes residuals
-    init = (beta_b, r0, sig, sig, jnp.zeros((), jnp.int32),
-            jnp.zeros((), bool), key)
-    beta_b, r, sig, sig_used, it, done, key = lax.while_loop(cond, body, init)
-    beta = _unblock(beta_b, beta0.shape[0])
-    return beta, r, sig_used
+    init = (st0, sig, sig, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    st, sig, sig_used, it, done = lax.while_loop(cond, body, init)
+    beta = _unblock(st.beta, beta0.shape[0])
+    return beta, st.r, sig_used
 
 
 def scaled_lasso(X, y, lam, weights=None,
@@ -210,25 +216,30 @@ def _feasible_lasso_core(X, y, lam0, beta0, key, opts: IterLassoOptions,
                          "'screening' | 'init_std' | 'warm_start'")
     gam = get_loadings(X, r)  # Γ = sqrt(mean((X_ij e_i)²)) (lasso.jl:179)
 
+    n_scale = jnp.asarray(y.shape[0], dtype)
+    key, k0 = jax.random.split(key)
+    st0 = _init_state("ls", prob, beta_b, k0)
+
     def cond(c):
-        beta_b, r, gam, it, done, key = c
+        st, gam, it, done = c
         return jnp.logical_and(~done, it < opts.max_iter)
 
     def body(c):
-        beta_b, r, gam, it, done, key = c
-        key, k1 = jax.random.split(key)
-        st = solve_blocked("ls", cd,
-                           prob._replace(lamw=_blocked_weights(gam, B)),
-                           lam0, beta_b, k1)
+        st, gam, it, done = c
+        key, k1 = jax.random.split(st.key)
+        # the cached KKT gradient is penalty-weight-independent, so it
+        # survives the per-round loading update
+        st = _solve_at_lambda(
+            "ls", cd, prob._replace(lamw=_blocked_weights(gam, B)),
+            lam0, st._replace(key=k1), n_scale)
         gam_new = get_loadings(X, st.r)
         done = (jnp.max(jnp.abs(gam - gam_new)) / jnp.max(gam_new)
                 < opts.opt_tol)
-        return (st.beta, st.r, gam_new, it + 1, done, key)
+        return (st, gam_new, it + 1, done)
 
-    init = (beta_b, r, gam, jnp.zeros((), jnp.int32), jnp.zeros((), bool),
-            key)
-    beta_b, r, gam, it, done, key = lax.while_loop(cond, body, init)
-    return _unblock(beta_b, beta0.shape[0]), r, gam
+    init = (st0, gam, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    st, gam, it, done = lax.while_loop(cond, body, init)
+    return _unblock(st.beta, beta0.shape[0]), st.r, gam
 
 
 def feasible_lasso(X, y, lam0,

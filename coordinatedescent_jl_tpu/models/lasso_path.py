@@ -25,6 +25,8 @@ import numpy as np
 from jax import lax
 
 from ..ops.block_cd import (
+    _init_state,
+    _solve_at_lambda,
     _to_blocked_beta,
     build_blocked,
     solve_blocked,
@@ -46,26 +48,34 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
                      opts: CDOptions):
     prob = build_blocked("ls", opts, lamw, X=X, y=y)
     p = X.shape[1]
+    n_scale = jnp.asarray(y.shape[0], X.dtype)
     beta_b0 = _to_blocked_beta(jnp.zeros((p,), X.dtype), opts.block_size)
+    # the FULL solver state is carried across path points: the residual is
+    # maintained exactly by the passes (no per-point re-initialization
+    # sweep over X), and the confirming KKT sweep's cached gradient is
+    # λ-independent, so the next point's first full check is O(p) — two of
+    # the three O(n·p) X reads per path point disappear vs naive warm
+    # starting (the reference re-runs initialize! per point, lasso.jl:250)
+    st0 = _init_state("ls", prob, beta_b0, key)
 
     def scan_body(carry, lam):
-        beta_b, stopped, key = carry
-        key, k1 = jax.random.split(key)
+        st, stopped = carry
 
-        def do(beta_b):
-            st = solve_blocked("ls", opts, prob, lam, beta_b, k1)
-            return st.beta
+        def do(st):
+            key, k1 = jax.random.split(st.key)
+            return _solve_at_lambda("ls", opts, prob, lam,
+                                    st._replace(key=k1), n_scale)
 
-        beta_b = lax.cond(stopped, lambda b: b, do, beta_b)
+        st = lax.cond(stopped, lambda s: s, do, st)
         valid = ~stopped
-        nnz = jnp.sum(beta_b != 0)
+        nnz = jnp.sum(st.beta != 0)
         # the point that first exceeds max_hat_s is still recorded
         # (lasso.jl:253-256)
         stopped = stopped | (nnz > max_hat_s)
-        return (beta_b, stopped, key), (beta_b, valid)
+        return (st, stopped), (st.beta, valid)
 
-    (_, _, _), (betas, valids) = lax.scan(
-        scan_body, (beta_b0, jnp.zeros((), bool), key), lam_path)
+    (_, _), (betas, valids) = lax.scan(
+        scan_body, (st0, jnp.zeros((), bool)), lam_path)
     return betas.reshape(betas.shape[0], -1)[:, :p], valids
 
 

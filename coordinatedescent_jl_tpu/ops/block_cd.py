@@ -109,6 +109,10 @@ class CDState(NamedTuple):
     it: jnp.ndarray     # epoch counter within the current solve
     conv: jnp.ndarray   # last pass converged (maxH < tol)
     done: jnp.ndarray   # two consecutive converged passes (full confirming)
+    c: jnp.ndarray      # (nb, B) cached full gradient term from the last
+                        # full KKT sweep (λ-independent; reused across
+                        # λ-path points to skip one full X read per point)
+    c_fresh: jnp.ndarray  # bool: c matches the current (β, r)
 
 
 def _pad_to_blocks(v, B, fill=0.0):
@@ -300,7 +304,7 @@ def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
                 iters=opts.block_iters, interpret=interpret)
             active = jnp.any(beta2 != 0, axis=1)
             return st._replace(beta=beta2, r=r2, rsqr=rsqr2, active=active,
-                               key=key), maxh
+                               key=key, c_fresh=jnp.zeros((), bool)), maxh
 
     def body(t, carry):
         beta, r, rsqr, maxh = carry
@@ -342,7 +346,8 @@ def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
         0, nb, body, (st.beta, st.r, st.rsqr, zero))
     # dropzeros! (coordinate_descent.jl:108) → mask refresh
     active = jnp.any(beta != 0, axis=1)
-    return st._replace(beta=beta, r=r, rsqr=rsqr, active=active, key=key), \
+    return st._replace(beta=beta, r=r, rsqr=rsqr, active=active, key=key,
+                       c_fresh=jnp.zeros((), bool)), \
         maxh
 
 
@@ -370,17 +375,25 @@ def _potential_steps(kind, prob, beta, c, rsqr, lam0, n_scale):
 def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
                 opt_tol):
     """Vectorized full pass: KKT sweep + (re)activation of violating blocks
-    (replaces the reference's sequential full pass, SURVEY.md §7)."""
+    (replaces the reference's sequential full pass, SURVEY.md §7).
+
+    When ``st.c_fresh`` the cached gradient term from the previous full
+    sweep is exact for the current (β, r) — e.g. at a new λ-path point
+    right after the confirming sweep of the previous point — so the whole
+    X read is skipped (the check is then O(p) instead of O(n·p))."""
     if kind == "sqrt":
         rsqr = st.r @ st.r               # refresh exact ‖r‖² (drift control)
     else:
         rsqr = st.rsqr
-    c = _full_gradient_c(kind, prob, st.r)
+    c = lax.cond(st.c_fresh,
+                 lambda: st.c,
+                 lambda: _full_gradient_c(kind, prob, st.r))
     h = _potential_steps(kind, prob, st.beta, c, rsqr, lam0, n_scale)
     maxh = jnp.max(jnp.abs(h))
     viol = jnp.any(jnp.abs(h) >= opt_tol, axis=1)
     active = jnp.any(st.beta != 0, axis=1) | viol
-    return st._replace(rsqr=rsqr, active=active), maxh
+    return st._replace(rsqr=rsqr, active=active, c=c,
+                       c_fresh=jnp.ones((), bool)), maxh
 
 
 # ---------------------------------------------------------------------------
@@ -444,7 +457,9 @@ def _init_state(kind, prob: BlockedProblem, beta_b, key) -> CDState:
     active = jnp.any(beta_b != 0, axis=1)
     return CDState(beta=beta_b, r=r, rsqr=rsqr, active=active, key=key,
                    it=jnp.zeros((), jnp.int32), conv=jnp.ones((), bool),
-                   done=jnp.zeros((), bool))
+                   done=jnp.zeros((), bool),
+                   c=jnp.zeros_like(beta_b),
+                   c_fresh=jnp.zeros((), bool))
 
 
 def _lambda_max(kind, prob: BlockedProblem, st: CDState, n_scale):

@@ -185,7 +185,9 @@ def _sharded_init_state(kind, prob, beta_b, key,
     active = jnp.any(beta_b != 0, axis=1)
     return CDState(beta=beta_b, r=r, rsqr=rsqr, active=active, key=key,
                    it=jnp.zeros((), jnp.int32), conv=jnp.ones((), bool),
-                   done=jnp.zeros((), bool))
+                   done=jnp.zeros((), bool),
+                   c=jnp.zeros_like(beta_b),
+                   c_fresh=jnp.zeros((), bool))
 
 
 def solve_blocked_sharded(kind: str, opts: CDOptions, prob, lam0, beta0_b,
@@ -362,29 +364,30 @@ def _make_sharded_scaled(opts: IterLassoOptions, mesh: Mesh, axis: str,
         beta_b = _to_blocked_beta(beta0l, cd.block_size)
         n_scale = jnp.asarray(n, Xl.dtype)
         sig = sig0
+        st0 = _sharded_init_state("ls", prob, beta_b, key, axis)
 
         def cond(c):
-            _, _, _, _, it, done, _ = c
+            st, sig, sig_used, it, done = c
             return jnp.logical_and(~done, it < opts.max_iter)
 
         def body(c):
-            beta_b, r, sig, sig_used, it, done, key = c
-            key, k1 = jax.random.split(key)
-            st = _sharded_init_state("ls", prob, beta_b, k1, axis)
-            st = _sharded_solve_at_lambda("ls", cd, prob, lam * sig, st,
-                                          n_scale, axis, D)
+            st, sig, sig_used, it, done = c
+            key, k1 = jax.random.split(st.key)
+            st = _sharded_solve_at_lambda("ls", cd, prob, lam * sig,
+                                          st._replace(key=k1), n_scale,
+                                          axis, D)
             # consensus σ: residual is replicated post-psum, every shard
             # computes the identical update (reference lasso.jl:134)
             signew = jnp.sqrt(jnp.sum(st.r * st.r) / n)
             done = jnp.abs(signew - sig) / sig < opts.opt_tol
             sig_used = sig
             sig = jnp.where(done, sig, signew)
-            return (st.beta, st.r, sig, sig_used, it + 1, done, key)
+            return (st, sig, sig_used, it + 1, done)
 
-        init = (beta_b, y, sig, sig, jnp.zeros((), jnp.int32),
-                jnp.zeros((), bool), key)
-        beta_b, r, sig, sig_used, *_ = lax.while_loop(cond, body, init)
-        return beta_b.reshape(-1)[: beta0l.shape[0]], r, sig_used
+        init = (st0, sig, sig, jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool))
+        st, sig, sig_used, *_ = lax.while_loop(cond, body, init)
+        return st.beta.reshape(-1)[: beta0l.shape[0]], st.r, sig_used
 
     fn = jax.shard_map(
         local_fn,
