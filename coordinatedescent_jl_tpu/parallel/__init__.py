@@ -20,6 +20,13 @@ from .batch import (
     locpoly_batch,
     lvocv_locpoly_batch,
 )
+from .distributed import (
+    initialize_distributed,
+    feature_mesh,
+    grid_mesh,
+    load_design_shard,
+    shard_design_matrix,
+)
 
 __all__ = [
     "coordinate_descent_sharded",
@@ -31,4 +38,9 @@ __all__ = [
     "lasso_lambda_batch",
     "locpoly_batch",
     "lvocv_locpoly_batch",
+    "initialize_distributed",
+    "feature_mesh",
+    "grid_mesh",
+    "load_design_shard",
+    "shard_design_matrix",
 ]

@@ -132,6 +132,8 @@ def solve_with_trace(X, y, lam, weights=None,
     t0 = time.perf_counter()
     was_full = True
     converged_prev = False
+    best, stall = float("inf"), 0
+    f64 = jnp.dtype(X.dtype).itemsize >= 8
     for _ in range(max_epochs):
         st, maxh = (full_epoch if was_full else active_epoch)(prob, st)
         jax.block_until_ready(maxh)
@@ -142,6 +144,11 @@ def solve_with_trace(X, y, lam, weights=None,
         secs.append(time.perf_counter() - t0)
         conv = float(maxh) < options.opt_tol
         if was_full and conv and converged_prev:
+            break
+        # mirror the engine's f32 stall detector (_solve_at_lambda)
+        stall = 0 if float(maxh) < 0.7 * best else stall + 1
+        best = min(best, float(maxh))
+        if not f64 and stall >= options.stall_patience:
             break
         converged_prev = conv
         was_full = conv

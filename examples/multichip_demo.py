@@ -1,0 +1,65 @@
+"""End-to-end demo: feature-sharded solvers on a device mesh.
+
+Works on real multi-chip hardware or on a simulated CPU mesh:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python examples/multichip_demo.py
+
+On a multi-host pod, call ``cd.parallel.initialize_distributed()`` first
+and feed each host's column block through
+``cd.parallel.shard_design_matrix`` (see that docstring).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))  # run from a checkout without install
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import coordinatedescent_jl_tpu as cd
+from coordinatedescent_jl_tpu.parallel import (
+    feature_mesh,
+    grid_mesh,
+    lasso_lambda_batch,
+    lasso_path_sharded,
+    lasso_sharded,
+    scaled_lasso_sharded,
+)
+
+
+def main():
+    jax.config.update("jax_platforms", "cpu")  # demo default; remove on TPU
+    rng = np.random.default_rng(0)
+    n, p, s = 500, 2000, 20
+    X = rng.standard_normal((n, p))
+    beta_true = np.zeros(p)
+    beta_true[rng.choice(p, s, replace=False)] = rng.standard_normal(s)
+    y = X @ beta_true + 0.3 * rng.standard_normal(n)
+
+    mesh = feature_mesh()
+    print(f"mesh: {mesh.shape} over {mesh.size} devices")
+
+    sol = lasso_sharded(X, y, 0.1, mesh)
+    print(f"sharded lasso: nnz={int(np.sum(np.asarray(sol.x) != 0))}, "
+          f"σ̂={float(sol.sigma):.3f}")
+
+    sc = scaled_lasso_sharded(X, y, float(np.sqrt(2 * np.log(p) / n)), mesh)
+    print(f"sharded scaled lasso (consensus σ): σ̂={float(sc.sigma):.3f}")
+
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.05), 10))
+    path = lasso_path_sharded(X, y, lams, mesh)
+    print(f"sharded warm path: {path.beta_path.shape}")
+
+    from jax.sharding import Mesh
+
+    bmesh = Mesh(np.asarray(jax.devices()), ("batch",))
+    betas = lasso_lambda_batch(X, y, lams, bmesh)
+    print(f"batch-sharded independent λ grid: {betas.shape}")
+
+
+if __name__ == "__main__":
+    main()
