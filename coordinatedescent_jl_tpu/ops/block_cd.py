@@ -373,7 +373,7 @@ def _potential_steps(kind, prob, beta, c, rsqr, lam0, n_scale):
 
 
 def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
-                opt_tol):
+                opt_tol, opts: Optional[CDOptions] = None):
     """Vectorized full pass: KKT sweep + (re)activation of violating blocks
     (replaces the reference's sequential full pass, SURVEY.md §7).
 
@@ -385,9 +385,18 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
         rsqr = st.r @ st.r               # refresh exact ‖r‖² (drift control)
     else:
         rsqr = st.rsqr
-    c = lax.cond(st.c_fresh,
-                 lambda: st.c,
-                 lambda: _full_gradient_c(kind, prob, st.r))
+    use, interpret = (_use_pallas(kind, opts, prob) if opts is not None
+                      else (False, False))
+    if use:
+        from .pallas_block import fused_gradient_sweep
+
+        def compute_c():
+            return fused_gradient_sweep(prob.Xwb, st.r, interpret=interpret)
+    else:
+        def compute_c():
+            return _full_gradient_c(kind, prob, st.r)
+
+    c = lax.cond(st.c_fresh, lambda: st.c, compute_c)
     h = _potential_steps(kind, prob, st.beta, c, rsqr, lam0, n_scale)
     maxh = jnp.max(jnp.abs(h))
     viol = jnp.any(jnp.abs(h) >= opt_tol, axis=1)
@@ -423,7 +432,7 @@ def _solve_at_lambda(kind, opts: CDOptions, prob: BlockedProblem, lam0,
         was_full = s.conv
 
         def full(s):
-            return _full_check(kind, prob, s, lam0, n_scale, tol)
+            return _full_check(kind, prob, s, lam0, n_scale, tol, opts)
 
         def act(s):
             return _active_pass(kind, prob, s, lam0, n_scale, opts.randomize,

@@ -506,3 +506,71 @@ def fused_active_pass(prob, beta_b, r, active, lam0, n_scale, border,
         n=n, B=B, nb=nb, R=R, kind=kind, inner=inner, iters=iters,
         interpret=interpret)
     return beta2, r_row.reshape(-1)[:n], maxh, rsqr2
+
+
+# ---------------------------------------------------------------------------
+# Fused full-gradient sweep (the KKT check's c = Xw'r for every block)
+# ---------------------------------------------------------------------------
+
+
+def _make_sweep_kernel(B: int, R: int, n: int, nr: int):
+    def kernel(Xwb_ref, r_ref, c_out, c_s):
+        t = pl.program_id(0)
+        j = pl.program_id(1)
+        dt = c_out.dtype
+        rowmask = (lax.broadcasted_iota(jnp.int32, (R, 1), 0) + j * R) < n
+        Xw = jnp.where(rowmask, Xwb_ref[0], 0.0)      # (R, B)
+        rc = r_ref[:, pl.ds(j * R, R)]                # (1, R)
+
+        @pl.when(j == 0)
+        def _():
+            c_s[:] = jnp.zeros_like(c_s)
+
+        c_s[:] += lax.dot_general(
+            rc, Xw, (((1,), (0,)), ((), ())),
+            preferred_element_type=dt, precision=_PREC)
+
+        @pl.when(j == nr - 1)
+        def _():
+            c_out[pl.ds(t, 1), :] = c_s[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "B", "nb", "R", "interpret"))
+def _sweep_pass(Xwb, r_pad, *, n, B, nb, R, interpret):
+    nr = -(-n // R)
+    kernel = _make_sweep_kernel(B, R, n, nr)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, nr),
+        in_specs=[
+            pl.BlockSpec((1, R, B), lambda t, j: (t, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, B), Xwb.dtype),
+        scratch_shapes=[pltpu.VMEM((1, B), Xwb.dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * n * B,
+            bytes_accessed=nb * n * B * 4 + n * 4 + nb * B * 4,
+            transcendentals=0,
+        ),
+    )(Xwb, r_pad)
+
+
+def fused_gradient_sweep(Xwb, r, *, interpret: bool = False):
+    """Blocked full gradient ``c[b] = Xw_b' r`` for every block in one
+    streaming kernel — the O(n·p) read of the KKT full check
+    (block_cd._full_gradient_c).  XLA lowers the equivalent batched-GEMV
+    einsum at ~15% of HBM roofline on TPU; this kernel streams X once at
+    pipeline speed."""
+    nb, n, B = Xwb.shape
+    R = min(_ROW_CHUNK, -(-n // 8) * 8)
+    nr = -(-n // R)
+    r_pad = jnp.pad(r, (0, nr * R - n)).reshape(1, nr * R)
+    return _sweep_pass(Xwb, r_pad, n=n, B=B, nb=nb, R=R,
+                       interpret=interpret)

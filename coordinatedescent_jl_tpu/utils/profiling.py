@@ -4,7 +4,7 @@ The reference has no tracing, logging, or sanitizers (SURVEY.md §5.1-5.2,
 §5.5) — only ad-hoc ``@time`` in benchmark scripts and the scalar ``maxH``
 convergence check.  This module provides the TPU-native equivalents:
 
-- ``simple_timeit``       — ``block_until_ready`` wall timing of a jitted fn
+- ``simple_timeit``       — value-forced wall timing of a jitted fn
 - ``trace``               — ``jax.profiler`` trace context for a code region
 - ``solve_with_trace``    — epoch-instrumented Lasso solve returning the
   per-epoch convergence history (maxH, nnz, duality gap, objective) — the
@@ -36,7 +36,9 @@ from ..ops.block_cd import (
 from ..ops.diagnostics import lasso_duality_gap
 from ..utils.options import CDOptions
 
-# peak HBM bandwidth per chip, bytes/s (used for roofline %)
+# spec-sheet peak HBM bandwidth per chip, bytes/s.  NOTE: a tunneled /
+# virtualized device can deliver far less than spec (the axon v5e slice
+# measures ~104 GB/s); ``measured_peak_hbm`` gives the honest denominator.
 _PEAK_HBM = {
     "TPU v4": 1.2e12,
     "TPU v5e": 8.2e11,
@@ -46,15 +48,37 @@ _PEAK_HBM = {
 }
 
 
+def measured_peak_hbm(nbytes: int = 2 << 30, dtype=jnp.float32) -> float:
+    """Achieved bytes/s of a pure streaming reduction — the realistic
+    roofline denominator on this device."""
+    m = nbytes // np.dtype(dtype).itemsize
+    x = jax.random.normal(jax.random.PRNGKey(0), (m,), dtype)
+    f = jax.jit(lambda x, s: jnp.sum(x * s))
+    sec = simple_timeit(f, x, jnp.asarray(1.5, dtype))
+    return m * np.dtype(dtype).itemsize / sec
+
+
+def _force(out):
+    """Force completion by pulling a scalar reduction to the host.
+
+    ``jax.block_until_ready`` does NOT reliably wait for device work on
+    remote/tunneled backends (observed: 4 GB reductions "completing" in
+    0.1 ms); materializing a host value is the only trustworthy sync.
+    """
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "sum"):
+            float(jnp.sum(leaf))
+
+
 def simple_timeit(f, *args, tries: int = 5, warmup: int = 2) -> float:
-    """Median wall seconds of ``f(*args)`` with device sync (the
-    ``block_until_ready`` harness pattern, SNIPPETS.md §3)."""
+    """Median wall seconds of ``f(*args)``, synced by materializing a host
+    value from every output leaf (see ``_force``)."""
     for _ in range(warmup):
-        jax.block_until_ready(f(*args))
+        _force(f(*args))
     times = []
     for _ in range(tries):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
+        _force(f(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
@@ -161,8 +185,10 @@ class RooflineReport(NamedTuple):
     seconds_per_pass: float
     bytes_per_pass: int
     achieved_gbps: float
-    peak_gbps: float
-    fraction_of_roofline: float
+    peak_gbps: float            # spec sheet
+    measured_peak_gbps: float   # pure-streaming measurement on this device
+    fraction_of_roofline: float          # vs spec
+    fraction_of_measured_peak: float     # vs what the device can do
     device_kind: str
 
 
@@ -219,12 +245,15 @@ def pass_roofline(n: int, p: int, *, block_size: int = 128,
     nbytes = reads * n_act * n * B * np.dtype(np.float32).itemsize
     kind = jax.devices()[0].device_kind
     peak = _PEAK_HBM.get(kind, 8.2e11)
+    mpeak = measured_peak_hbm()
     achieved = nbytes / sec
     return RooflineReport(
         seconds_per_pass=sec,
         bytes_per_pass=int(nbytes),
         achieved_gbps=achieved / 1e9,
         peak_gbps=peak / 1e9,
+        measured_peak_gbps=mpeak / 1e9,
         fraction_of_roofline=achieved / peak,
+        fraction_of_measured_peak=achieved / mpeak,
         device_kind=kind,
     )

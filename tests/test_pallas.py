@@ -169,3 +169,24 @@ def test_sqrt_ista_inner_reaches_same_solution():
                                                 inner="ista",
                                                 block_iters=24))
     np.testing.assert_allclose(s_ista.x, s_exact.x, atol=1e-5)
+
+
+def test_fused_gradient_sweep_matches_einsum():
+    from coordinatedescent_jl_tpu.ops.pallas_block import (
+        fused_gradient_sweep,
+    )
+    from coordinatedescent_jl_tpu.ops.block_cd import (
+        _full_gradient_c,
+        build_blocked,
+    )
+
+    rng = np.random.default_rng(31)
+    n, p, B = 100, 70, 16   # n not a multiple of the row chunk
+    X = jnp.asarray(rng.standard_normal((n, p)))
+    y = jnp.asarray(rng.standard_normal(n))
+    r = jnp.asarray(rng.standard_normal(n))
+    opts = cd.CDOptions(block_size=B)
+    prob = build_blocked("ls", opts, jnp.ones((p,)), X=X, y=y)
+    ref = _full_gradient_c("ls", prob, r)
+    out = fused_gradient_sweep(prob.Xwb, r, interpret=True)
+    np.testing.assert_allclose(out, ref, atol=1e-10)
