@@ -93,9 +93,10 @@ def main():
     lams = np.exp(np.linspace(np.log(0.5 * lammax),
                               np.log(0.05 * lammax), L))
     opt_tol = float(os.environ.get("BENCH_TOL", "1e-6"))
-    block_iters = int(os.environ.get("BENCH_BLOCK_ITERS", "32"))
+    block_iters = int(os.environ.get("BENCH_BLOCK_ITERS", "16"))
     inner = os.environ.get("BENCH_INNER", "auto")
-    opts = cd.CDOptions(opt_tol=opt_tol, max_iter=300, block_size=128,
+    bs = int(os.environ.get("BENCH_BLOCK_SIZE", "128"))
+    opts = cd.CDOptions(opt_tol=opt_tol, max_iter=300, block_size=bs,
                         randomize=False, block_iters=block_iters,
                         inner=inner)
 

@@ -130,8 +130,11 @@ def _block_ista(K_ref, c, beta0, lamw, thr_scale, B, iters: int):
     """Vectorized inexact block solve: ``iters`` ISTA steps on the block's
     (weighted) LS + L1 subproblem with per-coordinate thresholds
     ``thr_scale·λw`` (``thr_scale = n·λ0`` for ls/wls; ``λ0·‖r₀‖`` for the
-    sqrt-lasso MM majorization ``‖r‖ ≤ (‖r‖² + ‖r₀‖²)/(2‖r₀‖)``, which
-    makes each block visit a monotone MM step on the true objective).
+    sqrt-lasso MM majorization ``‖r‖ ≤ (‖r‖² + ‖r₀‖²)/(2‖r₀‖)`` — each
+    block visit then approximately minimizes a convex majorizer of the
+    true objective; with the FISTA acceleration below individual visits
+    are only near-monotone, and final convergence is certified by the
+    outer KKT sweep as always).
 
     Sequential scalar CD costs ~B dependent steps per block; on the VPU each
     step is μs-scale, dominating the whole pass.  ISTA replaces them with
@@ -152,12 +155,21 @@ def _block_ista(K_ref, c, beta0, lamw, thr_scale, B, iters: int):
                           preferred_element_type=dt, precision=_PREC)
     q0 = c + Kb0
 
-    def body(_, d):
-        Kd = lax.dot_general(d, K, (((1,), (0,)), ((), ())),
+    # FISTA (Nesterov momentum) at identical per-iteration cost; the
+    # momentum sequence is the standard t_{k+1} = (1+√(1+4t_k²))/2.  The
+    # block subproblem is convex, so the accelerated iterates approach the
+    # block optimum 2-3× faster than plain ISTA for the same matvec budget.
+    def body(_, carry):
+        d, d_prev, t = carry
+        t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        yv = d + ((t - 1.0) / t_next) * (d - d_prev)
+        Ky = lax.dot_general(yv, K, (((1,), (0,)), ((), ())),
                              preferred_element_type=dt, precision=_PREC)
-        return _soft(d + (q0 - Kd) / L, thr)
+        d_new = _soft(yv + (q0 - Ky) / L, thr)
+        return d_new, d, t_next
 
-    d = lax.fori_loop(0, iters, body, beta0)
+    d, _, _ = lax.fori_loop(
+        0, iters, body, (beta0, beta0, jnp.ones((), dt)))
     # zero-snap epilogue: a finite ISTA budget leaves tiny nonzero "dust"
     # on coordinates whose exact solo-optimum is 0 (the prox zeroes them
     # only at convergence).  The exact coordinate-wise zero condition
