@@ -581,7 +581,9 @@ def fused_gradient_sweep(Xwb, r, *, interpret: bool = False):
     einsum at ~15% of HBM roofline on TPU; this kernel streams X once at
     pipeline speed."""
     nb, n, B = Xwb.shape
-    R = min(_ROW_CHUNK, -(-n // 8) * 8)
+    # R must be lane-aligned (the r slice offset j·R needs a static
+    # multiple-of-128 proof in Mosaic); _ROW_CHUNK is 8·128
+    R = _ROW_CHUNK
     nr = -(-n // R)
     r_pad = jnp.pad(r, (0, nr * R - n)).reshape(1, nr * R)
     return _sweep_pass(Xwb, r_pad, n=n, B=B, nb=nb, R=R,
