@@ -107,10 +107,12 @@ def main():
     t_with_compile = time.perf_counter() - t0
     _log(f"bench: path compile+run {t_with_compile:.1f}s")
 
-    t0 = time.perf_counter()
-    path = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
-    jax.block_until_ready(path.beta_path)
-    t_path = time.perf_counter() - t0
+    t_path = float("inf")
+    for _ in range(2):  # min-of-2: tunnel throughput varies run-to-run
+        t0 = time.perf_counter()
+        path = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+        jax.block_until_ready(path.beta_path)
+        t_path = min(t_path, time.perf_counter() - t0)
     _log(f"bench: path run {t_path:.2f}s")
 
     gap, primal = _duality_gap(X, y, path.beta_path[-1], float(lams[-1]))

@@ -29,7 +29,6 @@ from ..ops.block_cd import (
     _solve_at_lambda,
     _to_blocked_beta,
     build_blocked,
-    solve_blocked,
 )
 from ..utils.helpers import std_X
 from ..utils.options import CDOptions
