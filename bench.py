@@ -30,34 +30,6 @@ def _log(msg):
 import numpy as np
 
 
-def _duality_gap(X, y, beta, lam0):
-    """Fenchel duality gap: the big contractions run jitted on device
-    (HIGHEST precision); only O(n+p) vectors reach the host, where the
-    scalar arithmetic is float64.  (Pulling the 4 GB design matrix through
-    the device tunnel for a pure-host f64 gap takes minutes.)"""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def pieces(X, y, beta):
-        prec = jax.lax.Precision.HIGHEST
-        r = y - jnp.dot(X, beta, precision=prec)
-        g = jnp.dot(r, X, precision=prec)
-        return r, g
-
-    r, g = pieces(X, y, beta)
-    r = np.asarray(r, np.float64)
-    g = np.asarray(g, np.float64)
-    beta = np.asarray(beta, np.float64)
-    yn = np.asarray(y, np.float64)
-    n = yn.shape[0]
-    ratio = np.max(np.abs(g) / (n * lam0))
-    theta = r * min(1.0, 1.0 / max(ratio, 1e-300))
-    primal = r @ r / (2 * n) + lam0 * np.sum(np.abs(beta))
-    dual = (yn @ yn - (yn - theta) @ (yn - theta)) / (2 * n)
-    return primal - dual, primal
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -115,7 +87,8 @@ def main():
         t_path = min(t_path, time.perf_counter() - t0)
     _log(f"bench: path run {t_path:.2f}s")
 
-    gap, primal = _duality_gap(X, y, path.beta_path[-1], float(lams[-1]))
+    gap, primal = cd.lasso_duality_gap_f64(
+        X, y, path.beta_path[-1], float(lams[-1]))
     nnz = int(np.sum(np.asarray(path.beta_path[-1]) != 0))
 
     # --- vs_baseline: NumPy sequential-CD oracle on the reference's

@@ -29,7 +29,11 @@ from .ops.losses import (
     num_coordinates,
 )
 from .ops.block_cd import coordinate_descent
-from .ops.diagnostics import lasso_duality_gap
+from .ops.diagnostics import (
+    lasso_duality_gap,
+    lasso_duality_gap_f64,
+    lasso_kkt_residual,
+)
 from .models.lasso import (
     LassoSolution,
     lasso,
@@ -80,7 +84,7 @@ __all__ = [
     # losses + core driver
     "LeastSquaresLoss", "WeightedLSLoss", "SqrtLassoLoss", "QuadraticLoss",
     "gradient", "value", "num_coordinates", "coordinate_descent",
-    "lasso_duality_gap",
+    "lasso_duality_gap", "lasso_duality_gap_f64", "lasso_kkt_residual",
     # estimators
     "LassoSolution", "lasso", "sqrt_lasso", "scaled_lasso", "feasible_lasso",
     "LassoPath", "lasso_path", "refit_lasso_path",

@@ -149,8 +149,15 @@ def _scaled_lasso_core(X, y, lam, lamw, beta0, key, opts: IterLassoOptions,
     def body(c):
         st, sig, sig_used, it, done = c
         key, k1 = jax.random.split(st.key)
-        st = _solve_at_lambda("ls", cd, prob, lam * sig,
-                              st._replace(key=k1), n_scale)
+        if cd.warm_start:
+            st = _solve_at_lambda("ls", cd, prob, lam * sig,
+                                  st._replace(key=k1), n_scale)
+        else:
+            # reference semantics: coordinateDescent! with warmStart=false
+            # zeroes β and runs λ-continuation every σ round
+            # (lasso.jl:133, coordinate_descent.jl:24-37)
+            st = solve_blocked("ls", cd, prob, lam * sig,
+                               jnp.zeros_like(st.beta), k1)
         signew = jnp.sqrt(jnp.sum(st.r * st.r) / n)
         done = jnp.abs(signew - sig) / sig < opts.opt_tol
         sig_used = sig
@@ -229,9 +236,14 @@ def _feasible_lasso_core(X, y, lam0, beta0, key, opts: IterLassoOptions,
         key, k1 = jax.random.split(st.key)
         # the cached KKT gradient is penalty-weight-independent, so it
         # survives the per-round loading update
-        st = _solve_at_lambda(
-            "ls", cd, prob._replace(lamw=_blocked_weights(gam, B)),
-            lam0, st._replace(key=k1), n_scale)
+        prob_g = prob._replace(lamw=_blocked_weights(gam, B))
+        if cd.warm_start:
+            st = _solve_at_lambda("ls", cd, prob_g, lam0,
+                                  st._replace(key=k1), n_scale)
+        else:
+            # reference semantics: cold continuation every loading round
+            st = solve_blocked("ls", cd, prob_g, lam0,
+                               jnp.zeros_like(st.beta), k1)
         gam_new = get_loadings(X, st.r)
         done = (jnp.max(jnp.abs(gam - gam_new)) / jnp.max(gam_new)
                 < opts.opt_tol)

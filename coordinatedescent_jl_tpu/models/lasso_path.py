@@ -29,6 +29,7 @@ from ..ops.block_cd import (
     _solve_at_lambda,
     _to_blocked_beta,
     build_blocked,
+    solve_blocked,
 )
 from ..utils.helpers import std_X
 from ..utils.options import CDOptions
@@ -62,8 +63,14 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
 
         def do(st):
             key, k1 = jax.random.split(st.key)
-            return _solve_at_lambda("ls", opts, prob, lam,
-                                    st._replace(key=k1), n_scale)
+            if opts.warm_start:
+                return _solve_at_lambda("ls", opts, prob, lam,
+                                        st._replace(key=k1), n_scale)
+            # warm_start=False: the reference zeroes β and re-runs the full
+            # λ-continuation at every path point (lasso.jl:250-252 with
+            # warmStart=false, coordinate_descent.jl:24-37)
+            return solve_blocked("ls", opts, prob, lam,
+                                 jnp.zeros_like(st.beta), k1)
 
         st = lax.cond(stopped, lambda s: s, do, st)
         valid = ~stopped

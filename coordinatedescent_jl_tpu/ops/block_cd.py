@@ -253,23 +253,45 @@ def _visit_block(kind, G, Gw, K, beta_b, lamw_b, lam0, c, rsqr, n_scale,
     return beta_b, rsqr, maxh
 
 
-def _use_pallas(kind, opts: CDOptions, prob: BlockedProblem):
-    """Trace-time decision: fused Pallas pass vs pure-XLA pass."""
+def _pallas_mode(kind, opts: CDOptions, prob: BlockedProblem):
+    """Static dispatch decision for the fused Pallas pass.
+
+    Returns ``(mode, interpret)`` with ``mode`` one of:
+
+    - ``"off"``: pure-XLA path.
+    - ``"on"``: Pallas unconditionally (explicit ``use_pallas=True``;
+      interpret mode when the default backend is not TPU — test-only).
+    - ``"tpu"``: decide at *lowering* time via ``lax.platform_dependent`` —
+      Pallas when the computation lowers for TPU, XLA otherwise.  This
+      tracks the device the computation is actually placed on rather than
+      ``jax.default_backend()``, so a solve explicitly committed to CPU
+      with a TPU present takes the XLA path (and vice versa).
+    """
     if kind not in ("ls", "wls", "sqrt"):
-        return False, False
-    use = opts.use_pallas
-    on_tpu = jax.default_backend() == "tpu"
-    if use is None:
-        use = on_tpu
-    if not use:
-        return False, False
+        return "off", False
+    if opts.use_pallas is False:
+        return "off", False
     from .pallas_block import pallas_pass_fits
 
     nb, B = prob.lamw.shape
     n = prob.y.shape[0]
-    if on_tpu and not pallas_pass_fits(n, B, nb, kind == "wls"):
-        return False, False
-    return True, not on_tpu  # interpret mode off-TPU (test-only)
+    fits = pallas_pass_fits(n, B, nb, kind == "wls")
+    if opts.use_pallas is True:
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and not fits:
+            return "off", False
+        return "on", not on_tpu  # interpret mode off-TPU (test-only)
+    return ("tpu", False) if fits else ("off", False)
+
+
+def _platform_dispatch(mode, pallas_fn, xla_fn):
+    """Run ``pallas_fn`` / ``xla_fn`` per the mode from ``_pallas_mode``.
+    Both thunks must return identical pytrees (shapes/dtypes)."""
+    if mode == "on":
+        return pallas_fn()
+    if mode == "tpu":
+        return lax.platform_dependent(tpu=pallas_fn, default=xla_fn)
+    return xla_fn()
 
 
 def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
@@ -285,26 +307,44 @@ def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
         border = jnp.arange(nb)
         corder = jnp.arange(B)
 
+    mode = "off"
+    interpret = False
     if opts is not None:
-        use, interpret = _use_pallas(kind, opts, prob)
-        if use:
-            from .pallas_block import fused_active_pass
+        mode, interpret = _pallas_mode(kind, opts, prob)
 
-            inner = opts.inner
-            if inner == "auto":
-                # ista = vectorized inexact block solve (MM majorization
-                # for sqrt): same fixed points, KKT-certified; default for
-                # sub-f64 dtypes where exact reference trajectories are
-                # unattainable anyway
-                f32ish = jnp.dtype(st.beta.dtype).itemsize < 8
-                inner = "ista" if f32ish else "exact"
-            beta2, r2, maxh, rsqr2 = fused_active_pass(
-                prob, st.beta, st.r, st.active, lam0, n_scale, border,
-                corder, kind=kind, rsqr=st.rsqr, inner=inner,
-                iters=opts.block_iters, interpret=interpret)
-            active = jnp.any(beta2 != 0, axis=1)
-            return st._replace(beta=beta2, r=r2, rsqr=rsqr2, active=active,
-                               key=key, c_fresh=jnp.zeros((), bool)), maxh
+    def pallas_pass():
+        from .pallas_block import fused_active_pass
+
+        inner = opts.inner
+        if inner == "auto":
+            # ista = vectorized inexact block solve (MM majorization
+            # for sqrt): same fixed points, KKT-certified; default for
+            # sub-f64 dtypes where exact reference trajectories are
+            # unattainable anyway
+            f32ish = jnp.dtype(st.beta.dtype).itemsize < 8
+            inner = "ista" if f32ish else "exact"
+        beta2, r2, maxh, rsqr2 = fused_active_pass(
+            prob, st.beta, st.r, st.active, lam0, n_scale, border,
+            corder, kind=kind, rsqr=st.rsqr, inner=inner,
+            iters=opts.block_iters, interpret=interpret)
+        active = jnp.any(beta2 != 0, axis=1)
+        return st._replace(beta=beta2, r=r2, rsqr=rsqr2, active=active,
+                           key=key, c_fresh=jnp.zeros((), bool)), maxh
+
+    if mode != "off":
+        return _platform_dispatch(
+            mode, pallas_pass,
+            lambda: _xla_active_pass(kind, prob, st, lam0, n_scale, border,
+                                     corder, key))
+    return _xla_active_pass(kind, prob, st, lam0, n_scale, border, corder,
+                            key)
+
+
+def _xla_active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
+                     border, corder, key):
+    """Pure-XLA active pass: per-block Gram matmul + sequential in-block
+    scan + residual matvec (the fallback / reference-exact path)."""
+    nb, B = prob.lamw.shape
 
     def body(t, carry):
         beta, r, rsqr, maxh = carry
@@ -385,13 +425,17 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
         rsqr = st.r @ st.r               # refresh exact ‖r‖² (drift control)
     else:
         rsqr = st.rsqr
-    use, interpret = (_use_pallas(kind, opts, prob) if opts is not None
-                      else (False, False))
-    if use:
+    mode, interpret = (_pallas_mode(kind, opts, prob) if opts is not None
+                       else ("off", False))
+    if mode != "off":
         from .pallas_block import fused_gradient_sweep
 
         def compute_c():
-            return fused_gradient_sweep(prob.Xwb, st.r, interpret=interpret)
+            return _platform_dispatch(
+                mode,
+                lambda: fused_gradient_sweep(prob.Xwb, st.r,
+                                             interpret=interpret),
+                lambda: _full_gradient_c(kind, prob, st.r))
     else:
         def compute_c():
             return _full_gradient_c(kind, prob, st.r)

@@ -26,6 +26,12 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
+from jax import lax
+
+# Same invariant as the solver (block_cd.py): on TPU the default f32 matmul
+# precision lowers to bf16, corrupting gradients/objectives at ~1e-3 relative
+# — every contraction here pins full-f32 MXU accumulation.
+_PREC = lax.Precision.HIGHEST
 
 
 class LeastSquaresLoss(NamedTuple):
@@ -79,23 +85,25 @@ def gradient(loss, beta):
     - quad: ``(Ax)_j + b_j``      (:321-322)
     """
     if isinstance(loss, QuadraticLoss):
-        return loss.A @ beta + loss.b
-    r = loss.y - loss.X @ beta
+        return jnp.dot(loss.A, beta, precision=_PREC) + loss.b
+    r = loss.y - jnp.dot(loss.X, beta, precision=_PREC)
     n = loss.y.shape[0]
     if isinstance(loss, LeastSquaresLoss):
-        return -(loss.X.T @ r) / n
+        return -jnp.dot(r, loss.X, precision=_PREC) / n
     if isinstance(loss, WeightedLSLoss):
-        return -(loss.X.T @ (loss.w * r)) / n
+        return -jnp.dot(loss.w * r, loss.X, precision=_PREC) / n
     if isinstance(loss, SqrtLassoLoss):
-        return -(loss.X.T @ r) / jnp.linalg.norm(r)
+        return -jnp.dot(r, loss.X, precision=_PREC) / jnp.linalg.norm(r)
     raise TypeError(f"unsupported loss: {type(loss)!r}")
 
 
 def value(loss, beta):
     """Objective value of the smooth part at ``beta``."""
     if isinstance(loss, QuadraticLoss):
-        return 0.5 * beta @ (loss.A @ beta) + beta @ loss.b
-    r = loss.y - loss.X @ beta
+        Ab = jnp.dot(loss.A, beta, precision=_PREC)
+        return (0.5 * jnp.dot(beta, Ab, precision=_PREC)
+                + jnp.dot(beta, loss.b, precision=_PREC))
+    r = loss.y - jnp.dot(loss.X, beta, precision=_PREC)
     n = loss.y.shape[0]
     if isinstance(loss, LeastSquaresLoss):
         return jnp.sum(r * r) / (2 * n)

@@ -53,14 +53,16 @@ _VMEM_BUDGET = 11 * 1024 * 1024
 _ROW_CHUNK = 1024
 
 
-def _resident_fits(n: int, B: int) -> bool:
-    return 6 * n * B * 4 < _VMEM_BUDGET - 1024 * 1024
+def _resident_fits(n: int, B: int, weighted: bool = False) -> bool:
+    # weighted problems pipeline BOTH Xb and Xwb blocks → 2× the footprint
+    factor = 2 if weighted else 1
+    return factor * 6 * n * B * 4 < _VMEM_BUDGET - 1024 * 1024
 
 
 def pallas_pass_fits(n: int, B: int, nb: int, weighted: bool) -> bool:
     """Static check that some variant fits the VMEM budget."""
     factor = 2 if weighted else 1
-    if _resident_fits(n, B) and factor * 6 * n * B * 4 < _VMEM_BUDGET:
+    if _resident_fits(n, B, weighted):
         return True
     # chunked variant: chunk buffers + transposes + β/λw/r state
     state = 3 * nb * B * 4 + 2 * 4 * -(-n // _ROW_CHUNK) * _ROW_CHUNK
@@ -503,7 +505,7 @@ def fused_active_pass(prob, beta_b, r, active, lam0, n_scale, border,
     args = (prob.Xb, prob.Xwb, prob.lamw, beta_b)
     scalars = (order, n_active.reshape(1), corder.astype(jnp.int32),
                jnp.asarray(lam0, dt), jnp.asarray(n_scale, dt))
-    if _resident_fits(n, B):
+    if _resident_fits(n, B, weighted=(kind == "wls")):
         beta2, r_row, maxh, rsqr2 = _resident_pass(
             *args, r.reshape(1, n), jnp.asarray(rsqr, dt), *scalars,
             n=n, B=B, nb=nb, kind=kind, inner=inner, iters=iters,

@@ -109,6 +109,25 @@ def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
         # the convergence flags (a damped pass never declares conv early)
         t = jnp.where(p_full <= p_avg, 1.0, tavg)
         r_new, beta_new = at(t)
+        # Exact-sparsity snap: a damped merge leaves ``β0·(1−t)`` dust on
+        # coordinates whose exact per-shard proposal was 0 — the KKT sweep
+        # would then converge (|h| < tol) with β ≠ 0, inflating the nnz
+        # used by the ``max_hat_s`` early stop and breaking the exact-zero
+        # semantics the single-device prox preserves.  Once the dust is
+        # inside the tolerance ball, zero it and correct the replicated
+        # residual (a perturbation of the same order as the tolerance).
+        # Dust above tol keeps maxH ≥ ~tol via its own potential step, so
+        # convergence is not declared while un-snapped dust remains.
+        snap_tol = opts.opt_tol if opts is not None else 0.0
+        delta = jnp.where((st2.beta == 0) & (jnp.abs(beta_new) <= snap_tol),
+                          beta_new, 0.0)
+        beta_new = beta_new - delta
+        corr = lax.cond(
+            jnp.any(delta != 0),
+            lambda: jnp.einsum("bnk,bk->n", prob.Xb, delta,
+                               precision=lax.Precision.HIGHEST),
+            lambda: jnp.zeros_like(r_new))
+        r_new = r_new + lax.psum(corr, axis)
     else:
         r_new, beta_new = r0 + dr, beta0_b + dbeta
 
@@ -373,9 +392,15 @@ def _make_sharded_scaled(opts: IterLassoOptions, mesh: Mesh, axis: str,
         def body(c):
             st, sig, sig_used, it, done = c
             key, k1 = jax.random.split(st.key)
-            st = _sharded_solve_at_lambda("ls", cd, prob, lam * sig,
-                                          st._replace(key=k1), n_scale,
-                                          axis, D)
+            if cd.warm_start:
+                st = _sharded_solve_at_lambda("ls", cd, prob, lam * sig,
+                                              st._replace(key=k1), n_scale,
+                                              axis, D)
+            else:
+                # reference semantics: cold λ-continuation every σ round
+                st = solve_blocked_sharded("ls", cd, prob, lam * sig,
+                                           jnp.zeros_like(st.beta), k1,
+                                           axis, D)
             # consensus σ: residual is replicated post-psum, every shard
             # computes the identical update (reference lasso.jl:134)
             signew = jnp.sqrt(jnp.sum(st.r * st.r) / n)
@@ -463,9 +488,13 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
             st = st._replace(key=key)
 
             def do(st):
-                st = st._replace(key=k1)
-                return _sharded_solve_at_lambda("ls", opts, prob, lam, st,
-                                                n_scale, axis, D)
+                if opts.warm_start:
+                    return _sharded_solve_at_lambda(
+                        "ls", opts, prob, lam, st._replace(key=k1),
+                        n_scale, axis, D)
+                return solve_blocked_sharded(
+                    "ls", opts, prob, lam, jnp.zeros_like(st.beta), k1,
+                    axis, D)
 
             st = lax.cond(stopped, lambda s: s, do, st)
             valid = ~stopped

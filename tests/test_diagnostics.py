@@ -1,0 +1,154 @@
+"""Diagnostics precision tests.
+
+The KKT bounds the reference's tests enforce (test/lasso.jl:54, 97-98, 123)
+are only meaningful if the certificate itself is computed accurately: on TPU
+the default f32 matmul precision lowers to bf16 (~1e-3 relative error) —
+exactly the failure mode these checks exist to rule out.  Two layers of
+testing:
+
+1. value-level: the f32 gap/KKT agree with an exact float64 NumPy
+   recomputation on small shapes;
+2. static: every ``dot_general`` in the lowered jaxprs of the public
+   diagnostics (and ``losses.gradient`` / ``losses.value``) carries
+   ``Precision.HIGHEST``, so the f32 TPU path cannot silently lower to bf16.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import coordinatedescent_jl_tpu as cd
+
+
+def _gen(n=60, p=40, s=5, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, p)).astype(dtype)
+    beta = np.zeros(p, dtype)
+    beta[:s] = rng.standard_normal(s)
+    y = (X @ beta + 0.1 * rng.standard_normal(n)).astype(dtype)
+    return X, y
+
+
+def _np_gap(X, y, beta, lam0, weights=None):
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64)
+    beta = np.asarray(beta, np.float64)
+    n = y.shape[0]
+    w = np.ones_like(beta) if weights is None else np.asarray(
+        weights, np.float64)
+    r = y - X @ beta
+    g = X.T @ r
+    ratio = np.max(np.abs(g) / (n * lam0 * w))
+    theta = r * min(1.0, 1.0 / max(ratio, 1e-300))
+    primal = r @ r / (2 * n) + lam0 * np.sum(w * np.abs(beta))
+    dual = (y @ y - (y - theta) @ (y - theta)) / (2 * n)
+    return primal - dual
+
+
+def _np_kkt(X, y, beta, lam0, weights=None):
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64)
+    beta = np.asarray(beta, np.float64)
+    n = y.shape[0]
+    w = np.ones_like(beta) if weights is None else np.asarray(
+        weights, np.float64)
+    g = X.T @ (y - X @ beta) / n
+    lam = lam0 * w
+    off = np.maximum(np.abs(g) - lam, 0.0)
+    on = np.where(beta != 0, np.abs(g - lam * np.sign(beta)), 0.0)
+    return max(off.max(), on.max())
+
+
+def _all_dots_highest(fn, *args):
+    """Walk the closed jaxpr (incl. sub-jaxprs): every dot_general must pin
+    Precision.HIGHEST."""
+    closed = jax.make_jaxpr(fn)(*args)
+    found = []
+
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                found.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    walk(v.jaxpr)
+                if isinstance(v, (tuple, list)):
+                    for vv in v:
+                        if hasattr(vv, "jaxpr"):
+                            walk(vv.jaxpr)
+
+    walk(closed.jaxpr)
+    assert found, "expected at least one dot_general"
+    for prec in found:
+        assert prec == (lax.Precision.HIGHEST, lax.Precision.HIGHEST), prec
+
+
+def test_gap_matches_f64_recompute_on_f32_inputs():
+    X, y = _gen(dtype=np.float32)
+    sol = cd.lasso(X, y, 0.05, options=cd.CDOptions(block_size=16))
+    beta = np.asarray(sol.x)
+    g32 = float(cd.lasso_duality_gap(jnp.asarray(X), jnp.asarray(y),
+                                     jnp.asarray(beta), 0.05))
+    g64 = _np_gap(X, y, beta, 0.05)
+    assert abs(g32 - g64) < 1e-6
+    gf64, primal = cd.lasso_duality_gap_f64(
+        jnp.asarray(X), jnp.asarray(y), jnp.asarray(beta), 0.05)
+    assert abs(gf64 - g64) < 1e-7
+    assert primal > 0
+
+
+def test_kkt_matches_f64_recompute_on_f32_inputs():
+    X, y = _gen(seed=1, dtype=np.float32)
+    w = np.abs(np.random.default_rng(2).standard_normal(
+        X.shape[1])).astype(np.float32) + 0.5
+    sol = cd.lasso(X, y, 0.05, weights=w,
+                   options=cd.CDOptions(block_size=16))
+    beta = np.asarray(sol.x)
+    k32 = float(cd.lasso_kkt_residual(jnp.asarray(X), jnp.asarray(y),
+                                      jnp.asarray(beta), 0.05,
+                                      jnp.asarray(w)))
+    k64 = _np_kkt(X, y, beta, 0.05, w)
+    assert abs(k32 - k64) < 1e-6
+
+
+def test_diagnostics_pin_highest_precision():
+    X, y = _gen(dtype=np.float32)
+    Xd, yd = jnp.asarray(X), jnp.asarray(y)
+    beta = jnp.zeros((X.shape[1],), jnp.float32)
+    _all_dots_highest(
+        lambda X, y, b: cd.lasso_duality_gap(X, y, b, 0.1), Xd, yd, beta)
+    _all_dots_highest(
+        lambda X, y, b: cd.lasso_kkt_residual(X, y, b, 0.1), Xd, yd, beta)
+
+
+def test_losses_pin_highest_precision():
+    X, y = _gen(dtype=np.float32)
+    Xd, yd = jnp.asarray(X), jnp.asarray(y)
+    beta = jnp.zeros((X.shape[1],), jnp.float32)
+    w = jnp.ones_like(yd)
+    A = jnp.asarray(X.T @ X / X.shape[0])
+    b = jnp.asarray(-(X.T @ y) / X.shape[0])
+    for loss in (cd.LeastSquaresLoss(yd, Xd), cd.WeightedLSLoss(yd, Xd, w),
+                 cd.SqrtLassoLoss(yd, Xd)):
+        _all_dots_highest(lambda b_, l=loss: cd.gradient(l, b_), beta)
+        _all_dots_highest(lambda b_, l=loss: cd.value(l, b_), beta)
+    quad = cd.QuadraticLoss(A, b)
+    _all_dots_highest(lambda b_: cd.gradient(quad, b_), beta)
+    _all_dots_highest(lambda b_: cd.value(quad, b_), beta)
+
+
+def test_gradient_value_match_numpy_f64():
+    X, y = _gen(seed=3, dtype=np.float32)
+    rng = np.random.default_rng(4)
+    beta = rng.standard_normal(X.shape[1]).astype(np.float32) * 0.1
+    Xd, yd, bd = jnp.asarray(X), jnp.asarray(y), jnp.asarray(beta)
+    X64, y64, b64 = (np.asarray(a, np.float64) for a in (X, y, beta))
+    n = X.shape[0]
+    r = y64 - X64 @ b64
+    np.testing.assert_allclose(
+        np.asarray(cd.gradient(cd.LeastSquaresLoss(yd, Xd), bd)),
+        -(X64.T @ r) / n, atol=1e-5)
+    np.testing.assert_allclose(
+        float(cd.value(cd.SqrtLassoLoss(yd, Xd), bd)),
+        np.linalg.norm(r) / np.sqrt(n), atol=1e-5)
