@@ -110,9 +110,14 @@ class CDState(NamedTuple):
     conv: jnp.ndarray   # last pass converged (maxH < tol)
     done: jnp.ndarray   # two consecutive converged passes (full confirming)
     c: jnp.ndarray      # (nb, B) cached full gradient term from the last
-                        # full KKT sweep (λ-independent; reused across
-                        # λ-path points to skip one full X read per point)
-    c_fresh: jnp.ndarray  # bool: c matches the current (β, r)
+                        # KKT sweep that refreshed each block (λ-independent;
+                        # reused across λ-path points to skip X reads)
+    drift: jnp.ndarray  # (nb,) per-block upper bound on ‖r − r_ref[b]‖
+                        # where r_ref[b] is the residual when c[b] was last
+                        # refreshed (triangle-inequality accumulation across
+                        # passes).  drift[b] == 0 ⟺ c[b] exact for current r;
+                        # also feeds the gap-safe screening bound
+                        # |X_j'r − c_j| ≤ ‖X_j‖·drift[b].
 
 
 def _pad_to_blocks(v, B, fill=0.0):
@@ -329,15 +334,20 @@ def _active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
             iters=opts.block_iters, interpret=interpret)
         active = jnp.any(beta2 != 0, axis=1)
         return st._replace(beta=beta2, r=r2, rsqr=rsqr2, active=active,
-                           key=key, c_fresh=jnp.zeros((), bool)), maxh
+                           key=key), maxh
 
     if mode != "off":
-        return _platform_dispatch(
+        st2, maxh = _platform_dispatch(
             mode, pallas_pass,
             lambda: _xla_active_pass(kind, prob, st, lam0, n_scale, border,
                                      corder, key))
-    return _xla_active_pass(kind, prob, st, lam0, n_scale, border, corder,
-                            key)
+    else:
+        st2, maxh = _xla_active_pass(kind, prob, st, lam0, n_scale, border,
+                                     corder, key)
+    # every cached gradient block goes stale by at most ‖Δr‖ (triangle
+    # inequality) — the lifted form of "the pass invalidates c_fresh"
+    dnorm = jnp.sqrt(jnp.sum((st2.r - st.r) ** 2))
+    return st2._replace(drift=st.drift + dnorm), maxh
 
 
 def _xla_active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
@@ -386,9 +396,8 @@ def _xla_active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
         0, nb, body, (st.beta, st.r, st.rsqr, zero))
     # dropzeros! (coordinate_descent.jl:108) → mask refresh
     active = jnp.any(beta != 0, axis=1)
-    return st._replace(beta=beta, r=r, rsqr=rsqr, active=active, key=key,
-                       c_fresh=jnp.zeros((), bool)), \
-        maxh
+    return st._replace(beta=beta, r=r, rsqr=rsqr, active=active,
+                       key=key), maxh
 
 
 def _full_gradient_c(kind, prob: BlockedProblem, r):
@@ -412,41 +421,122 @@ def _potential_steps(kind, prob, beta, c, rsqr, lam0, n_scale):
     return h
 
 
+def _gap_safe_candidates(prob: BlockedProblem, st: CDState, lam0, n_scale,
+                         rn2):
+    """Gap-safe screening for the least-squares Lasso (a capability the
+    reference lacks; standard safe-sphere rule à la Fercoq/Gramfort/Salmon,
+    "Mind the duality gap", ICML 2015 — derived here from scratch for this
+    engine's cached-gradient representation).
+
+    With dual ``D(θ) = (‖y‖² − ‖y−θ‖²)/(2n)`` feasible iff
+    ``|X_j'θ| ≤ n·λ0·ω_j`` and optimum ``θ* = r*``, strong concavity gives
+    ``‖θ* − θ‖ ≤ √(2n·gap)``, so a coordinate with
+    ``|X_j'θ| + ρ‖X_j‖ < n·λ0·ω_j`` is provably zero at the optimum.
+
+    The twist: the exact ``X_j'r`` is not available without a full X read —
+    only the cached ``c_j`` with the staleness bound
+    ``|X_j'r − c_j| ≤ ‖X_j‖·drift[b]``.  Every bound below is taken on the
+    conservative side (ratio over-estimated → dual under-estimated → gap and
+    radius over-estimated), so screening stays *safe* with stale gradients.
+    Small dtype-dependent slacks absorb floating-point rounding.
+
+    Returns the per-block candidate mask (blocks NOT provably all-zero).
+    Screened blocks are certified β*=0 at the exact optimum, which is a
+    stronger statement than the tol-level KKT the sweep would report.
+    """
+    nb, B = prob.lamw.shape
+    dt = st.beta.dtype
+    eps = jnp.finfo(dt).eps
+    xnorm = jnp.sqrt(jnp.maximum(prob.adiag, 0.0))        # ‖X_j‖
+    # rounding slack on the cached dot products (RMS-style bound)
+    c_slack = xnorm * jnp.sqrt(rn2) * (8.0 * jnp.sqrt(n_scale) * eps)
+    u = jnp.abs(st.c) + xnorm * st.drift[:, None] + c_slack
+    lamvec = n_scale * lam0 * prob.lamw                   # n·λ0·ω_j
+    pos = prob.valid & (lamvec > 0)
+    ratio_ub = jnp.max(jnp.where(pos, u, 0.0)
+                       / jnp.where(pos, lamvec, 1.0))
+    # the residual-rescaling dual certificate needs every valid coordinate
+    # penalized; otherwise disable screening for this solve
+    ok = jnp.all(~prob.valid | (lamvec > 0))
+    scale = jnp.minimum(1.0, 1.0 / jnp.maximum(ratio_ub, 1e-30))
+    ry = jnp.dot(st.r, prob.y, precision=_PREC)
+    primal = rn2 / (2.0 * n_scale) + lam0 * jnp.sum(
+        jnp.where(prob.valid, prob.lamw * jnp.abs(st.beta), 0.0))
+    dual = (2.0 * scale * ry - scale * scale * rn2) / (2.0 * n_scale)
+    gap = (jnp.maximum(primal - dual, 0.0)
+           + 64.0 * eps * (jnp.abs(primal) + jnp.abs(dual)))
+    rho = jnp.sqrt(2.0 * n_scale * gap)
+    screened = (ok & pos & (st.beta == 0)
+                & (scale * u + rho * xnorm < lamvec * (1.0 - 8.0 * eps)))
+    return jnp.any(prob.valid & ~screened, axis=1)
+
+
 def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
                 opt_tol, opts: Optional[CDOptions] = None):
     """Vectorized full pass: KKT sweep + (re)activation of violating blocks
     (replaces the reference's sequential full pass, SURVEY.md §7).
 
-    When ``st.c_fresh`` the cached gradient term from the previous full
-    sweep is exact for the current (β, r) — e.g. at a new λ-path point
-    right after the confirming sweep of the previous point — so the whole
-    X read is skipped (the check is then O(p) instead of O(n·p))."""
+    Two mechanisms keep this far below one O(n·p) X read per check:
+
+    - **cached gradients**: blocks with ``drift == 0`` have an exact cached
+      ``c`` (e.g. every block right after a confirming sweep — the cache is
+      λ-independent, so a new λ-path point's first check reads no X at all);
+    - **gap-safe screening** (ls only, ``opts.screen``): blocks whose every
+      coordinate is provably zero at this λ's optimum are neither swept nor
+      checked — the sweep reads only candidate blocks, and convergence is
+      certified by restricted-KKT + the safe rule.
+    """
     if kind == "sqrt":
         rsqr = st.r @ st.r               # refresh exact ‖r‖² (drift control)
+        rn2 = rsqr
     else:
         rsqr = st.rsqr
-    mode, interpret = (_pallas_mode(kind, opts, prob) if opts is not None
-                       else ("off", False))
-    if mode != "off":
-        from .pallas_block import fused_gradient_sweep
+        rn2 = None
+    nb, B = prob.lamw.shape
 
-        def compute_c():
-            return _platform_dispatch(
-                mode,
-                lambda: fused_gradient_sweep(prob.Xwb, st.r,
-                                             interpret=interpret),
-                lambda: _full_gradient_c(kind, prob, st.r))
+    if kind == "quad":
+        # quad's gradient term is O(p) from the maintained Ax — recompute
+        c = _full_gradient_c(kind, prob, st.r)
+        drift_new = jnp.zeros_like(st.drift)
+        cand = jnp.ones((nb,), bool)
     else:
-        def compute_c():
-            return _full_gradient_c(kind, prob, st.r)
+        screen = (kind == "ls" and opts is not None
+                  and opts.screen is not False)
+        if screen:
+            rn2 = jnp.dot(st.r, st.r, precision=_PREC)
+            cand = _gap_safe_candidates(prob, st, lam0, n_scale, rn2)
+        else:
+            cand = jnp.ones((nb,), bool)
+        need = cand & (st.drift > 0)
 
-    c = lax.cond(st.c_fresh, lambda: st.c, compute_c)
+        mode, interpret = (_pallas_mode(kind, opts, prob)
+                           if opts is not None else ("off", False))
+        if mode != "off":
+            from .pallas_block import restricted_gradient_sweep
+
+            def compute_c():
+                return _platform_dispatch(
+                    mode,
+                    lambda: restricted_gradient_sweep(
+                        prob.Xwb, st.r, need, st.c, interpret=interpret),
+                    lambda: jnp.where(need[:, None],
+                                      _full_gradient_c(kind, prob, st.r),
+                                      st.c))
+        else:
+            def compute_c():
+                return jnp.where(need[:, None],
+                                 _full_gradient_c(kind, prob, st.r), st.c)
+
+        c = lax.cond(jnp.any(need), compute_c, lambda: st.c)
+        drift_new = jnp.where(need, 0.0, st.drift)
+
     h = _potential_steps(kind, prob, st.beta, c, rsqr, lam0, n_scale)
+    h = jnp.where(cand[:, None], h, 0.0)   # screened ⇒ certified zero
     maxh = jnp.max(jnp.abs(h))
     viol = jnp.any(jnp.abs(h) >= opt_tol, axis=1)
     active = jnp.any(st.beta != 0, axis=1) | viol
     return st._replace(rsqr=rsqr, active=active, c=c,
-                       c_fresh=jnp.ones((), bool)), maxh
+                       drift=drift_new), maxh
 
 
 # ---------------------------------------------------------------------------
@@ -508,11 +598,15 @@ def _init_state(kind, prob: BlockedProblem, beta_b, key) -> CDState:
                                 precision=_PREC)
     rsqr = r @ r if kind == "sqrt" else jnp.zeros((), r.dtype)
     active = jnp.any(beta_b != 0, axis=1)
+    nb = beta_b.shape[0]
     return CDState(beta=beta_b, r=r, rsqr=rsqr, active=active, key=key,
                    it=jnp.zeros((), jnp.int32), conv=jnp.ones((), bool),
                    done=jnp.zeros((), bool),
                    c=jnp.zeros_like(beta_b),
-                   c_fresh=jnp.zeros((), bool))
+                   # large finite sentinel: the zero-initialized cache is
+                   # invalid, every block needs a refresh (inf would poison
+                   # the screening arithmetic via inf·0 = nan)
+                   drift=jnp.full((nb,), 1e30, beta_b.dtype))
 
 
 def _lambda_max(kind, prob: BlockedProblem, st: CDState, n_scale):

@@ -11,7 +11,8 @@ Both kernels fuse the ENTIRE pass into one ``pallas_call``:
 
 - grid major axis = the block-visit sequence; TPU grid steps execute
   sequentially on the core, so the residual ``r`` and coefficients ``β``
-  live in VMEM for the whole pass (in/out-aliased, written back once).
+  live in VMEM for the whole pass (copied in at the first grid step,
+  written back once at the end).
 - the visit order is a scalar-prefetch array with the active blocks first;
   the ``X`` column block for step ``t`` is DMA'd HBM→VMEM by the BlockSpec
   pipeline using ``order[t]`` as the index.  Steps past ``n_active`` are
@@ -278,10 +279,14 @@ def _resident_pass(Xb, Xwb, lamw, beta_b, r, rsqr, order, n_active, corder,
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     data_in = [Xb] + ([Xwb] if weighted else [])
     in_specs = [x_spec] * (2 if weighted else 1) + [vm, sm, sm, sm, vm, vm]
-    nio = len(in_specs)
+    # DYNAMIC grid: exactly the active steps run (plus one clamped step when
+    # the active set is empty, so the t==0 state init still executes).
+    # Per-grid-step overhead is what bounds these kernels in-loop — a full
+    # static grid would pay for every inactive block even when predicated.
+    gsize = jnp.maximum(n_active[0], 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nb,),
+        grid=(gsize,),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -300,10 +305,11 @@ def _resident_pass(Xb, Xwb, lamw, beta_b, r, rsqr, order, n_active, corder,
             jax.ShapeDtypeStruct((1, 1), beta_b.dtype),
             jax.ShapeDtypeStruct((1, 1), beta_b.dtype),
         ],
-        # beta and r stay resident in VMEM across the whole pass
-        # (all-input indexing incl. the 3 scalar-prefetch args:
-        #  beta = 3 + nio - 2 = nio + 1, r = nio + 2)
-        input_output_aliases={nio + 1: 0, nio + 2: 1},
+        # NOTE: no input_output_aliases — the t==0 branch copies β/r
+        # in→out (always executes: the dynamic grid is clamped ≥ 1), and
+        # jax 0.9.0 mis-shifts alias indices for dynamic-grid pallas_calls
+        # inside the vmap explicit-loop batching fallback (IndexError in
+        # _pallas_call_abstract_eval).  Costs one extra β/r VMEM buffer.
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * n * B * (B + 2),
@@ -432,11 +438,12 @@ def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, rsqr, order, n_active,
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     data_in = [Xb] + ([Xwb] if weighted else [])
     in_specs = [x_spec] * (2 if weighted else 1) + [vm, sm, sm, sm, vm, vm]
-    nio = len(in_specs)
     dt = beta_b.dtype
+    # dynamic major grid dim: only the active blocks generate grid steps
+    gsize = jnp.maximum(n_active[0], 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nb, 2, nr),
+        grid=(gsize, 2, nr),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -459,7 +466,7 @@ def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, rsqr, order, n_active,
             jax.ShapeDtypeStruct((1, 1), dt),
             jax.ShapeDtypeStruct((1, 1), dt),
         ],
-        input_output_aliases={nio + 1: 0, nio + 2: 1},
+        # no input_output_aliases — see _resident_pass for why
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * n * B * (B + 2),
@@ -590,3 +597,96 @@ def fused_gradient_sweep(Xwb, r, *, interpret: bool = False):
     r_pad = jnp.pad(r, (0, nr * R - n)).reshape(1, nr * R)
     return _sweep_pass(Xwb, r_pad, n=n, B=B, nb=nb, R=R,
                        interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Restricted gradient sweep: refresh c only for the needed blocks
+# ---------------------------------------------------------------------------
+
+
+def _make_rsweep_kernel(B: int, R: int, n: int, nr: int):
+    def kernel(order_ref, nn_ref, Xwb_ref, r_ref, c_out, c_s):
+        t = pl.program_id(0)
+        j = pl.program_id(1)
+
+        # rows of c_out for skipped blocks stay unwritten (garbage); the
+        # wrapper merges them back to the cached entries with jnp.where —
+        # in/out aliasing would avoid that copy but trips a JAX indexing
+        # inconsistency with scalar prefetch + dynamic grids (jax 0.9.0)
+        @pl.when(t < nn_ref[0])
+        def _():
+            ob = order_ref[t]
+            dt = c_out.dtype
+            rowmask = (lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+                       + j * R) < n
+            Xw = jnp.where(rowmask, Xwb_ref[0], 0.0)
+            rc = r_ref[:, pl.ds(j * R, R)]
+
+            @pl.when(j == 0)
+            def _():
+                c_s[:] = jnp.zeros_like(c_s)
+
+            c_s[:] += lax.dot_general(
+                rc, Xw, (((1,), (0,)), ((), ())),
+                preferred_element_type=dt, precision=_PREC)
+
+            @pl.when(j == nr - 1)
+            def _():
+                c_out[pl.ds(ob, 1), :] = c_s[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "B", "nb", "R", "interpret"))
+def _rsweep_pass(Xwb, r_pad, order, n_need, *, n, B, nb, R, interpret):
+    nr = -(-n // R)
+    kernel = _make_rsweep_kernel(B, R, n, nr)
+
+    def xmap(t, j, order_ref, nn_ref):
+        jj = jnp.where(t < nn_ref[0], j, 0)
+        return (order_ref[t], jj, 0)
+
+    gsize = jnp.maximum(n_need[0], 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gsize, nr),
+        in_specs=[
+            pl.BlockSpec((1, R, B), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, B), Xwb.dtype)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, B), Xwb.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * n * B,
+            bytes_accessed=nb * n * B * 4 + n * 4 + nb * B * 4,
+            transcendentals=0,
+        ),
+    )(order, n_need, Xwb, r_pad)
+
+
+def restricted_gradient_sweep(Xwb, r, need, c_prev, *,
+                              interpret: bool = False):
+    """Refresh ``c[b] = Xw_b' r`` for blocks with ``need[b]``; other blocks
+    keep their ``c_prev`` entries.  The needed blocks are ordered first via
+    scalar prefetch and the skipped tail is clamped to the last needed
+    block, so only ``sum(need)`` blocks of X generate HBM traffic — this is
+    what makes gap-safe-screened KKT checks cheap (block_cd._full_check)."""
+    nb, n, B = Xwb.shape
+    idx = jnp.argsort(~need, stable=True).astype(jnp.int32)
+    n_need = jnp.sum(need).astype(jnp.int32)
+    last = idx[jnp.maximum(n_need - 1, 0)]
+    tpos = jnp.arange(nb, dtype=jnp.int32)
+    order = jnp.where(tpos < n_need, idx, last)
+    R = _ROW_CHUNK
+    nr = -(-n // R)
+    r_pad = jnp.pad(r, (0, nr * R - n)).reshape(1, nr * R)
+    swept = _rsweep_pass(Xwb, r_pad, order, n_need.reshape(1),
+                         n=n, B=B, nb=nb, R=R, interpret=interpret)
+    return jnp.where(need[:, None], swept, c_prev)

@@ -131,8 +131,12 @@ def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
     else:
         r_new, beta_new = r0 + dr, beta0_b + dbeta
 
+    # drift accounting must reflect the FINAL merged residual, not the
+    # local pre-merge one _active_pass saw
+    dnorm = jnp.sqrt(jnp.sum((r_new - r0) ** 2))
     st2 = st2._replace(r=r_new, beta=beta_new,
-                       active=jnp.any(beta_new != 0, axis=1))
+                       active=jnp.any(beta_new != 0, axis=1),
+                       drift=st.drift + dnorm)
     if kind == "sqrt":
         st2 = st2._replace(rsqr=r_new @ r_new)
     return st2, maxh
@@ -206,7 +210,7 @@ def _sharded_init_state(kind, prob, beta_b, key,
                    it=jnp.zeros((), jnp.int32), conv=jnp.ones((), bool),
                    done=jnp.zeros((), bool),
                    c=jnp.zeros_like(beta_b),
-                   c_fresh=jnp.zeros((), bool))
+                   drift=jnp.full((beta_b.shape[0],), 1e30, beta_b.dtype))
 
 
 def solve_blocked_sharded(kind: str, opts: CDOptions, prob, lam0, beta0_b,

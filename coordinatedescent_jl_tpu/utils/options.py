@@ -53,6 +53,12 @@ class CDOptions:
       the ls/wls losses, exact otherwise (new).
     - ``block_iters``: ISTA iterations per block visit for
       ``inner='ista'`` (new).
+    - ``screen``: gap-safe screening of the KKT sweeps for the
+      least-squares Lasso (safe-sphere rule; blocks provably zero at the
+      optimum are neither swept nor checked, so confirming sweeps read
+      only candidate columns of X).  ``None``/``True`` = on (it is exact:
+      solutions are unchanged, certified by the safe rule + restricted
+      KKT); ``False`` = every sweep reads all stale blocks (new).
     """
 
     max_iter: int = 2000
@@ -65,6 +71,7 @@ class CDOptions:
     stall_patience: int = 20
     inner: str = "auto"
     block_iters: int = 16
+    screen: bool | None = None
 
     def replace(self, **kw) -> "CDOptions":
         return dataclasses.replace(self, **kw)
