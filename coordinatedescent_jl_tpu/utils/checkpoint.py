@@ -2,10 +2,14 @@
 
 The reference has no persistence; its *algorithmic* warm-start state is what
 must be preserved (SURVEY.md §5.4): β carried across λ-path points
-(lasso.jl:250-252), residuals, σ, and the active mask.  That state is a
-small pytree — ``PathCheckpoint`` — serialized with ``numpy.savez`` (the
-orbax-style single-array-per-key layout) so a multi-point path interrupted
-mid-run resumes at the next λ index with bitwise-identical warm starts.
+(lasso.jl:250-252), residuals, σ, and the active mask.  Here the checkpoint
+persists the FULL solver state — including the PRNG key and the
+drift-bounded cached KKT gradient (``CDState.c``/``drift``) — so a resumed
+run is **trajectory-identical** to an uninterrupted one even with
+``randomize=True``, and keeps the one-X-read-per-point cached-gradient
+carry of the scan path (models/lasso_path.py).  The state is a small
+pytree — ``PathCheckpoint`` — serialized with ``numpy.savez`` (the
+orbax-style single-array-per-key layout).
 
 ``lasso_path_resumable`` wraps the warm-started path driver with per-point
 checkpointing: each solved point appends to the checkpoint, and a re-run
@@ -22,13 +26,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.lasso_path import LassoPath
-from ..ops.block_cd import _to_blocked_beta, build_blocked, solve_blocked
+from ..ops.block_cd import (
+    _init_state,
+    _solve_at_lambda,
+    _to_blocked_beta,
+    build_blocked,
+    solve_blocked,
+)
 from ..utils.helpers import std_X
 from ..utils.options import CDOptions
 
 
 class PathCheckpoint(NamedTuple):
-    """Resumable warm-start state of a λ-path solve (SURVEY.md §5.4)."""
+    """Resumable warm-start state of a λ-path solve (SURVEY.md §5.4).
+
+    Complete CD solver state: resuming from it reproduces the exact
+    trajectory an uninterrupted run would follow (key + cached-gradient
+    state included; the transient per-solve counters ``it``/``conv``/
+    ``done`` are reset by every solve and need no persistence)."""
 
     lam_path: np.ndarray     # full λ grid (identifies the run)
     next_index: int          # first unsolved path point
@@ -36,20 +51,16 @@ class PathCheckpoint(NamedTuple):
     beta_warm: np.ndarray    # (p,) warm-start iterate for next_index
     residuals: np.ndarray    # (n,) residuals at beta_warm
     sigma: float             # running σ estimate (scaled-lasso outer loops)
+    key: np.ndarray          # PRNG key driving randomized visit orders
+    c: np.ndarray            # (nb, B) cached KKT gradient (λ-independent)
+    drift: np.ndarray        # (nb,) staleness bound on each block of c
+    active: np.ndarray       # (nb,) active-block mask
 
 
 def save_checkpoint(path: str, ck: PathCheckpoint) -> None:
     """Atomic write (tmp + rename) of the checkpoint."""
     tmp = path + ".tmp.npz"
-    np.savez(
-        tmp,
-        lam_path=np.asarray(ck.lam_path),
-        next_index=np.asarray(ck.next_index),
-        beta_path=np.asarray(ck.beta_path),
-        beta_warm=np.asarray(ck.beta_warm),
-        residuals=np.asarray(ck.residuals),
-        sigma=np.asarray(ck.sigma),
-    )
+    np.savez(tmp, **{f: np.asarray(v) for f, v in ck._asdict().items()})
     os.replace(tmp, path)
 
 
@@ -64,6 +75,10 @@ def load_checkpoint(path: str) -> Optional[PathCheckpoint]:
             beta_warm=z["beta_warm"],
             residuals=z["residuals"],
             sigma=float(z["sigma"]),
+            key=z["key"],
+            c=z["c"],
+            drift=z["drift"],
+            active=z["active"],
         )
 
 
@@ -73,54 +88,80 @@ def lasso_path_resumable(X, y, lam_path, checkpoint_file: str,
                          checkpoint_every: int = 1) -> LassoPath:
     """Warm-started Lasso path with per-point checkpointing.
 
-    Same semantics as ``lasso_path`` (reference ``LassoPath``,
-    lasso.jl:229-260) but each solved λ point persists the warm-start state
-    to ``checkpoint_file``; an interrupted run resumes at the first
-    unsolved point.  Points are solved one jit call at a time (the scan
-    variant in models/lasso_path.py is faster when resumability is not
-    needed).
+    Same semantics (and, point for point, the same solver trajectory) as
+    ``lasso_path`` (reference ``LassoPath``, lasso.jl:229-260), but each
+    solved λ point persists the full warm-start state to
+    ``checkpoint_file``; an interrupted run resumes at the first unsolved
+    point and continues exactly as the uninterrupted run would have.
+    Points are solved one jit call at a time (the scan variant in
+    models/lasso_path.py is faster when resumability is not needed).
     """
     X = jnp.asarray(X)
     y = jnp.asarray(y, X.dtype)
     n, p = X.shape
-    lam_np = np.asarray(lam_path, dtype=np.asarray(X).dtype)
+    lam_np = np.asarray(lam_path, dtype=np.dtype(X.dtype))
     lamw = std_X(X) if standardize_X else jnp.ones((p,), X.dtype)
-    key = jax.random.PRNGKey(seed)
+    n_scale = jnp.asarray(n, X.dtype)
+
+    @jax.jit
+    def init_state(key):
+        prob = build_blocked("ls", options, lamw, X=X, y=y)
+        return _init_state(
+            "ls", prob, _to_blocked_beta(jnp.zeros((p,), X.dtype),
+                                         options.block_size), key)
+
+    @jax.jit
+    def solve_one(lam, st):
+        # mirror models/lasso_path._lasso_path_core.scan_body exactly so
+        # resumable trajectories coincide with the scan path's
+        prob = build_blocked("ls", options, lamw, X=X, y=y)
+        key, k1 = jax.random.split(st.key)
+        if options.warm_start:
+            st = _solve_at_lambda("ls", options, prob, lam,
+                                  st._replace(key=k1), n_scale)
+        else:
+            st = solve_blocked("ls", options, prob, lam,
+                              jnp.zeros_like(st.beta), k1)
+        return st
 
     ck = load_checkpoint(checkpoint_file)
     if ck is not None and (ck.lam_path.shape == lam_np.shape
                            and np.allclose(ck.lam_path, lam_np)):
         start = ck.next_index
         betas = [b for b in ck.beta_path]
-        beta_warm = jnp.asarray(ck.beta_warm, X.dtype)
+        st = init_state(jnp.asarray(ck.key))  # shape/dtype template
+        st = st._replace(
+            beta=_to_blocked_beta(jnp.asarray(ck.beta_warm, X.dtype),
+                                  options.block_size),
+            r=jnp.asarray(ck.residuals, X.dtype),
+            key=jnp.asarray(ck.key),
+            c=jnp.asarray(ck.c, X.dtype),
+            drift=jnp.asarray(ck.drift, X.dtype),
+            active=jnp.asarray(ck.active, bool),
+        )
     else:
         start = 0
         betas = []
-        beta_warm = jnp.zeros((p,), X.dtype)
+        st = init_state(jax.random.PRNGKey(seed))
 
-    @jax.jit
-    def solve_one(lam, beta0, key):
-        prob = build_blocked("ls", options, lamw, X=X, y=y)
-        st = solve_blocked(
-            "ls", options, prob, lam,
-            _to_blocked_beta(beta0, options.block_size), key)
-        return st.beta.reshape(-1)[:p], st.r
-
-    r = y
     for i in range(start, lam_np.shape[0]):
-        key, k1 = jax.random.split(key)
-        beta_warm, r = solve_one(jnp.asarray(lam_np[i], X.dtype),
-                                 beta_warm, k1)
-        betas.append(np.asarray(beta_warm))
+        st = solve_one(jnp.asarray(lam_np[i], X.dtype), st)
+        beta_i = np.asarray(st.beta.reshape(-1)[:p])
+        betas.append(beta_i)
         if (i + 1) % checkpoint_every == 0 or i == lam_np.shape[0] - 1:
+            r_np = np.asarray(st.r)
             save_checkpoint(checkpoint_file, PathCheckpoint(
                 lam_path=lam_np,
                 next_index=i + 1,
                 beta_path=np.stack(betas) if betas else
                 np.zeros((0, p), lam_np.dtype),
-                beta_warm=np.asarray(beta_warm),
-                residuals=np.asarray(r),
-                sigma=float(np.std(np.asarray(r))),
+                beta_warm=beta_i,
+                residuals=r_np,
+                sigma=float(np.std(r_np)),
+                key=np.asarray(st.key),
+                c=np.asarray(st.c),
+                drift=np.asarray(st.drift),
+                active=np.asarray(st.active),
             ))
 
     return LassoPath(jnp.asarray(lam_np), jnp.asarray(np.stack(betas)))

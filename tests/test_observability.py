@@ -48,6 +48,34 @@ def test_resume_mid_path(tmp_path):
     assert ck2.next_index == 6
 
 
+def test_resume_trajectory_identical_randomized(tmp_path):
+    """The checkpoint persists the FULL solver state (PRNG key, cached
+    gradient + drift, active mask), so an interrupted+resumed run follows
+    the exact same randomized trajectory as an uninterrupted one —
+    bitwise, not just to solver tolerance."""
+    X, y = _gen(100, 48, 6, seed=7)
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.05), 6))
+    opts = cd.CDOptions(block_size=16, randomize=True)
+    f1 = str(tmp_path / "full.npz")
+    f2 = str(tmp_path / "interrupted.npz")
+    p_full = cd.lasso_path_resumable(X, y, lams, f1, options=opts,
+                                     standardize_X=False, seed=3)
+    # interrupted run: first 3 points, then resume over the full grid
+    cd.lasso_path_resumable(X, y, lams[:3], f2, options=opts,
+                            standardize_X=False, seed=3)
+    ck = cd.load_checkpoint(f2)
+    assert ck.next_index == 3
+    cd.save_checkpoint(f2, ck._replace(lam_path=np.asarray(lams)))
+    p_res = cd.lasso_path_resumable(X, y, lams, f2, options=opts,
+                                    standardize_X=False, seed=3)
+    assert np.array_equal(np.asarray(p_res.beta_path),
+                          np.asarray(p_full.beta_path))
+    # and the final checkpoints agree bitwise too (key, c, drift, active)
+    c1, c2 = cd.load_checkpoint(f1), cd.load_checkpoint(f2)
+    for fld in ("beta_warm", "residuals", "key", "c", "drift", "active"):
+        assert np.array_equal(getattr(c1, fld), getattr(c2, fld)), fld
+
+
 def test_checkpoint_ignored_for_different_grid(tmp_path):
     X, y = _gen(80, 32, 4, seed=2)
     f = str(tmp_path / "ck.npz")
