@@ -249,9 +249,10 @@ def refit_locpolyl1(X, z, y, z0, degree: int, kernel: SmoothingKernel,
 
 @functools.partial(jax.jit,
                    static_argnames=("degree", "opts", "kernel_type",
-                                    "sigma_iters"))
+                                    "sigma_iters", "chunk"))
 def _lvocv_locpolyl1_one_h(X, z, y, h, lam0, key, degree: int, kernel_type,
-                           opts: CDOptions, sigma_iters: int = 10):
+                           opts: CDOptions, sigma_iters: int = 10,
+                           chunk: int = 64):
     n, p = X.shape
     ep = p * (degree + 1)
     kernel = kernel_type(h)
@@ -305,7 +306,12 @@ def _lvocv_locpolyl1_one_h(X, z, y, h, lam0, key, degree: int, kernel_type,
         return (yh - y[i]) ** 2
 
     keys = jax.random.split(key, n)
-    errs = jax.vmap(heldout)(jnp.arange(n), keys)
+    # chunked vmap (lax.map batches of `chunk` held-out points): a full
+    # vmap materializes n expanded (n, ep) designs at once — O(n²·ep)
+    # memory, which blows past HBM well before n=5000; chunking caps it
+    # at O(chunk·n·ep) with identical results
+    errs = lax.map(lambda ik: heldout(*ik), (jnp.arange(n), keys),
+                   batch_size=min(chunk, n))
     return jnp.sum(errs)
 
 
@@ -328,8 +334,10 @@ def lvocv_locpolyl1(X, z, y, degree: int, h_arr, kernel_type, lam0,
     return jnp.stack(mses)
 
 
-@functools.partial(jax.jit, static_argnames=("degree", "kernel_type"))
-def _lvocv_locpoly_one_h(X, z, y, h, degree: int, kernel_type):
+@functools.partial(jax.jit, static_argnames=("degree", "kernel_type",
+                                             "chunk"))
+def _lvocv_locpoly_one_h(X, z, y, h, degree: int, kernel_type,
+                         chunk: int = 256):
     n = X.shape[0]
     ep1 = degree + 1
     kernel = kernel_type(h)
@@ -344,7 +352,9 @@ def _lvocv_locpoly_one_h(X, z, y, h, degree: int, kernel_type):
         yh = X[i] @ coef[::ep1]                    # level coefficients
         return (yh - y[i]) ** 2
 
-    return jnp.sum(jax.vmap(heldout)(jnp.arange(n)))
+    # chunked for the same O(n²·ep) memory reason as _lvocv_locpolyl1_one_h
+    return jnp.sum(lax.map(heldout, jnp.arange(n),
+                           batch_size=min(chunk, n)))
 
 
 def lvocv_locpoly(X, z, y, degree: int, h_arr, kernel_type):

@@ -574,9 +574,18 @@ def _solve_at_lambda(kind, opts: CDOptions, prob: BlockedProblem, lam0,
 
         s2, maxh = lax.cond(was_full, full, act, s)
         conv = maxh < tol
-        improved = maxh < 0.7 * best
-        stall = jnp.where(improved, 0, stall + 1)
-        best = jnp.minimum(best, maxh)
+        # stall accounting uses FULL-check maxh only — the certified
+        # order-independent measure.  Active-pass maxh is trajectory noise:
+        # it hits exact 0 whenever the current active set is quiescent
+        # (which would poison a running best forever even though the next
+        # full check reveals fresh violations), and slow-but-real decay
+        # (sqrt-lasso at large λ: <1%/pass) must not false-trigger either.
+        # At the f32 rounding floor, consecutive full checks repeat the
+        # same sub-tol-but-not-quite maxh and the counter runs out.
+        improved = was_full & (maxh < best)
+        stall = jnp.where(was_full,
+                          jnp.where(improved, 0, stall + 1), stall)
+        best = jnp.where(was_full, jnp.minimum(best, maxh), best)
         done = (was_full & conv) | (stall >= patience)
         return (s2._replace(it=s.it + 1, conv=conv, done=done), best, stall)
 

@@ -236,18 +236,116 @@ def test_lvocv_locpoly_matches_manual_loo():
         np.testing.assert_allclose(mse[k], total, rtol=1e-6)
 
 
-def test_lvocv_locpolyl1_and_split_run():
+def _oracle_lvocv_locpolyl1(X, z, y, degree, h, lam0, sigma_iters=10):
+    """Sequential NumPy re-derivation of the LOO-CV score
+    (reference lvocv_locpolyl1, varying_coefficient_lasso.jl:82-137):
+    per held-out i, a σ fixed-point loop of weighted lasso solves with a
+    screened-OLS σ init, then a group-support weighted refit scored at i."""
+    from oracle import cd_lasso
+
+    n, p = X.shape
+    ep = p * (degree + 1)
+    s_screen = min(10, ep)
+    total = 0.0
+    for i in range(n):
+        w = np.exp(-((z - z[i]) ** 2) / h) / h
+        w[i] = 0.0
+        eX = np.asarray(expand_X(jnp.asarray(X), jnp.asarray(z), z[i],
+                                 degree))
+        stdX_w = np.sqrt((w[:, None] * eX * eX).sum(axis=0) / n)
+        # screened weighted-OLS σ init (utils.jl:79-92)
+        c = np.abs(eX.T @ (w * y))
+        idx = np.argsort(-c)[:s_screen]
+        Xs = eX[:, idx]
+        coef = np.linalg.solve(Xs.T @ (w[:, None] * Xs), Xs.T @ (w * y))
+        r = y - Xs @ coef
+        sig = np.sqrt((w * r * r).sum() / w.sum())
+        for _ in range(sigma_iters):
+            beta, r = cd_lasso(eX, y, lam0 * sig, lamw=stdX_w, w=w,
+                               tol=1e-13)
+            signew = np.sqrt((w * r * r).sum() / w.sum())
+            if abs(signew - sig) / sig < 1e-2:
+                break
+            sig = signew
+        grp = np.any(beta.reshape(p, degree + 1) != 0, axis=1)
+        mask = np.repeat(grp, degree + 1)
+        if mask.any():
+            Xa = eX[:, mask]
+            br = np.linalg.solve(Xa.T @ (w[:, None] * Xa), Xa.T @ (w * y))
+            yh = eX[i, mask] @ br
+        else:
+            yh = 0.0
+        total += (yh - y[i]) ** 2
+    return total
+
+
+def test_lvocv_locpolyl1_matches_numpy_oracle():
     n, p, degree = 40, 4, 0
     X, z, y = gen_data(n, p, seed=7)
+    h_arr = [0.3, 0.6]
     mse = np.asarray(lvocv_locpolyl1(
-        X, z, y, degree, [0.3], GaussianKernel, 0.1,
-        options=CDOptions(opt_tol=1e-8, block_size=8)))
-    assert mse.shape == (1,) and np.isfinite(mse).all() and mse[0] > 0
+        X, z, y, degree, h_arr, GaussianKernel, 0.1,
+        options=CDOptions(opt_tol=1e-11, block_size=8)))
+    for k, h in enumerate(h_arr):
+        want = _oracle_lvocv_locpolyl1(X, z, y, degree, h, 0.1)
+        np.testing.assert_allclose(mse[k], want, rtol=1e-6)
+
+
+def test_lvocv_locpolyl1_chunked_equals_unchunked():
+    """lax.map chunking of the held-out sweep is a pure memory optimization:
+    scores must be identical for any chunk size."""
+    from coordinatedescent_jl_tpu.models.varying_coefficient import (
+        _lvocv_locpolyl1_one_h,
+    )
+    import jax
+
+    n, p, degree = 30, 3, 1
+    X, z, y = gen_data(n, p, seed=11)
+    opts = CDOptions(opt_tol=1e-9, block_size=8, warm_start=True)
+    args = (jnp.asarray(X), jnp.asarray(z), jnp.asarray(y),
+            jnp.asarray(0.4), jnp.asarray(0.1), jax.random.PRNGKey(0))
+    a = _lvocv_locpolyl1_one_h(*args, degree, GaussianKernel, opts, chunk=7)
+    b = _lvocv_locpolyl1_one_h(*args, degree, GaussianKernel, opts,
+                               chunk=30)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_split_locpoly_matches_numpy_oracle():
+    n, p, degree = 40, 4, 0
+    X, z, y = gen_data(n, p, seed=7)
     Xt, zt, yt = gen_data(30, p, seed=8)
     zgrid = np.linspace(0.05, 0.95, 10)
+    h_arr = [0.2, 0.5]
     mse2 = np.asarray(split_locpoly(X, z, y, Xt, zt, yt, zgrid, degree,
-                                    [0.2, 0.5], GaussianKernel))
-    assert mse2.shape == (2,) and np.isfinite(mse2).all()
+                                    h_arr, GaussianKernel))
+    ep1 = degree + 1
+    for k, h in enumerate(h_arr):
+        # grid fit: √w-weighted lstsq per grid point (locpoly semantics)
+        beta_grid = np.empty((p * ep1, zgrid.shape[0]))
+        for g, z0 in enumerate(zgrid):
+            w = np.exp(-((z - z0) ** 2) / h) / h
+            eX = np.asarray(expand_X(jnp.asarray(X), jnp.asarray(z), z0,
+                                     degree))
+            sw = np.sqrt(w)
+            beta_grid[:, g] = np.linalg.lstsq(sw[:, None] * eX, sw * y,
+                                              rcond=None)[0]
+        total = 0.0
+        for i in range(Xt.shape[0]):
+            z0 = zt[i]
+            id2 = min(max(np.searchsorted(zgrid, z0, side="left"), 0),
+                      zgrid.shape[0] - 1)
+            id1 = min(max(np.searchsorted(zgrid, z0, side="right") - 1, 0),
+                      zgrid.shape[0] - 1)
+            if id1 == id2:
+                bi = beta_grid[:, id1]
+            else:
+                alpha = np.clip((z0 - zgrid[id1])
+                                / (zgrid[id2] - zgrid[id1]), 0.0, 1.0)
+                bi = (1 - alpha) * beta_grid[:, id1] \
+                    + alpha * beta_grid[:, id2]
+            yh = Xt[i] @ bi[::ep1]
+            total += (yt[i] - yh) ** 2
+        np.testing.assert_allclose(mse2[k], total, rtol=1e-6)
 
 
 def test_refit_locpolyl1():
