@@ -95,6 +95,9 @@ class BlockedProblem(NamedTuple):
     adiag: jnp.ndarray
     lamw: jnp.ndarray
     valid: jnp.ndarray
+    xwnorm: jnp.ndarray  # (nb, B) ‖Xw_j‖ — the per-coordinate staleness
+                         # gain of the cached gradient: |Xw_j'Δr| ≤
+                         # ‖Xw_j‖·‖Δr‖ (unused for quad)
 
 
 class CDState(NamedTuple):
@@ -148,6 +151,7 @@ def build_blocked(kind: str, opts: CDOptions, lamw_full, *, X=None, y=None,
         Ab = _blockify_cols(Ap, B)           # (nb, P, B)
         adiag = _blockify_cols(jnp.diagonal(Ap)[None, :], B)[:, 0, :]
         Xb, Xwb, yv = Ab, None, None
+        xwnorm = jnp.sqrt(jnp.maximum(adiag, 0.0))   # unused for quad
     else:
         P0 = X.shape[1]
         dtype = X.dtype
@@ -158,6 +162,10 @@ def build_blocked(kind: str, opts: CDOptions, lamw_full, *, X=None, y=None,
         else:
             Xwb = Xb
         adiag = jnp.sum(Xwb * Xb, axis=1)    # (nb, B): Σ w X²  (= X'X unwtd)
+        if kind == "wls":
+            xwnorm = jnp.sqrt(jnp.sum(Xwb * Xwb, axis=1))   # ‖w·X_j‖
+        else:
+            xwnorm = jnp.sqrt(jnp.maximum(adiag, 0.0))      # ‖X_j‖
         yv, qp = y, None
     lamw_b = _blockify_cols(
         _pad_to_blocks(jnp.asarray(lamw_full, dtype), B, fill=1.0)[None, :], B
@@ -166,7 +174,7 @@ def build_blocked(kind: str, opts: CDOptions, lamw_full, *, X=None, y=None,
         _pad_to_blocks(jnp.ones((P0,), dtype=bool), B, fill=False)[None, :], B
     )[:, 0, :]
     return BlockedProblem(Xb=Xb, Xwb=Xwb, y=yv, q=qp, adiag=adiag,
-                          lamw=lamw_b, valid=valid)
+                          lamw=lamw_b, valid=valid, xwnorm=xwnorm)
 
 
 # ---------------------------------------------------------------------------
@@ -471,16 +479,58 @@ def _gap_safe_candidates(prob: BlockedProblem, st: CDState, lam0, n_scale,
     return jnp.any(prob.valid & ~screened, axis=1)
 
 
+def _stale_certified(kind, prob: BlockedProblem, st: CDState, rsqr, lam0,
+                     n_scale, opt_tol):
+    """Per-block certificate that every potential step is < ``opt_tol``
+    *without refreshing the cached gradient* (no X read).
+
+    For ls/wls the coordinate map ``h(c) = soft(β + c/a, T) − β`` is
+    1/a-Lipschitz in ``c``, and ``|c_exact − c_stale| ≤ ‖Xw_j‖·drift[b]``,
+    so ``|h_exact| ≤ |h(c_stale)| + ‖Xw_j‖·drift[b]/a``.  For sqrt, only
+    all-zero blocks are certified, via the exact zero condition
+    ``|X_j'r| ≤ λ0·λw_j·‖r‖`` (cd_differentiable_function.jl:277-283)
+    bounded from above with the same staleness ball.
+
+    Certification is *decision-exact*: a certified block's exact potential
+    steps are provably < tol, so the convergence / (re)activation decisions
+    match what an exact refresh would produce — only the X traffic differs.
+    Returns ``(certified, bound)`` with ``bound`` the per-coordinate upper
+    bound on ``|h_exact|`` (valid only where certified can be trusted, i.e.
+    finite entries)."""
+    dt = st.beta.dtype
+    # drift accumulation rounding slack (the norm sums are finite-precision)
+    dball = st.drift[:, None] * (1.0 + 64.0 * jnp.finfo(dt).eps)
+    e_c = prob.xwnorm * dball                       # |c_exact − c_stale| ≤
+    if kind == "sqrt":
+        zero_blk = ~jnp.any(st.beta != 0, axis=1)
+        thr = lam0 * prob.lamw * jnp.sqrt(jnp.maximum(rsqr, 0.0))
+        ok = (jnp.abs(st.c) + e_c) <= thr
+        bound = jnp.where(ok & zero_blk[:, None], 0.0, jnp.inf)
+    else:
+        h_stale = _potential_steps(kind, prob, st.beta, st.c, rsqr, lam0,
+                                   n_scale)
+        asafe = jnp.where(prob.adiag > 0, prob.adiag, 1.0)
+        bound = jnp.abs(h_stale) + e_c / asafe
+    bound = jnp.where(prob.valid, bound, 0.0)
+    certified = jnp.all(bound < opt_tol, axis=1)
+    return certified, bound
+
+
 def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
                 opt_tol, opts: Optional[CDOptions] = None):
     """Vectorized full pass: KKT sweep + (re)activation of violating blocks
     (replaces the reference's sequential full pass, SURVEY.md §7).
 
-    Two mechanisms keep this far below one O(n·p) X read per check:
+    Three mechanisms keep this far below one O(n·p) X read per check:
 
     - **cached gradients**: blocks with ``drift == 0`` have an exact cached
       ``c`` (e.g. every block right after a confirming sweep — the cache is
       λ-independent, so a new λ-path point's first check reads no X at all);
+    - **drift-ball certification** (``_stale_certified``): stale blocks whose
+      conservative step bound is already < tol are accepted without a
+      refresh — after a near-converged active pass this certifies almost
+      every block, so the confirming sweep reads only the blocks whose
+      margin the pass actually consumed;
     - **gap-safe screening** (ls only, ``opts.screen``): blocks whose every
       coordinate is provably zero at this λ's optimum are neither swept nor
       checked — the sweep reads only candidate blocks, and convergence is
@@ -499,6 +549,8 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
         c = _full_gradient_c(kind, prob, st.r)
         drift_new = jnp.zeros_like(st.drift)
         cand = jnp.ones((nb,), bool)
+        use_bound = jnp.zeros((nb,), bool)
+        bound = jnp.zeros_like(st.c)
     else:
         screen = (kind == "ls" and opts is not None
                   and opts.screen is not False)
@@ -507,7 +559,11 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
             cand = _gap_safe_candidates(prob, st, lam0, n_scale, rn2)
         else:
             cand = jnp.ones((nb,), bool)
-        need = cand & (st.drift > 0)
+        stale = st.drift > 0
+        certified, bound = _stale_certified(kind, prob, st, rsqr, lam0,
+                                            n_scale, opt_tol)
+        need = cand & stale & ~certified
+        use_bound = stale & certified      # keep stale c; report the bound
 
         mode, interpret = (_pallas_mode(kind, opts, prob)
                            if opts is not None else ("off", False))
@@ -531,9 +587,13 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
         drift_new = jnp.where(need, 0.0, st.drift)
 
     h = _potential_steps(kind, prob, st.beta, c, rsqr, lam0, n_scale)
-    h = jnp.where(cand[:, None], h, 0.0)   # screened ⇒ certified zero
-    maxh = jnp.max(jnp.abs(h))
-    viol = jnp.any(jnp.abs(h) >= opt_tol, axis=1)
+    habs = jnp.abs(h)
+    # certified-stale blocks: the recomputed h used a stale c — substitute
+    # the conservative (< tol) bound so reporting stays an upper bound
+    habs = jnp.where(use_bound[:, None], bound, habs)
+    habs = jnp.where(cand[:, None], habs, 0.0)  # screened ⇒ certified zero
+    maxh = jnp.max(habs)
+    viol = jnp.any(habs >= opt_tol, axis=1)
     active = jnp.any(st.beta != 0, axis=1) | viol
     return st._replace(rsqr=rsqr, active=active, c=c,
                        drift=drift_new), maxh

@@ -182,9 +182,13 @@ def _sharded_solve_at_lambda(kind, opts: CDOptions, prob, lam0, st: CDState,
 
         s2, maxh = lax.cond(was_full, full, act, s)
         conv = maxh < tol
-        improved = maxh < 0.7 * best
-        stall = jnp.where(improved, 0, stall + 1)
-        best = jnp.minimum(best, maxh)
+        # full-check-only stall accounting — same rationale as the
+        # single-device loop (block_cd._solve_at_lambda): active-pass maxh
+        # is trajectory noise, the certified full-check measure is not
+        improved = was_full & (maxh < best)
+        stall = jnp.where(was_full,
+                          jnp.where(improved, 0, stall + 1), stall)
+        best = jnp.where(was_full, jnp.minimum(best, maxh), best)
         done = (was_full & conv) | (stall >= patience)
         return (s2._replace(it=s.it + 1, conv=conv, done=done), best, stall)
 
