@@ -27,10 +27,12 @@ from jax import lax
 
 from ..ops.block_cd import (
     BlockedProblem,
+    _compact_mode,
+    _empty_ws_cache,
     _init_state,
     _pad_to_blocks,
     _blockify_cols,
-    _solve_at_lambda,
+    _solve_at_lambda_ws,
     _to_blocked_beta,
     _unblock,
     build_blocked,
@@ -139,19 +141,23 @@ def _scaled_lasso_core(X, y, lam, lamw, beta0, key, opts: IterLassoOptions,
 
     n_scale = jnp.asarray(n, dtype)
     # the solver state (incl. residuals and the cached KKT gradient, which
-    # is λ-independent) carries across σ rounds — no per-round re-init
+    # is λ-independent) carries across σ rounds — no per-round re-init;
+    # the compaction working-set cache rides along for the same reason
     st0 = _init_state("ls", prob, beta_b, key)
+    nc = _compact_mode("ls", cd, prob, dtype)
+    cache0 = _empty_ws_cache("ls", prob, nc) if nc else None
 
     def cond(c):
-        st, sig, sig_used, it, done = c
+        st, cache, sig, sig_used, it, done = c
         return jnp.logical_and(~done, it < opts.max_iter)
 
     def body(c):
-        st, sig, sig_used, it, done = c
+        st, cache, sig, sig_used, it, done = c
         key, k1 = jax.random.split(st.key)
         if cd.warm_start:
-            st = _solve_at_lambda("ls", cd, prob, lam * sig,
-                                  st._replace(key=k1), n_scale)
+            st, cache = _solve_at_lambda_ws("ls", cd, prob, lam * sig,
+                                            st._replace(key=k1), n_scale,
+                                            cache)
         else:
             # reference semantics: coordinateDescent! with warmStart=false
             # zeroes β and runs λ-continuation every σ round
@@ -162,10 +168,11 @@ def _scaled_lasso_core(X, y, lam, lamw, beta0, key, opts: IterLassoOptions,
         done = jnp.abs(signew - sig) / sig < opts.opt_tol
         sig_used = sig
         sig = jnp.where(done, sig, signew)
-        return (st, sig, sig_used, it + 1, done)
+        return (st, cache, sig, sig_used, it + 1, done)
 
-    init = (st0, sig, sig, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    st, sig, sig_used, it, done = lax.while_loop(cond, body, init)
+    init = (st0, cache0, sig, sig, jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool))
+    st, _, sig, sig_used, it, done = lax.while_loop(cond, body, init)
     beta = _unblock(st.beta, beta0.shape[0])
     return beta, st.r, sig_used
 
@@ -226,20 +233,24 @@ def _feasible_lasso_core(X, y, lam0, beta0, key, opts: IterLassoOptions,
     n_scale = jnp.asarray(y.shape[0], dtype)
     key, k0 = jax.random.split(key)
     st0 = _init_state("ls", prob, beta_b, k0)
+    nc = _compact_mode("ls", cd, prob, dtype)
+    cache0 = _empty_ws_cache("ls", prob, nc) if nc else None
 
     def cond(c):
-        st, gam, it, done = c
+        st, cache, gam, it, done = c
         return jnp.logical_and(~done, it < opts.max_iter)
 
     def body(c):
-        st, gam, it, done = c
+        st, cache, gam, it, done = c
         key, k1 = jax.random.split(st.key)
         # the cached KKT gradient is penalty-weight-independent, so it
-        # survives the per-round loading update
+        # survives the per-round loading update (and so does the raw-column
+        # working-set cache)
         prob_g = prob._replace(lamw=_blocked_weights(gam, B))
         if cd.warm_start:
-            st = _solve_at_lambda("ls", cd, prob_g, lam0,
-                                  st._replace(key=k1), n_scale)
+            st, cache = _solve_at_lambda_ws("ls", cd, prob_g, lam0,
+                                            st._replace(key=k1), n_scale,
+                                            cache)
         else:
             # reference semantics: cold continuation every loading round
             st = solve_blocked("ls", cd, prob_g, lam0,
@@ -247,10 +258,11 @@ def _feasible_lasso_core(X, y, lam0, beta0, key, opts: IterLassoOptions,
         gam_new = get_loadings(X, st.r)
         done = (jnp.max(jnp.abs(gam - gam_new)) / jnp.max(gam_new)
                 < opts.opt_tol)
-        return (st, gam_new, it + 1, done)
+        return (st, cache, gam_new, it + 1, done)
 
-    init = (st0, gam, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    st, gam, it, done = lax.while_loop(cond, body, init)
+    init = (st0, cache0, gam, jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool))
+    st, _, gam, it, done = lax.while_loop(cond, body, init)
     return _unblock(st.beta, beta0.shape[0]), st.r, gam
 
 

@@ -25,8 +25,10 @@ import numpy as np
 from jax import lax
 
 from ..ops.block_cd import (
+    _compact_mode,
+    _empty_ws_cache,
     _init_state,
-    _solve_at_lambda,
+    _solve_at_lambda_ws,
     _to_blocked_beta,
     build_blocked,
     solve_blocked,
@@ -57,31 +59,37 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
     # the three O(n·p) X reads per path point disappear vs naive warm
     # starting (the reference re-runs initialize! per point, lasso.jl:250)
     st0 = _init_state("ls", prob, beta_b0, key)
+    # the compaction working-set cache rides the path carry: the support
+    # only grows along a decreasing λ grid, so most points reuse one gather
+    nc = _compact_mode("ls", opts, prob, X.dtype)
+    cache0 = _empty_ws_cache("ls", prob, nc) if nc else None
 
     def scan_body(carry, lam):
-        st, stopped = carry
+        st, cache, stopped = carry
 
-        def do(st):
+        def do(args):
+            st, cache = args
             key, k1 = jax.random.split(st.key)
             if opts.warm_start:
-                return _solve_at_lambda("ls", opts, prob, lam,
-                                        st._replace(key=k1), n_scale)
+                return _solve_at_lambda_ws("ls", opts, prob, lam,
+                                           st._replace(key=k1), n_scale,
+                                           cache)
             # warm_start=False: the reference zeroes β and re-runs the full
             # λ-continuation at every path point (lasso.jl:250-252 with
             # warmStart=false, coordinate_descent.jl:24-37)
             return solve_blocked("ls", opts, prob, lam,
-                                 jnp.zeros_like(st.beta), k1)
+                                 jnp.zeros_like(st.beta), k1), cache
 
-        st = lax.cond(stopped, lambda s: s, do, st)
+        st, cache = lax.cond(stopped, lambda a: a, do, (st, cache))
         valid = ~stopped
         nnz = jnp.sum(st.beta != 0)
         # the point that first exceeds max_hat_s is still recorded
         # (lasso.jl:253-256)
         stopped = stopped | (nnz > max_hat_s)
-        return (st, stopped), (st.beta, valid)
+        return (st, cache, stopped), (st.beta, valid)
 
-    (_, _), (betas, valids) = lax.scan(
-        scan_body, (st0, jnp.zeros((), bool)), lam_path)
+    (_, _, _), (betas, valids) = lax.scan(
+        scan_body, (st0, cache0, jnp.zeros((), bool)), lam_path)
     return betas.reshape(betas.shape[0], -1)[:, :p], valids
 
 

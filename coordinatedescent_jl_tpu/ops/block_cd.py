@@ -600,39 +600,214 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
 
 
 # ---------------------------------------------------------------------------
+# Working-set compaction
+# ---------------------------------------------------------------------------
+
+
+def _compact_mode(kind, opts: CDOptions, prob: BlockedProblem, dtype) -> int:
+    """Static dispatch for working-set compaction: returns the number of
+    working-set blocks ``nc`` (0 = off).
+
+    A scattered support leaves most lanes of each ``B``-wide block idle —
+    and on TPU the waste is physical: HBM serves full (8, 128) tiles, so an
+    active pass over ``k`` scattered coordinates streams ``k`` whole column
+    blocks for ``k`` useful columns.  Compaction gathers the
+    ``compact_size`` highest-priority coordinates into a dense ``(n, C)``
+    subproblem once, then iterates on that — per-pass traffic scales with
+    the support, not with how it is scattered.
+
+    Enabled only when the working set is meaningfully smaller than the
+    problem (``C + B ≤ P`` guarantees the top-``C`` priorities are all real
+    coordinates; auto mode additionally wants ``nb ≥ 4·nc``).  Auto mode is
+    off for float64 so reference-exact trajectories are preserved.
+    """
+    if kind not in ("ls", "wls", "sqrt") or opts.compact is False:
+        return 0
+    nb, B = prob.lamw.shape
+    nc = -(-opts.compact_size // B)
+    if nc + 1 > nb:
+        return 0
+    if opts.compact is True:
+        return nc
+    f32ish = jnp.dtype(dtype).itemsize < 8
+    return nc if (f32ish and nb >= 4 * nc) else 0
+
+
+class WsCache(NamedTuple):
+    """Persistent working-set cache for compaction.
+
+    ``idx`` are the gathered coordinates (sorted), ``Xb``/``Xwb`` the dense
+    gathered column blocks, ``ok`` whether the cache holds a real gather.
+    The cached columns are raw reads of the immutable design, so the cache
+    never goes stale — only its *coverage* can lapse, which the pass checks
+    against the current support + violations each round.  It lives in the
+    λ-scan / outer-loop carries (NOT in ``CDState``), so checkpoints and
+    the sharded engine are unaffected; a resume simply re-gathers.
+    """
+
+    idx: jnp.ndarray            # (C,) int32, sorted ascending
+    Xb: jnp.ndarray             # (nc, n, B)
+    Xwb: Optional[jnp.ndarray]  # row-weighted copy (wls only), else None
+    ok: jnp.ndarray             # () bool
+
+
+def _empty_ws_cache(kind, prob: BlockedProblem, nc: int) -> WsCache:
+    n = prob.y.shape[0]
+    B = prob.lamw.shape[1]
+    Xb = jnp.zeros((nc, n, B), prob.Xb.dtype)
+    return WsCache(idx=jnp.zeros((nc * B,), jnp.int32), Xb=Xb,
+                   Xwb=(jnp.zeros_like(Xb) if kind == "wls" else None),
+                   ok=jnp.zeros((), bool))
+
+
+def _compact_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
+                  opts: CDOptions, nc: int, cache: WsCache):
+    """One working-set round: solve a dense ``(n, C)`` subproblem over the
+    top-``C`` priority coordinates (entire support + largest stale-KKT
+    steps) with the ordinary engine, and scatter the result back.
+
+    Correctness does not depend on the working-set choice: the outer loop's
+    confirming ``_full_check`` certifies global KKT (and re-activates any
+    violator outside the set, which the next round then covers), exactly
+    like the reference's active-set/full-pass alternation
+    (coordinate_descent.jl:72-90) — the working set is just a tighter,
+    lane-dense "active set".  Because every nonzero coordinate gets maximal
+    priority, the gathered problem is an *exact* restriction (all excluded
+    coordinates are zero, so the shared residual is consistent).
+
+    The expensive part is the gather itself: scattered picks touch whole
+    HBM tiles, so a fresh gather costs about as much as a full active pass.
+    It is therefore *cached* and amortized: as long as the cached index set
+    still covers the support and every (stale-bound) KKT violation, the
+    round reuses the cached dense columns and reads NO large X data at all
+    — which is the steady state for warm-started λ-path points.  On a
+    coverage miss the set is re-gathered (needs ≥ one spare block of
+    headroom over the support; dense-support regimes and rounds past
+    ``compact_rounds`` fall back to the ordinary dense active pass).
+
+    Returns ``(state, maxh, cache)`` with ``maxh = 0`` for a compact round
+    so the next outer pass is always the confirming full check.
+    """
+    nb, B = prob.lamw.shape
+    C = nc * B
+    dt = st.beta.dtype
+    key, ksub = jax.random.split(st.key)
+
+    # stale-gradient potential steps (fresh right after the full check that
+    # scheduled this pass); they only affect working-set *selection*
+    h = _potential_steps(kind, prob, st.beta, st.c, st.rsqr, lam0, n_scale)
+    habs = jnp.where(prob.valid, jnp.abs(h), 0.0)
+    required = (st.beta != 0) | (habs >= opts.opt_tol)
+    member = (jnp.zeros((nb * B,), bool).at[cache.idx].set(True)
+              .reshape(nb, B))
+    covered = ~jnp.any(required & ~member)
+    reuse = cache.ok & covered
+    nnz = jnp.sum(st.beta != 0)
+    # a re-gather needs room for the support PLUS at least one block of
+    # violators — a saturated working set (nnz == C) makes no progress
+    use = (reuse | (nnz <= C - B)) & (st.it < 2 * opts.compact_rounds)
+
+    def regather(_):
+        big = jnp.asarray(jnp.finfo(dt).max / 8, dt)
+        pri = jnp.where(st.beta != 0, big, habs)
+        pri = jnp.where(prob.valid, pri, -jnp.inf)
+        _, idx = lax.top_k(pri.reshape(-1), C)
+        idx = jnp.sort(idx)               # gather locality + fixed order
+        bi, li = idx // B, idx % B
+
+        def grab(Ab):                     # (nb, n, B) → (nc, n, B) dense
+            g = Ab[bi, :, li]             # (C, n) scattered-column gather
+            return g.reshape(nc, B, -1).transpose(0, 2, 1)
+
+        return WsCache(idx=idx, Xb=grab(prob.Xb),
+                       Xwb=(grab(prob.Xwb) if kind == "wls" else None),
+                       ok=jnp.ones((), bool))
+
+    def compact(args):
+        st, cache = args
+        cache = lax.cond(reuse, lambda c: c, regather, cache)
+        bi, li = cache.idx // B, cache.idx % B
+        sub_prob = BlockedProblem(
+            Xb=cache.Xb, Xwb=(cache.Xwb if kind == "wls" else cache.Xb),
+            y=prob.y, q=None,
+            adiag=prob.adiag[bi, li].reshape(nc, B),
+            lamw=prob.lamw[bi, li].reshape(nc, B),
+            valid=prob.valid[bi, li].reshape(nc, B),
+            xwnorm=prob.xwnorm[bi, li].reshape(nc, B))
+        beta_ws = st.beta[bi, li].reshape(nc, B)
+        sub_st = CDState(
+            beta=beta_ws, r=st.r, rsqr=st.rsqr,
+            active=jnp.any(beta_ws != 0, axis=1), key=ksub,
+            it=jnp.zeros((), jnp.int32), conv=jnp.ones((), bool),
+            done=jnp.zeros((), bool), c=jnp.zeros_like(beta_ws),
+            drift=jnp.full((nc,), 1e30, dt))
+        sub = _solve_at_lambda(kind, opts.replace(compact=False), sub_prob,
+                               lam0, sub_st, n_scale)
+        beta2 = st.beta.at[bi, li].set(sub.beta.reshape(-1))
+        dnorm = jnp.sqrt(jnp.sum((sub.r - st.r) ** 2))
+        return (st._replace(
+            beta=beta2, r=sub.r, rsqr=sub.rsqr,
+            active=jnp.any(beta2 != 0, axis=1), key=key,
+            drift=st.drift + dnorm), jnp.zeros((), dt), cache)
+
+    def dense(args):
+        st, cache = args
+        st2, maxh = _active_pass(kind, prob, st, lam0, n_scale,
+                                 opts.randomize, opts)
+        return (st2, maxh, cache)
+
+    return lax.cond(use, compact, dense, (st, cache))
+
+
+# ---------------------------------------------------------------------------
 # Epoch loop and λ-continuation
 # ---------------------------------------------------------------------------
 
 
-def _solve_at_lambda(kind, opts: CDOptions, prob: BlockedProblem, lam0,
-                     st: CDState, n_scale) -> CDState:
+def _solve_at_lambda_ws(kind, opts: CDOptions, prob: BlockedProblem, lam0,
+                        st: CDState, n_scale, cache):
     """Reference ``_coordinateDescent!`` (coordinate_descent.jl:65-92):
     alternate full/active passes until two consecutive converged passes,
     the confirming one full.  A stall detector (no ≥30% maxH improvement
     for ``stall_patience`` epochs) bounds the epochs wasted at the float32
     rounding floor when ``opt_tol`` is unreachable; it is active only for
-    sub-f64 dtypes — float64 runs keep pure reference semantics."""
+    sub-f64 dtypes — float64 runs keep pure reference semantics.
+
+    ``cache`` is the compaction working-set cache (``WsCache`` or ``None``)
+    threaded from the caller so warm-started outer loops (λ-path, σ rounds)
+    amortize the expensive column gather across solves; returns
+    ``(state, cache)``."""
     tol = opts.opt_tol
     dtype = st.beta.dtype
     patience = (opts.stall_patience
                 if jnp.dtype(dtype).itemsize < 8 else jnp.iinfo(jnp.int32).max)
+    nc = _compact_mode(kind, opts, prob, dtype)
+    if not nc:
+        cache = None
 
     def cond(c):
-        s, best, stall = c
+        s, cache, best, stall = c
         return jnp.logical_and(~s.done, s.it < opts.max_iter)
 
     def body(c):
-        s, best, stall = c
+        s, cache, best, stall = c
         was_full = s.conv
 
-        def full(s):
-            return _full_check(kind, prob, s, lam0, n_scale, tol, opts)
+        def full(args):
+            s, cache = args
+            s2, maxh = _full_check(kind, prob, s, lam0, n_scale, tol, opts)
+            return s2, maxh, cache
 
-        def act(s):
-            return _active_pass(kind, prob, s, lam0, n_scale, opts.randomize,
-                                opts)
+        def act(args):
+            s, cache = args
+            if nc:
+                return _compact_pass(kind, prob, s, lam0, n_scale, opts, nc,
+                                     cache)
+            s2, maxh = _active_pass(kind, prob, s, lam0, n_scale,
+                                    opts.randomize, opts)
+            return s2, maxh, cache
 
-        s2, maxh = lax.cond(was_full, full, act, s)
+        s2, maxh, cache = lax.cond(was_full, full, act, (s, cache))
         conv = maxh < tol
         # stall accounting uses FULL-check maxh only — the certified
         # order-independent measure.  Active-pass maxh is trajectory noise:
@@ -647,13 +822,25 @@ def _solve_at_lambda(kind, opts: CDOptions, prob: BlockedProblem, lam0,
                           jnp.where(improved, 0, stall + 1), stall)
         best = jnp.where(was_full, jnp.minimum(best, maxh), best)
         done = (was_full & conv) | (stall >= patience)
-        return (s2._replace(it=s.it + 1, conv=conv, done=done), best, stall)
+        return (s2._replace(it=s.it + 1, conv=conv, done=done), cache,
+                best, stall)
 
     st = st._replace(it=jnp.zeros((), jnp.int32),
                      conv=jnp.ones((), bool),      # first pass is full
                      done=jnp.zeros((), bool))
-    init = (st, jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32))
-    st, _, _ = lax.while_loop(cond, body, init)
+    if nc and cache is None:
+        cache = _empty_ws_cache(kind, prob, nc)
+    init = (st, cache, jnp.asarray(jnp.inf, dtype),
+            jnp.zeros((), jnp.int32))
+    st, cache, _, _ = lax.while_loop(cond, body, init)
+    return st, cache
+
+
+def _solve_at_lambda(kind, opts: CDOptions, prob: BlockedProblem, lam0,
+                     st: CDState, n_scale) -> CDState:
+    """Single-solve wrapper around ``_solve_at_lambda_ws`` (no working-set
+    cache carried across calls)."""
+    st, _ = _solve_at_lambda_ws(kind, opts, prob, lam0, st, n_scale, None)
     return st
 
 
@@ -715,11 +902,18 @@ def solve_blocked(kind: str, opts: CDOptions, prob: BlockedProblem, lam0,
     ts = jnp.linspace(jnp.log(lammax), jnp.log(lam0), opts.num_steps + 1)
     lams = jnp.exp(ts)
 
-    def scan_body(s, lam):
-        s = _solve_at_lambda(kind, opts, prob, lam, s, n_scale)
-        return s, None
+    # the compaction working-set cache rides the continuation carry: the
+    # support only grows as λ falls, so most steps reuse one gather
+    nc = _compact_mode(kind, opts, prob, dtype)
+    cache0 = _empty_ws_cache(kind, prob, nc) if nc else None
 
-    st, _ = lax.scan(scan_body, st, lams)
+    def scan_body(carry, lam):
+        s, cache = carry
+        s, cache = _solve_at_lambda_ws(kind, opts, prob, lam, s, n_scale,
+                                       cache)
+        return (s, cache), None
+
+    (st, _), _ = lax.scan(scan_body, (st, cache0), lams)
     return st
 
 

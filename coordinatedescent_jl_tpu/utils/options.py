@@ -59,6 +59,22 @@ class CDOptions:
       only candidate columns of X).  ``None``/``True`` = on (it is exact:
       solutions are unchanged, certified by the safe rule + restricted
       KKT); ``False`` = every sweep reads all stale blocks (new).
+    - ``compact``: working-set compaction.  A scattered support leaves
+      most lanes of each 128-wide block idle; compaction gathers the
+      ``compact_size`` highest-priority coordinates (support + largest
+      KKT violations) into a dense ``(n, C)`` subproblem, solves it with
+      the normal engine, and repeats until the full KKT check passes —
+      so per-pass HBM traffic scales with the support, not with how it is
+      scattered.  ``None`` (default) = auto: on for sub-float64 dtypes on
+      the regression losses when ``p`` is much larger than
+      ``compact_size`` (float64 runs keep exact reference trajectories);
+      ``True``/``False`` force.  Solutions are unchanged: convergence is
+      still certified by the full KKT sweep, with a dense-solve fallback
+      if the working set overflows (new).
+    - ``compact_size``: working-set capacity ``C`` (rounded up to the
+      block width).  Must comfortably exceed the expected support (new).
+    - ``compact_rounds``: maximum working-set refinement rounds before
+      falling back to the dense solver (new).
     """
 
     max_iter: int = 2000
@@ -72,6 +88,9 @@ class CDOptions:
     inner: str = "auto"
     block_iters: int = 16
     screen: bool | None = None
+    compact: bool | None = None
+    compact_size: int = 1024
+    compact_rounds: int = 32
 
     def replace(self, **kw) -> "CDOptions":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,138 @@
+"""Working-set compaction tests.
+
+Compaction (CDOptions.compact) gathers the support + top KKT violations
+into a dense ``(n, C)`` subproblem.  It changes the trajectory but not the
+solution: every converged solve is still certified by the engine's full KKT
+sweep (the reference's convergence contract, coordinate_descent.jl:72-90).
+These tests pin:
+
+- solution equivalence to the dense engine across losses / weights / paths,
+- the support-overflow fallback (support > C still converges, via the
+  ordinary dense active pass),
+- the static auto-gating rule (off for f64, off when the working set
+  wouldn't be meaningfully smaller than the problem).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import coordinatedescent_jl_tpu as cd
+from coordinatedescent_jl_tpu.ops.block_cd import _compact_mode, build_blocked
+
+
+def _gen(n, p, s, seed=0, noise=0.3, scatter=True):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, p))
+    beta = np.zeros(p)
+    sup = (rng.choice(p, s, replace=False) if scatter else np.arange(s))
+    beta[sup] = rng.standard_normal(s) + np.sign(rng.standard_normal(s))
+    y = X @ beta + noise * rng.standard_normal(n)
+    return jnp.asarray(X), jnp.asarray(y), sup
+
+
+BASE = cd.CDOptions(block_size=16, compact_size=64, randomize=False)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_compact_matches_dense_lasso(seed, weighted):
+    X, y, _ = _gen(200, 512, 8, seed=seed)
+    w = None
+    if weighted:
+        rng = np.random.default_rng(seed + 10)
+        w = jnp.asarray(0.5 + np.abs(rng.standard_normal(512)))
+    s_on = cd.lasso(X, y, 0.1, weights=w,
+                    options=BASE.replace(compact=True))
+    s_off = cd.lasso(X, y, 0.1, weights=w,
+                     options=BASE.replace(compact=False))
+    np.testing.assert_allclose(s_on.x, s_off.x, atol=5e-6)
+    # both sit at the same certified optimum
+    assert float(cd.lasso_duality_gap(X, y, s_on.x, 0.1, weights=w)) < 1e-6
+
+
+def test_compact_matches_dense_path():
+    X, y, _ = _gen(150, 400, 6, seed=3)
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.03), 8))
+    p_on = cd.lasso_path(X, y, lams, options=BASE.replace(compact=True),
+                         standardize_X=True)
+    p_off = cd.lasso_path(X, y, lams, options=BASE.replace(compact=False),
+                          standardize_X=True)
+    np.testing.assert_allclose(p_on.beta_path, p_off.beta_path, atol=5e-6)
+
+
+def test_compact_matches_dense_sqrt():
+    # noise-dominated regime: ‖r*‖ stays O(√n), so the sqrt-lasso optimum
+    # is well-posed (p > n with strong signal interpolates, making KKT
+    # degenerate as ‖r‖ → 0 — any comparison there is meaningless)
+    # the engine's sqrt-lasso normalization thresholds |X_j'r| at λ·‖r‖
+    # (cd_differentiable_function.jl:277-283), so the universal level is
+    # √(2·log p) — NOT the √(2·log p / n) of the (1/n)-scaled Lasso
+    X, y, _ = _gen(300, 512, 6, seed=4, noise=1.0)
+    lam = 1.1 * float(np.sqrt(2 * np.log(512)))
+    s_on = cd.sqrt_lasso(X, y, lam, options=BASE.replace(compact=True))
+    s_off = cd.sqrt_lasso(X, y, lam, options=BASE.replace(compact=False))
+    assert 0 < int(jnp.sum(s_on.x != 0)) < 48   # compaction engaged
+    np.testing.assert_allclose(s_on.x, s_off.x, atol=5e-6)
+
+
+def test_compact_cold_start_continuation():
+    X, y, _ = _gen(120, 320, 5, seed=5)
+    base = BASE.replace(warm_start=False, num_steps=20)
+    s_on = cd.lasso(X, y, 0.08, options=base.replace(compact=True))
+    s_off = cd.lasso(X, y, 0.08, options=base.replace(compact=False))
+    np.testing.assert_allclose(s_on.x, s_off.x, atol=5e-6)
+
+
+def test_compact_support_overflow_falls_back():
+    """Support larger than the working set must still converge exactly
+    (the pass detects nnz > C and falls back to the dense engine)."""
+    X, y, _ = _gen(300, 256, 40, seed=6, noise=0.05)
+    small = cd.CDOptions(block_size=16, compact_size=16, randomize=False)
+    s_on = cd.lasso(X, y, 0.01, options=small.replace(compact=True))
+    s_off = cd.lasso(X, y, 0.01, options=small.replace(compact=False))
+    assert int(jnp.sum(s_on.x != 0)) > 16
+    np.testing.assert_allclose(s_on.x, s_off.x, atol=5e-6)
+
+
+def test_compact_auto_gating():
+    opts = cd.CDOptions(block_size=16, compact_size=64)
+    X32 = jnp.ones((8, 2048), jnp.float32)
+    y32 = jnp.ones((8,), jnp.float32)
+    prob32 = build_blocked("ls", opts, jnp.ones((2048,), jnp.float32),
+                           X=X32, y=y32)
+    # auto: on for f32 when nb >= 4*nc...
+    assert _compact_mode("ls", opts, prob32, jnp.float32) == 4
+    # ...off for f64 (exact reference trajectories preserved)
+    assert _compact_mode("ls", opts, prob32, jnp.float64) == 0
+    # forced on works for any dtype
+    assert _compact_mode("ls", opts.replace(compact=True), prob32,
+                         jnp.float64) == 4
+    # off when the working set is not smaller than the problem
+    Xs = jnp.ones((8, 64), jnp.float32)
+    probs = build_blocked("ls", opts, jnp.ones((64,), jnp.float32),
+                          X=Xs, y=y32)
+    assert _compact_mode("ls", opts.replace(compact=True), probs,
+                         jnp.float32) == 0
+    # quad never compacts
+    assert _compact_mode("quad", opts.replace(compact=True), prob32,
+                         jnp.float32) == 0
+
+
+def test_compact_f32_scattered_support():
+    """The motivating regime: f32, scattered support, auto-enabled."""
+    X, y, sup = _gen(200, 4096, 10, seed=7, noise=0.1)
+    X = jnp.asarray(np.asarray(X), jnp.float32)
+    y = jnp.asarray(np.asarray(y), jnp.float32)
+    opts = cd.CDOptions(block_size=128, compact_size=512, opt_tol=1e-6)
+    prob = build_blocked("ls", opts, jnp.ones((4096,), jnp.float32),
+                         X=X, y=y)
+    assert _compact_mode("ls", opts, prob, jnp.float32) == 4  # auto-on
+    sol = cd.lasso(X, y, 0.05, options=opts)
+    sol_dense = cd.lasso(X, y, 0.05, options=opts.replace(compact=False))
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(sol_dense.x),
+                               atol=5e-4)
+    got = set(np.nonzero(np.asarray(sol.x))[0])
+    dense_sup = set(np.nonzero(np.asarray(sol_dense.x))[0])
+    assert got == dense_sup
