@@ -484,6 +484,27 @@ def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, rsqr, order, n_active,
 # ---------------------------------------------------------------------------
 
 
+def _prefetch_order(active, border):
+    """Scalar-prefetch visit order for the fused pass: the active blocks
+    first — in ``border`` (possibly permuted) order — then the skipped tail
+    clamped to the LAST active block, so consecutive equal pipeline indices
+    re-use the resident buffer and skipped steps spend no HBM bandwidth.
+
+    This is the TPU lifting of the reference's ordered / random / sparse
+    iterators (atom_iterator.jl:11-85) to block granularity; its semantics
+    are pinned directly by tests/test_iterators.py.  Returns
+    ``(order, n_active)``."""
+    nb = border.shape[0]
+    keep = active[border]
+    # stable partition: active blocks first, preserving the visit order
+    idx = jnp.argsort(~keep, stable=True)
+    order = border[idx].astype(jnp.int32)
+    n_active = jnp.sum(keep).astype(jnp.int32)
+    last = order[jnp.maximum(n_active - 1, 0)]
+    tpos = jnp.arange(nb, dtype=jnp.int32)
+    return jnp.where(tpos < n_active, order, last), n_active
+
+
 def fused_active_pass(prob, beta_b, r, active, lam0, n_scale, border,
                       corder, *, kind: str = "ls", rsqr=None,
                       inner: str = "exact", iters: int = 16,
@@ -495,16 +516,7 @@ def fused_active_pass(prob, beta_b, r, active, lam0, n_scale, border,
     ``‖r‖²``, used only by sqrt)."""
     nb, B = prob.lamw.shape
     n = prob.y.shape[0]
-    keep = active[border]
-    # stable partition: active blocks first, preserving the visit order
-    idx = jnp.argsort(~keep, stable=True)
-    order = border[idx].astype(jnp.int32)
-    n_active = jnp.sum(keep).astype(jnp.int32)
-    # clamp the skipped tail to the last active block so the pipeline
-    # re-uses the resident buffer (no wasted HBM traffic)
-    last = order[jnp.maximum(n_active - 1, 0)]
-    tpos = jnp.arange(nb, dtype=jnp.int32)
-    order = jnp.where(tpos < n_active, order, last)
+    order, n_active = _prefetch_order(active, border)
 
     dt = beta_b.dtype
     if rsqr is None:
