@@ -18,7 +18,9 @@ from .utils.helpers import (
     find_init_residuals,
     find_init_sigma,
 )
-from .ops.prox import ProxL1, ProxZero, soft_threshold
+from .ops.prox import (ProxL1, ProxL1Group, ProxZero,
+                       group_soft_threshold, soft_threshold)
+from .ops.group_cd import group_coordinate_descent, group_lasso
 from .ops.losses import (
     LeastSquaresLoss,
     WeightedLSLoss,
@@ -80,7 +82,8 @@ __all__ = [
     # options
     "CDOptions", "IterLassoOptions",
     # penalties
-    "ProxL1", "ProxZero", "soft_threshold",
+    "ProxL1", "ProxL1Group", "ProxZero", "soft_threshold",
+    "group_soft_threshold", "group_coordinate_descent", "group_lasso",
     # losses + core driver
     "LeastSquaresLoss", "WeightedLSLoss", "SqrtLassoLoss", "QuadraticLoss",
     "gradient", "value", "num_coordinates", "coordinate_descent",

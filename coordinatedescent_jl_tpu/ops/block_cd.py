@@ -59,7 +59,7 @@ from .losses import (
     SqrtLassoLoss,
     WeightedLSLoss,
 )
-from .prox import ProxL1, ProxZero, as_l1, soft_threshold
+from .prox import ProxL1, ProxL1Group, ProxZero, as_l1, soft_threshold
 from ..utils.options import CDOptions
 
 # CD convergence hinges on accurate coordinate gradients: on TPU the default
@@ -956,8 +956,16 @@ def coordinate_descent(beta0, loss, penalty, options: CDOptions = CDOptions(),
     mutating a ``SparseIterate``.  ``residuals`` is ``y − Xβ`` for the
     regression losses and ``Aβ`` for ``QuadraticLoss``.
 
-    ``penalty`` is a ``ProxL1`` (optionally weighted) or ``ProxZero``.
+    ``penalty`` is a ``ProxL1`` (optionally weighted), ``ProxZero``, or a
+    ``ProxL1Group`` (equal-size group atoms — the reference driver's
+    ``AtomIterate`` acceptance, coordinate_descent.jl:8; routed to the
+    group engine, ops/group_cd.py).
     """
+    if isinstance(penalty, ProxL1Group):
+        from .group_cd import group_coordinate_descent
+
+        return group_coordinate_descent(beta0, loss, penalty, options,
+                                        seed=seed, key=key)
     p = beta0.shape[0]
     from .losses import num_coordinates
     if num_coordinates(loss) != p:

@@ -53,6 +53,34 @@ class ProxL1(NamedTuple):
         return w
 
 
+def group_soft_threshold(v, t, axis=-1, keepdims=True):
+    """Group (block) soft-thresholding ``v · max(0, 1 − t/‖v‖₂)``.
+
+    The prox of ``t·‖·‖₂`` — the reference's ``ProximalBase`` atom prox
+    applied by ``cdprox!`` to each ``AtomIterate`` atom (the group analogue
+    of the scalar soft threshold, see coordinate_descent.jl:8).
+    """
+    nrm = jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims))
+    scale = jnp.maximum(1.0 - t / jnp.maximum(nrm, 1e-30), 0.0)
+    return v * scale
+
+
+class ProxL1Group(NamedTuple):
+    """Group-L1 penalty ``Σ_g lam0 · weights_g · ‖x_g‖₂`` over consecutive
+    equal-size groups of ``group_size`` coordinates.
+
+    The TPU analogue of the reference driver's ``AtomIterate`` support
+    (coordinate_descent.jl:8, test/atom_iterator.jl:32-85): ProximalBase's
+    ``AtomIterate`` splits the iterate into equal atoms and ``cdprox!``
+    applies the ℓ2 prox per atom.  ``group_size`` is static (it shapes the
+    compiled program); ``weights`` is per-GROUP (length ``ceil(p/G)``).
+    """
+
+    lam0: jnp.ndarray
+    group_size: int = 1
+    weights: Optional[jnp.ndarray] = None
+
+
 class ProxZero(NamedTuple):
     """No penalty: the driver minimizes the smooth loss only.
 

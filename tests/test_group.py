@@ -1,0 +1,171 @@
+"""Group-atom (AtomIterate) engine tests.
+
+The reference driver accepts ``AtomIterate`` group atoms
+(coordinate_descent.jl:8) with ProximalBase's per-atom ℓ2 prox — the group
+Lasso.  Following SURVEY.md §4 pattern 2, the engine is checked against an
+independent NumPy sequential group-CD oracle (exact per-group minimization
+by iterated prox steps), plus direct group-KKT certificates and the
+G=1 ⇒ plain-Lasso reduction.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import coordinatedescent_jl_tpu as cd
+
+
+def group_cd_oracle(X, y, lam, G, w=None, tol=1e-11, max_pass=3000):
+    """Sequential group CD; each group minimized to (numerical) exactness
+    by iterating prox-gradient steps with L = λmax(X_g'X_g)."""
+    n, p = X.shape
+    ng = p // G
+    assert ng * G == p
+    w = np.ones(ng) if w is None else np.asarray(w)
+    beta = np.zeros(p)
+    r = y.copy()
+    Ls, Ks = [], []
+    for g in range(ng):
+        Xg = X[:, g * G:(g + 1) * G]
+        K = Xg.T @ Xg
+        Ks.append(K)
+        Ls.append(np.linalg.eigvalsh(K)[-1])
+    for _ in range(max_pass):
+        maxh = 0.0
+        for g in range(ng):
+            Xg = X[:, g * G:(g + 1) * G]
+            b0 = beta[g * G:(g + 1) * G].copy()
+            c0 = Xg.T @ r
+            L, K = Ls[g], Ks[g]
+            t = n * lam * w[g] / L
+            b = b0.copy()
+            for _ in range(10000):
+                z = b + (c0 - K @ (b - b0)) / L
+                nz = np.linalg.norm(z)
+                bn = z * max(0.0, 1.0 - t / nz) if nz > 0 else z * 0.0
+                if np.max(np.abs(bn - b)) < 1e-14:
+                    b = bn
+                    break
+                b = bn
+            h = b - b0
+            maxh = max(maxh, np.max(np.abs(h)))
+            r -= Xg @ h
+            beta[g * G:(g + 1) * G] = b
+        if maxh < tol:
+            break
+    return beta, r
+
+
+def _gen(n, p, G, s_groups, seed=0, noise=0.5):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, p))
+    ng = p // G
+    beta = np.zeros(p)
+    gsup = rng.choice(ng, s_groups, replace=False)
+    for g in gsup:
+        beta[g * G:(g + 1) * G] = rng.standard_normal(G)
+    y = X @ beta + noise * rng.standard_normal(n)
+    return X, y, np.sort(gsup)
+
+
+def _group_kkt(X, y, beta, lam, G, w=None, tol=1e-6):
+    """Max group-KKT violation: zero groups need ‖X_g'r‖₂ ≤ n·λ·ω_g,
+    active groups need X_g'r = n·λ·ω_g · β_g/‖β_g‖₂."""
+    n, p = X.shape
+    ng = p // G
+    w = np.ones(ng) if w is None else np.asarray(w)
+    r = y - X @ beta
+    worst = 0.0
+    for g in range(ng):
+        Xg = X[:, g * G:(g + 1) * G]
+        cg = Xg.T @ r
+        bg = beta[g * G:(g + 1) * G]
+        lvl = n * lam * w[g]
+        if np.all(bg == 0):
+            worst = max(worst, (np.linalg.norm(cg) - lvl) / max(lvl, 1e-30))
+        else:
+            want = lvl * bg / np.linalg.norm(bg)
+            worst = max(worst, np.max(np.abs(cg - want)) / max(lvl, 1e-30))
+    return worst
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("G", [4, 8])
+def test_group_lasso_matches_oracle(seed, G):
+    X, y, gsup = _gen(150, 64, G, 3, seed=seed)
+    lam = 0.08
+    opts = cd.CDOptions(opt_tol=1e-9, randomize=False)
+    sol = cd.group_lasso(X, y, lam, G, options=opts)
+    beta_np, _ = group_cd_oracle(X, y, lam, G)
+    np.testing.assert_allclose(np.asarray(sol.x), beta_np, atol=1e-6)
+    assert _group_kkt(X, y, np.asarray(sol.x), lam, G) < 1e-5
+
+
+def test_group_lasso_weighted_matches_oracle():
+    X, y, _ = _gen(120, 48, 6, 3, seed=3)
+    ng = 48 // 6
+    rng = np.random.default_rng(9)
+    w = 0.5 + rng.random(ng)
+    lam = 0.1
+    sol = cd.group_lasso(X, y, lam, 6, weights=jnp.asarray(w),
+                         options=cd.CDOptions(opt_tol=1e-9))
+    beta_np, _ = group_cd_oracle(X, y, lam, 6, w=w)
+    np.testing.assert_allclose(np.asarray(sol.x), beta_np, atol=1e-6)
+
+
+def test_group_lasso_group_sparsity_pattern():
+    """Sparsity is group-structured: a group is all-zero or (generically)
+    all-nonzero, and planted groups are recovered at a reasonable λ."""
+    X, y, gsup = _gen(300, 80, 8, 2, seed=5, noise=0.2)
+    sol = cd.group_lasso(X, y, 0.08, 8, options=cd.CDOptions(opt_tol=1e-9))
+    b = np.asarray(sol.x).reshape(-1, 8)
+    nz_groups = np.nonzero(np.any(b != 0, axis=1))[0]
+    assert set(gsup) <= set(nz_groups)
+    for g in nz_groups:
+        assert np.all(b[g] != 0)
+
+
+def test_group_size_one_reduces_to_lasso():
+    """G=1: ‖β_g‖₂ = |β_j| — must match the scalar-L1 engine exactly."""
+    X, y, _ = _gen(100, 32, 1, 6, seed=7)
+    lam = 0.1
+    opts = cd.CDOptions(opt_tol=1e-10, randomize=False)
+    g1 = cd.group_lasso(X, y, lam, 1, options=opts)
+    l1 = cd.lasso(X, y, lam, options=opts)
+    np.testing.assert_allclose(np.asarray(g1.x), np.asarray(l1.x),
+                               atol=1e-7)
+
+
+def test_group_cold_start_continuation():
+    X, y, _ = _gen(100, 40, 4, 3, seed=8)
+    lam = 0.05
+    opts = cd.CDOptions(opt_tol=1e-9, randomize=False)
+    warm = cd.group_lasso(X, y, lam, 4, options=opts)
+    coldo = opts.replace(warm_start=False, num_steps=20)
+    cold = cd.group_lasso(X, y, lam, 4, options=coldo)
+    np.testing.assert_allclose(np.asarray(cold.x), np.asarray(warm.x),
+                               atol=1e-6)
+
+
+def test_driver_accepts_group_penalty():
+    """The main coordinate_descent driver accepts ProxL1Group — the
+    reference's AtomIterate driver contract (coordinate_descent.jl:8)."""
+    X, y, _ = _gen(80, 24, 4, 2, seed=11)
+    Xj, yj = jnp.asarray(X), jnp.asarray(y)
+    g = cd.ProxL1Group(0.1, 4)
+    beta, r = cd.coordinate_descent(
+        jnp.zeros((24,), Xj.dtype), cd.LeastSquaresLoss(yj, Xj), g,
+        cd.CDOptions(opt_tol=1e-9))
+    beta_np, r_np = group_cd_oracle(X, y, 0.1, 4)
+    np.testing.assert_allclose(np.asarray(beta), beta_np, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r), r_np, atol=1e-5)
+
+
+def test_group_padding_uneven_p():
+    """p not divisible by G exercises the padded tail group."""
+    X, y, _ = _gen(90, 30, 5, 2, seed=13)
+    X = X[:, :27]            # p=27, G=5 → 6 groups, last padded
+    beta_ref, _ = group_cd_oracle(
+        np.pad(X, ((0, 0), (0, 3))), y, 0.1, 5)
+    sol = cd.group_lasso(X, y, 0.1, 5, options=cd.CDOptions(opt_tol=1e-9))
+    np.testing.assert_allclose(np.asarray(sol.x), beta_ref[:27], atol=1e-6)
