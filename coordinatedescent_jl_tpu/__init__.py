@@ -21,6 +21,13 @@ from .utils.helpers import (
 from .ops.prox import (ProxL1, ProxL1Group, ProxZero,
                        group_soft_threshold, soft_threshold)
 from .ops.group_cd import group_coordinate_descent, group_lasso
+from .ops.symmetric import (
+    sym_num_coordinates,
+    sym_indices,
+    sym_pack,
+    sym_unpack,
+    symmetric_coordinate_descent,
+)
 from .ops.losses import (
     LeastSquaresLoss,
     WeightedLSLoss,
@@ -87,6 +94,9 @@ __all__ = [
     # losses + core driver
     "LeastSquaresLoss", "WeightedLSLoss", "SqrtLassoLoss", "QuadraticLoss",
     "gradient", "value", "num_coordinates", "coordinate_descent",
+    # symmetric-matrix iterates
+    "sym_num_coordinates", "sym_indices", "sym_pack", "sym_unpack",
+    "symmetric_coordinate_descent",
     "lasso_duality_gap", "lasso_duality_gap_f64", "lasso_kkt_residual",
     # estimators
     "LassoSolution", "lasso", "sqrt_lasso", "scaled_lasso", "feasible_lasso",
