@@ -74,6 +74,7 @@ from .models.varying_coefficient import (
     expand_X,
     locpoly,
     locpolyl1,
+    sparse_coefficients,
     refit_locpolyl1,
     lvocv_locpoly,
     lvocv_locpolyl1,
@@ -111,7 +112,7 @@ __all__ = [
     # varying coefficients
     "GaussianKernel", "EpanechnikovKernel", "SmoothingKernel",
     "create_kernel", "evaluate", "expand_X", "locpoly", "locpolyl1",
-    "refit_locpolyl1", "lvocv_locpoly", "lvocv_locpolyl1", "split_locpoly",
+    "sparse_coefficients", "refit_locpolyl1", "lvocv_locpoly", "lvocv_locpolyl1", "split_locpoly",
     "get_beta", "get_nonzero_coordinates", "get_residuals",
     "get_standard_error", "get_standard_error_hew",
 ]

@@ -436,6 +436,24 @@ def get_nonzero_coordinates(beta_e, p: int, degree: int, expanded: bool):
     return grp
 
 
+def sparse_coefficients(beta_grid, *, nse: int = None):
+    """Sparse (BCOO) view of a dense ``(ep, m)`` coefficient grid.
+
+    The reference returns ``locpolyl1``'s coefficient grids as
+    ``SparseMatrixCSC`` (varying_coefficient_lasso.jl:47-48) because the
+    per-grid-point support is tiny relative to ``ep``; this framework's
+    solvers return dense arrays (static shapes are what XLA compiles), so
+    the sparse representation is a boundary conversion instead — call this
+    on ``locpolyl1``'s outputs when ``ep × m`` is too large to keep dense.
+    ``nse`` optionally fixes the stored-element count (static shape; extra
+    slots are padded) so the conversion itself can run under ``jit``.
+    """
+    from jax.experimental import sparse
+
+    beta_grid = jnp.asarray(beta_grid)
+    return sparse.BCOO.fromdense(beta_grid, nse=nse)
+
+
 def get_residuals(X, z, y, zgrid, beta_grid, degree: int,
                   kernel: SmoothingKernel = None):
     """``ε̂_i = y_i − x_i' β̂(z_i)`` using grid interpolation of the level

@@ -24,6 +24,8 @@ from .distributed import (
     initialize_distributed,
     feature_mesh,
     grid_mesh,
+    plan_column_shards,
+    plan_device_columns,
     load_design_shard,
     shard_design_matrix,
 )
@@ -41,6 +43,8 @@ __all__ = [
     "initialize_distributed",
     "feature_mesh",
     "grid_mesh",
+    "plan_column_shards",
+    "plan_device_columns",
     "load_design_shard",
     "shard_design_matrix",
 ]

@@ -68,6 +68,32 @@ def grid_mesh(batch: int, devices=None) -> Mesh:
                 ("batch", "feature"))
 
 
+def plan_column_shards(p: int, num_shards: int) -> list:
+    """Per-shard global column ranges ``[(lo, hi), …]`` for an even
+    ceil-division split of ``p`` columns over ``num_shards`` processes.
+    Ranges are disjoint, ordered, cover exactly ``[0, p)``, and trailing
+    shards may be ragged (possibly empty).  This is the single source of
+    truth for the multi-process ingestion arithmetic (unit-tested with
+    fake process layouts in tests/test_distributed.py)."""
+    cols = -(-p // num_shards)
+    return [(min(s * cols, p), min((s + 1) * cols, p))
+            for s in range(num_shards)]
+
+
+def plan_device_columns(p_local: int, n_local_devices: int) -> list:
+    """Per-local-device slices of a process's ``p_local`` columns:
+    ``[(lo, hi, pad), …]`` with ``hi − lo + pad`` equal for every device
+    (the device shards of a global array must be same-shaped; ragged
+    tails are zero-padded)."""
+    per_dev = -(-p_local // n_local_devices)
+    out = []
+    for i in range(n_local_devices):
+        lo = min(i * per_dev, p_local)
+        hi = min(lo + per_dev, p_local)
+        out.append((lo, hi, per_dev - (hi - lo)))
+    return out
+
+
 def load_design_shard(path: str, n: int, p: int, shard_index: int,
                       num_shards: int, dtype=np.float32) -> np.ndarray:
     """Memory-map the column block ``shard_index`` of an (n, p) row-major
@@ -77,9 +103,7 @@ def load_design_shard(path: str, n: int, p: int, shard_index: int,
     copy touches ``n * (p / num_shards)`` elements, so a host never pages
     in other hosts' columns beyond read granularity.
     """
-    cols = -(-p // num_shards)
-    lo = shard_index * cols
-    hi = min(lo + cols, p)
+    lo, hi = plan_column_shards(p, num_shards)[shard_index]
     mm = np.memmap(path, dtype=dtype, mode="r", shape=(n, p))
     return np.ascontiguousarray(mm[:, lo:hi])
 
@@ -100,12 +124,14 @@ def shard_design_matrix(mesh: Mesh, x_local: np.ndarray, n: int, p: int, *,
     local_devices = [d for d in mesh.devices.flatten()
                      if d.process_index == jax.process_index()]
     n_local = len(local_devices)
-    per_dev = -(-x_local.shape[1] // n_local)
+    plan = plan_device_columns(x_local.shape[1], n_local)
     arrays = []
-    for i, d in enumerate(local_devices):
-        block = x_local[:, i * per_dev:(i + 1) * per_dev]
-        if block.shape[1] < per_dev:          # pad the ragged tail
-            block = np.pad(block, ((0, 0), (0, per_dev - block.shape[1])))
+    per_dev = 0
+    for d, (lo, hi, pad) in zip(local_devices, plan):
+        block = x_local[:, lo:hi]
+        if pad:                               # pad the ragged tail
+            block = np.pad(block, ((0, 0), (0, pad)))
+        per_dev = block.shape[1]
         arrays.append(jax.device_put(block, d))
     return jax.make_array_from_single_device_arrays(
         (n, per_dev * n_local * jax.process_count()), sharding, arrays)

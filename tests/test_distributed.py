@@ -55,3 +55,71 @@ def test_shard_design_matrix_and_solve(tmp_path):
     ref = cd.lasso(jnp.asarray(X), jnp.asarray(y), 0.1,
                    options=cd.CDOptions(block_size=8))
     np.testing.assert_allclose(sol.x, ref.x, atol=1e-5)
+
+
+def test_plan_column_shards_fake_layouts():
+    """Multi-process slicing arithmetic under fake process layouts (no
+    multi-process runtime needed): shards are disjoint, ordered, cover
+    [0, p) exactly, and trailing shards absorb the raggedness."""
+    from coordinatedescent_jl_tpu.parallel import plan_column_shards
+
+    for p, num in [(24, 3), (25, 3), (1, 4), (7, 8), (1000, 7), (64, 1)]:
+        plan = plan_column_shards(p, num)
+        assert len(plan) == num
+        cover = []
+        prev_hi = 0
+        for lo, hi in plan:
+            assert lo == prev_hi and hi >= lo
+            cover.extend(range(lo, hi))
+            prev_hi = hi
+        assert cover == list(range(p))
+        widths = [hi - lo for lo, hi in plan]
+        # only trailing shards may be narrower, and by at most the full width
+        full = widths[0]
+        seen_short = False
+        for w in widths:
+            if w < full:
+                seen_short = True
+            elif seen_short:
+                raise AssertionError(f"non-trailing ragged shard: {widths}")
+
+
+def test_plan_device_columns_fake_layouts():
+    """Per-device slices are equal-width after padding (the device shards
+    of a global array must be same-shaped), disjoint, and cover the
+    process's local columns."""
+    from coordinatedescent_jl_tpu.parallel import plan_device_columns
+
+    for p_local, nd in [(16, 4), (17, 4), (3, 8), (8, 1), (0, 2)]:
+        plan = plan_device_columns(p_local, nd)
+        assert len(plan) == nd
+        widths = {hi - lo + pad for lo, hi, pad in plan}
+        assert len(widths) == 1                      # same-shaped shards
+        cover = []
+        for lo, hi, pad in plan:
+            assert 0 <= lo <= hi <= p_local and pad >= 0
+            cover.extend(range(lo, hi))
+        assert cover == list(range(p_local))
+
+
+def test_shard_plans_compose_to_global_matrix():
+    """End-to-end fake 4-process x 2-device layout: process shards then
+    device slices reassemble the exact global matrix with padding only at
+    the global tail — the arithmetic shard_design_matrix relies on."""
+    from coordinatedescent_jl_tpu.parallel import (plan_column_shards,
+                                                   plan_device_columns)
+
+    rng = np.random.default_rng(2)
+    n, p, procs, devs = 8, 29, 4, 2
+    X = rng.standard_normal((n, p))
+    cols = []
+    for lo, hi in plan_column_shards(p, procs):
+        xl = X[:, lo:hi]
+        for dlo, dhi, pad in plan_device_columns(xl.shape[1], devs):
+            blk = xl[:, dlo:dhi]
+            if pad:
+                blk = np.pad(blk, ((0, 0), (0, pad)))
+            cols.append(blk)
+    glob = np.concatenate(cols, axis=1)
+    np.testing.assert_array_equal(glob[:, :p], X)
+    assert not np.any(glob[:, p:])

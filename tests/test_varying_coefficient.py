@@ -358,3 +358,20 @@ def test_refit_locpolyl1():
     br, S = refit_locpolyl1(X, z, y, 0.5, degree, kernel, beta)
     assert S.shape == (p,)
     assert np.asarray(br).shape == (S.sum() * (degree + 1),)
+
+
+def test_sparse_coefficients_roundtrip():
+    """BCOO boundary conversion of a locpolyl1-style coefficient grid —
+    the reference's SparseMatrixCSC return representation
+    (varying_coefficient_lasso.jl:47-48)."""
+    rng = np.random.default_rng(0)
+    dense = np.zeros((30, 7))
+    dense[rng.choice(30, 5, replace=False), 2] = rng.standard_normal(5)
+    dense[rng.choice(30, 3, replace=False), 5] = 1.0
+    from coordinatedescent_jl_tpu import sparse_coefficients
+    sp = sparse_coefficients(jnp.asarray(dense))
+    assert sp.nse == np.count_nonzero(dense)
+    np.testing.assert_array_equal(np.asarray(sp.todense()), dense)
+    # static-nse variant is jit-compatible
+    sp2 = sparse_coefficients(jnp.asarray(dense), nse=16)
+    np.testing.assert_array_equal(np.asarray(sp2.todense()), dense)
