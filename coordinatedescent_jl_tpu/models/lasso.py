@@ -145,7 +145,7 @@ def _scaled_lasso_core(X, y, lam, lamw, beta0, key, opts: IterLassoOptions,
     # the compaction working-set cache rides along for the same reason
     st0 = _init_state("ls", prob, beta_b, key)
     nc = _compact_mode("ls", cd, prob, dtype)
-    cache0 = _empty_ws_cache("ls", prob, nc) if nc else None
+    cache0 = _empty_ws_cache("ls", prob, nc, cd) if nc else None
 
     def cond(c):
         st, cache, sig, sig_used, it, done = c
@@ -234,7 +234,7 @@ def _feasible_lasso_core(X, y, lam0, beta0, key, opts: IterLassoOptions,
     key, k0 = jax.random.split(key)
     st0 = _init_state("ls", prob, beta_b, k0)
     nc = _compact_mode("ls", cd, prob, dtype)
-    cache0 = _empty_ws_cache("ls", prob, nc) if nc else None
+    cache0 = _empty_ws_cache("ls", prob, nc, cd) if nc else None
 
     def cond(c):
         st, cache, gam, it, done = c

@@ -62,7 +62,7 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
     # the compaction working-set cache rides the path carry: the support
     # only grows along a decreasing λ grid, so most points reuse one gather
     nc = _compact_mode("ls", opts, prob, X.dtype)
-    cache0 = _empty_ws_cache("ls", prob, nc) if nc else None
+    cache0 = _empty_ws_cache("ls", prob, nc, opts) if nc else None
 
     def scan_body(carry, lam):
         st, cache, stopped = carry

@@ -98,6 +98,9 @@ class BlockedProblem(NamedTuple):
     xwnorm: jnp.ndarray  # (nb, B) ‖Xw_j‖ — the per-coordinate staleness
                          # gain of the cached gradient: |Xw_j'Δr| ≤
                          # ‖Xw_j‖·‖Δr‖ (unused for quad)
+    Kb: Optional[jnp.ndarray] = None  # (nb, B, B) cached per-block Grams
+                                      # ``Xw_b' X_b`` (λ-independent; see
+                                      # CDOptions.cache_gram) or None
 
 
 class CDState(NamedTuple):
@@ -173,8 +176,36 @@ def build_blocked(kind: str, opts: CDOptions, lamw_full, *, X=None, y=None,
     valid = _blockify_cols(
         _pad_to_blocks(jnp.ones((P0,), dtype=bool), B, fill=False)[None, :], B
     )[:, 0, :]
+    Kb = None
+    if kind != "quad" and _gram_mode(kind, opts, Xb.shape[0], B, dtype):
+        Kb = _block_grams(Xwb, Xb)
     return BlockedProblem(Xb=Xb, Xwb=Xwb, y=yv, q=qp, adiag=adiag,
-                          lamw=lamw_b, valid=valid, xwnorm=xwnorm)
+                          lamw=lamw_b, valid=valid, xwnorm=xwnorm, Kb=Kb)
+
+
+def _gram_mode(kind, opts: CDOptions, nb: int, B: int, dtype=None) -> bool:
+    """Static decision for the per-block Gram cache (CDOptions.cache_gram).
+    Auto = on for the regression losses when the (nb, B, B) cache stays
+    under 256 MiB AND working-set compaction will not engage (a compacting
+    solve visits full-problem blocks only in rare fallback passes, so the
+    ``2·n·p·B``-FLOP full build would never amortize — the gathered working
+    set gets its own Gram cache instead, see ``WsCache.Kb``).  Pass
+    ``dtype=None`` to skip the compaction check (used for sub-problems,
+    whose caller already decided).  Quad never caches (its ``A`` blocks
+    already hold K)."""
+    if kind not in ("ls", "wls", "sqrt") or opts.cache_gram is False:
+        return False
+    if opts.cache_gram is True:
+        return True
+    if dtype is not None and _compact_nc(kind, opts, nb, B, dtype):
+        return False
+    return nb * B * B * 4 <= 256 * 1024 * 1024
+
+
+def _block_grams(Xwb, Xb):
+    """All per-block Grams ``K_b = Xw_b' X_b`` in one batched MXU contraction
+    (the one-time build that removes half of every visit's FLOPs)."""
+    return jnp.einsum("bnk,bnl->bkl", Xwb, Xb, precision=_PREC)
 
 
 # ---------------------------------------------------------------------------
@@ -379,8 +410,11 @@ def _xla_active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
                 c = -(rb + qb)
             else:
                 Gw = prob.Xwb[b]
-                K = jnp.dot(Gw.T, G, preferred_element_type=G.dtype,
-                            precision=_PREC)
+                if prob.Kb is not None:
+                    K = prob.Kb[b]
+                else:
+                    K = jnp.dot(Gw.T, G, preferred_element_type=G.dtype,
+                                precision=_PREC)
                 c = jnp.dot(Gw.T, r, precision=_PREC)
             bb = beta[b]
             bb2, rsqr2, mh = _visit_block(
@@ -621,9 +655,16 @@ def _compact_mode(kind, opts: CDOptions, prob: BlockedProblem, dtype) -> int:
     coordinates; auto mode additionally wants ``nb ≥ 4·nc``).  Auto mode is
     off for float64 so reference-exact trajectories are preserved.
     """
+    nb, B = prob.lamw.shape
+    return _compact_nc(kind, opts, nb, B, dtype)
+
+
+def _compact_nc(kind, opts: CDOptions, nb: int, B: int, dtype) -> int:
+    """Shape-level core of :func:`_compact_mode` (also consulted by
+    ``_gram_mode`` to decide whether a full-problem Gram cache would ever
+    amortize)."""
     if kind not in ("ls", "wls", "sqrt") or opts.compact is False:
         return 0
-    nb, B = prob.lamw.shape
     nc = -(-opts.compact_size // B)
     if nc + 1 > nb:
         return 0
@@ -649,15 +690,22 @@ class WsCache(NamedTuple):
     Xb: jnp.ndarray             # (nc, n, B)
     Xwb: Optional[jnp.ndarray]  # row-weighted copy (wls only), else None
     ok: jnp.ndarray             # () bool
+    Kb: Optional[jnp.ndarray] = None  # (nc, B, B) gathered-block Grams
+                                      # (recomputed per gather, amortized
+                                      # over every inner pass) or None
 
 
-def _empty_ws_cache(kind, prob: BlockedProblem, nc: int) -> WsCache:
+def _empty_ws_cache(kind, prob: BlockedProblem, nc: int,
+                    opts: CDOptions) -> WsCache:
     n = prob.y.shape[0]
     B = prob.lamw.shape[1]
     Xb = jnp.zeros((nc, n, B), prob.Xb.dtype)
+    gram = _gram_mode(kind, opts, nc, B)
     return WsCache(idx=jnp.zeros((nc * B,), jnp.int32), Xb=Xb,
                    Xwb=(jnp.zeros_like(Xb) if kind == "wls" else None),
-                   ok=jnp.zeros((), bool))
+                   ok=jnp.zeros((), bool),
+                   Kb=(jnp.zeros((nc, B, B), prob.Xb.dtype) if gram
+                       else None))
 
 
 def _compact_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
@@ -719,9 +767,13 @@ def _compact_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
             g = Ab[bi, :, li]             # (C, n) scattered-column gather
             return g.reshape(nc, B, -1).transpose(0, 2, 1)
 
-        return WsCache(idx=idx, Xb=grab(prob.Xb),
-                       Xwb=(grab(prob.Xwb) if kind == "wls" else None),
-                       ok=jnp.ones((), bool))
+        Xb_ws = grab(prob.Xb)
+        Xwb_ws = grab(prob.Xwb) if kind == "wls" else None
+        Kb_ws = None
+        if cache.Kb is not None:
+            Kb_ws = _block_grams(Xwb_ws if kind == "wls" else Xb_ws, Xb_ws)
+        return WsCache(idx=idx, Xb=Xb_ws, Xwb=Xwb_ws,
+                       ok=jnp.ones((), bool), Kb=Kb_ws)
 
     def compact(args):
         st, cache = args
@@ -733,7 +785,8 @@ def _compact_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
             adiag=prob.adiag[bi, li].reshape(nc, B),
             lamw=prob.lamw[bi, li].reshape(nc, B),
             valid=prob.valid[bi, li].reshape(nc, B),
-            xwnorm=prob.xwnorm[bi, li].reshape(nc, B))
+            xwnorm=prob.xwnorm[bi, li].reshape(nc, B),
+            Kb=cache.Kb)
         beta_ws = st.beta[bi, li].reshape(nc, B)
         sub_st = CDState(
             beta=beta_ws, r=st.r, rsqr=st.rsqr,
@@ -829,7 +882,7 @@ def _solve_at_lambda_ws(kind, opts: CDOptions, prob: BlockedProblem, lam0,
                      conv=jnp.ones((), bool),      # first pass is full
                      done=jnp.zeros((), bool))
     if nc and cache is None:
-        cache = _empty_ws_cache(kind, prob, nc)
+        cache = _empty_ws_cache(kind, prob, nc, opts)
     init = (st, cache, jnp.asarray(jnp.inf, dtype),
             jnp.zeros((), jnp.int32))
     st, cache, _, _ = lax.while_loop(cond, body, init)
@@ -905,7 +958,7 @@ def solve_blocked(kind: str, opts: CDOptions, prob: BlockedProblem, lam0,
     # the compaction working-set cache rides the continuation carry: the
     # support only grows as λ falls, so most steps reuse one gather
     nc = _compact_mode(kind, opts, prob, dtype)
-    cache0 = _empty_ws_cache(kind, prob, nc) if nc else None
+    cache0 = _empty_ws_cache(kind, prob, nc, opts) if nc else None
 
     def scan_body(carry, lam):
         s, cache = carry

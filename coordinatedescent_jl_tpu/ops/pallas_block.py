@@ -33,6 +33,14 @@ Two variants, auto-selected by VMEM footprint:
   streams row chunks to accumulate ``K``/``c``, phase 1 re-streams them to
   apply the residual update (2 reads of each active block per pass, still
   ahead of the XLA path which reads them twice *and* pays per-op dispatch).
+- **chunked + retention** (large n that still leaves room for ONE whole
+  ``(n, B)`` block in VMEM): phase 0 additionally copies each streamed
+  chunk into a persistent VMEM scratch, and phase 1 replays the block from
+  that scratch — its pipeline index is clamped to the last phase-0 chunk so
+  it issues NO new HBM traffic.  One X read per active block per pass (the
+  resident variant's speed-of-light traffic) at chunked-variant VMEM cost:
+  this is what removes the 2× read penalty at the benchmark shape
+  (n = 10K, B = 128, where the resident variant is ~3× over budget).
 """
 
 from __future__ import annotations
@@ -60,14 +68,28 @@ def _resident_fits(n: int, B: int, weighted: bool = False) -> bool:
     return factor * 6 * n * B * 4 < _VMEM_BUDGET - 1024 * 1024
 
 
-def pallas_pass_fits(n: int, B: int, nb: int, weighted: bool) -> bool:
-    """Static check that some variant fits the VMEM budget."""
+def _chunked_state_bytes(n: int, B: int, nb: int, weighted: bool) -> tuple:
+    """(state, chunk) byte footprints of the chunked kernel."""
     factor = 2 if weighted else 1
-    if _resident_fits(n, B, weighted):
-        return True
-    # chunked variant: chunk buffers + transposes + β/λw/r state
     state = 3 * nb * B * 4 + 2 * 4 * -(-n // _ROW_CHUNK) * _ROW_CHUNK
     chunk = factor * 6 * _ROW_CHUNK * B * 4
+    return state, chunk
+
+
+def _retention_fits(n: int, B: int, nb: int, weighted: bool) -> bool:
+    """Whether the chunked kernel can afford the extra persistent (n, B)
+    VMEM scratch that lets phase 1 replay the block without re-reading HBM
+    (phase 1 needs only the unweighted X, so one scratch even for wls)."""
+    state, chunk = _chunked_state_bytes(n, B, nb, weighted)
+    keep = -(-n // _ROW_CHUNK) * _ROW_CHUNK * B * 4
+    return state + chunk + keep < _VMEM_BUDGET
+
+
+def pallas_pass_fits(n: int, B: int, nb: int, weighted: bool) -> bool:
+    """Static check that some variant fits the VMEM budget."""
+    if _resident_fits(n, B, weighted):
+        return True
+    state, chunk = _chunked_state_bytes(n, B, nb, weighted)
     return state + chunk < _VMEM_BUDGET
 
 
@@ -199,10 +221,19 @@ def _block_ista(K_ref, c, beta0, lamw, thr_scale, B, iters: int):
 # ---------------------------------------------------------------------------
 
 
-def _make_resident_kernel(B: int, kind: str, inner: str, iters: int):
+def _make_resident_kernel(B: int, kind: str, inner: str, iters: int,
+                          gram: bool):
     weighted = kind == "wls"
 
     def kernel(order_ref, na_ref, corder_ref, *refs):
+        if gram:
+            # cached-Gram tile pipelined alongside the X block (64 KB vs
+            # the 2·n·B² MXU FLOPs it replaces — see CDOptions.cache_gram)
+            x_refs, (K_ref, *refs) = refs[:2 if weighted else 1], \
+                refs[2 if weighted else 1:]
+            refs = tuple(x_refs) + tuple(refs)
+        else:
+            K_ref = None
         if weighted:
             (Xb_ref, Xwb_ref, lamw_ref, lam_ref, nsc_ref, rsqr_in, beta_in,
              r_in, beta_out, r_out, maxh_ref, rsqr_out, K_s) = refs
@@ -227,9 +258,12 @@ def _make_resident_kernel(B: int, kind: str, inner: str, iters: int):
             Xw = Xwb_ref[0]
             r = r_out[:]                              # (1, n)
             dt = X.dtype
-            K_s[:] = lax.dot_general(
-                Xw, X, (((0,), (0,)), ((), ())),
-                preferred_element_type=dt, precision=_PREC)
+            if gram:
+                K_s[:] = K_ref[0]
+            else:
+                K_s[:] = lax.dot_general(
+                    Xw, X, (((0,), (0,)), ((), ())),
+                    preferred_element_type=dt, precision=_PREC)
             c = lax.dot_general(
                 r, Xw, (((1,), (0,)), ((), ())),
                 preferred_element_type=dt, precision=_PREC)
@@ -267,18 +301,24 @@ def _make_resident_kernel(B: int, kind: str, inner: str, iters: int):
 @functools.partial(
     jax.jit, static_argnames=("n", "B", "nb", "kind", "inner", "iters",
                               "interpret"))
-def _resident_pass(Xb, Xwb, lamw, beta_b, r, rsqr, order, n_active, corder,
-                   lam0, n_scale, *, n, B, nb, kind, inner, iters,
+def _resident_pass(Xb, Xwb, Kb, lamw, beta_b, r, rsqr, order, n_active,
+                   corder, lam0, n_scale, *, n, B, nb, kind, inner, iters,
                    interpret):
     weighted = kind == "wls"
-    kernel = _make_resident_kernel(B, kind, inner, iters)
+    gram = Kb is not None
+    kernel = _make_resident_kernel(B, kind, inner, iters, gram)
     x_spec = pl.BlockSpec(
         (1, n, B), lambda t, order_ref, na_ref, co_ref: (order_ref[t], 0, 0),
         memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec(
+        (1, B, B), lambda t, order_ref, na_ref, co_ref: (order_ref[t], 0, 0),
+        memory_space=pltpu.VMEM)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    data_in = [Xb] + ([Xwb] if weighted else [])
-    in_specs = [x_spec] * (2 if weighted else 1) + [vm, sm, sm, sm, vm, vm]
+    data_in = [Xb] + ([Xwb] if weighted else []) + ([Kb] if gram else [])
+    in_specs = ([x_spec] * (2 if weighted else 1)
+                + ([k_spec] if gram else [])
+                + [vm, sm, sm, sm, vm, vm])
     # DYNAMIC grid: exactly the active steps run (plus one clamped step when
     # the active set is empty, so the t==0 state init still executes).
     # Per-grid-step overhead is what bounds these kernels in-loop — a full
@@ -328,10 +368,20 @@ def _resident_pass(Xb, Xwb, lamw, beta_b, r, rsqr, order, n_active, corder,
 
 
 def _make_chunked_kernel(B: int, R: int, n: int, nr: int, kind: str,
-                         inner: str, iters: int):
+                         inner: str, iters: int, retain: bool, gram: bool):
     weighted = kind == "wls"
 
     def kernel(order_ref, na_ref, corder_ref, *refs):
+        if retain:
+            *refs, Xk_s = refs
+        else:
+            Xk_s = None
+        if gram:
+            x_refs, (K_ref, *rest) = refs[:2 if weighted else 1], \
+                refs[2 if weighted else 1:]
+            refs = tuple(x_refs) + tuple(rest)
+        else:
+            K_ref = None
         if weighted:
             (Xb_ref, Xwb_ref, lamw_ref, lam_ref, nsc_ref, rsqr_in, beta_in,
              r_in, beta_out, r_out, maxh_ref, rsqr_out, K_s, c_s, d_s) = refs
@@ -359,21 +409,36 @@ def _make_chunked_kernel(B: int, R: int, n: int, nr: int, kind: str,
             # BlockSpec pipeline with unspecified values)
             rowmask = (lax.broadcasted_iota(jnp.int32, (R, 1), 0)
                        + j * R) < n
-            X = jnp.where(rowmask, Xb_ref[0], 0.0)    # (R, B)
+            if retain:
+                # phase 0 banks the streamed (masked) chunk in the
+                # persistent scratch; phase 1 replays it from VMEM — its
+                # pipeline index is clamped (see xmap), so the block is
+                # read from HBM exactly once per visit
+                X = jnp.where(phase == 0,
+                              jnp.where(rowmask, Xb_ref[0], 0.0),
+                              Xk_s[pl.ds(j * R, R), :])
+            else:
+                X = jnp.where(rowmask, Xb_ref[0], 0.0)    # (R, B)
             rc = r_out[:, pl.ds(j * R, R)]            # (1, R)
 
             @pl.when(phase == 0)
             def _():
+                if retain:
+                    Xk_s[pl.ds(j * R, R), :] = X
                 Xw = jnp.where(rowmask, Xwb_ref[0], 0.0) if weighted else X
 
                 @pl.when(j == 0)
                 def _():
-                    K_s[:] = jnp.zeros_like(K_s)
+                    if gram:
+                        K_s[:] = K_ref[0]
+                    else:
+                        K_s[:] = jnp.zeros_like(K_s)
                     c_s[:] = jnp.zeros_like(c_s)
 
-                K_s[:] += lax.dot_general(
-                    Xw, X, (((0,), (0,)), ((), ())),
-                    preferred_element_type=dt, precision=_PREC)
+                if not gram:
+                    K_s[:] += lax.dot_general(
+                        Xw, X, (((0,), (0,)), ((), ())),
+                        preferred_element_type=dt, precision=_PREC)
                 c_s[:] += lax.dot_general(
                     rc, Xw, (((1,), (0,)), ((), ())),
                     preferred_element_type=dt, precision=_PREC)
@@ -419,25 +484,36 @@ def _make_chunked_kernel(B: int, R: int, n: int, nr: int, kind: str,
 
 @functools.partial(
     jax.jit, static_argnames=("n", "B", "nb", "R", "kind", "inner", "iters",
-                              "interpret"))
-def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, rsqr, order, n_active,
+                              "retain", "interpret"))
+def _chunked_pass(Xb, Xwb, Kb, lamw, beta_b, r_pad, rsqr, order, n_active,
                   corder, lam0, n_scale, *, n, B, nb, R, kind, inner, iters,
-                  interpret):
+                  retain, interpret):
     weighted = kind == "wls"
+    gram = Kb is not None
     nr = -(-n // R)
-    kernel = _make_chunked_kernel(B, R, n, nr, kind, inner, iters)
+    kernel = _make_chunked_kernel(B, R, n, nr, kind, inner, iters, retain,
+                                  gram)
 
     def xmap(t, ph, j, order_ref, na_ref, co_ref):
         # clamp skipped steps to chunk 0 of the last active block so the
-        # pipeline re-uses the resident buffer
+        # pipeline re-uses the resident buffer; with retention, phase 1 is
+        # additionally clamped to the last phase-0 chunk (same block) so it
+        # issues no HBM traffic at all — the kernel replays from scratch
         jj = jnp.where(t < na_ref[0], j, 0)
+        if retain:
+            jj = jnp.where(ph == 0, jj, jnp.where(t < na_ref[0], nr - 1, 0))
         return (order_ref[t], jj, 0)
 
     x_spec = pl.BlockSpec((1, R, B), xmap, memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec(
+        (1, B, B), lambda t, ph, j, order_ref, na_ref, co_ref:
+        (order_ref[t], 0, 0), memory_space=pltpu.VMEM)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    data_in = [Xb] + ([Xwb] if weighted else [])
-    in_specs = [x_spec] * (2 if weighted else 1) + [vm, sm, sm, sm, vm, vm]
+    data_in = [Xb] + ([Xwb] if weighted else []) + ([Kb] if gram else [])
+    in_specs = ([x_spec] * (2 if weighted else 1)
+                + ([k_spec] if gram else [])
+                + [vm, sm, sm, sm, vm, vm])
     dt = beta_b.dtype
     # dynamic major grid dim: only the active blocks generate grid steps
     gsize = jnp.maximum(n_active[0], 1)
@@ -455,8 +531,9 @@ def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, rsqr, order, n_active,
             pltpu.VMEM((B, B), dt),
             pltpu.VMEM((1, B), dt),
             pltpu.VMEM((1, B), dt),
-        ],
+        ] + ([pltpu.VMEM((nr * R, B), dt)] if retain else []),
     )
+    x_reads = 1 if retain else 2
     beta_out, r_out, maxh, rsqr_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -470,7 +547,8 @@ def _chunked_pass(Xb, Xwb, lamw, beta_b, r_pad, rsqr, order, n_active,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * n * B * (B + 2),
-            bytes_accessed=2 * nb * n * B * 4 + 2 * n * 4 + 3 * nb * B * 4,
+            bytes_accessed=(x_reads * nb * n * B * 4 + 2 * n * 4
+                            + 3 * nb * B * 4),
             transcendentals=0,
         ),
     )(order, n_active, corder, *data_in,
@@ -521,7 +599,7 @@ def fused_active_pass(prob, beta_b, r, active, lam0, n_scale, border,
     dt = beta_b.dtype
     if rsqr is None:
         rsqr = jnp.zeros((), dt)
-    args = (prob.Xb, prob.Xwb, prob.lamw, beta_b)
+    args = (prob.Xb, prob.Xwb, prob.Kb, prob.lamw, beta_b)
     scalars = (order, n_active.reshape(1), corder.astype(jnp.int32),
                jnp.asarray(lam0, dt), jnp.asarray(n_scale, dt))
     if _resident_fits(n, B, weighted=(kind == "wls")):
@@ -537,6 +615,7 @@ def fused_active_pass(prob, beta_b, r, active, lam0, n_scale, border,
     beta2, r_row, maxh, rsqr2 = _chunked_pass(
         *args, r_pad, jnp.asarray(rsqr, dt), *scalars,
         n=n, B=B, nb=nb, R=R, kind=kind, inner=inner, iters=iters,
+        retain=_retention_fits(n, B, nb, weighted=(kind == "wls")),
         interpret=interpret)
     return beta2, r_row.reshape(-1)[:n], maxh, rsqr2
 

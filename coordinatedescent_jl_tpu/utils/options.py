@@ -75,6 +75,17 @@ class CDOptions:
       block width).  Must comfortably exceed the expected support (new).
     - ``compact_rounds``: maximum working-set refinement rounds before
       falling back to the dense solver (new).
+    - ``cache_gram``: precompute every block's Gram matrix
+      ``K_b = Xw_b' X_b`` once per problem build and stream the cached
+      ``B×B`` tiles into the passes instead of recomputing them each block
+      visit.  The Gram recursion makes ``K`` half the FLOPs of a visit
+      (2·n·B² vs the 2·n·B reads), so cached Grams turn the pass from
+      MXU-bound into the HBM-bound streaming kernel it is designed to be.
+      ``K`` depends only on ``X`` (λ- and σ-independent), so one build
+      serves the whole λ-path / outer σ loop.  ``None`` (default) = auto:
+      on for the regression losses when the cache is ≤ 256 MiB
+      (``p·B·4`` bytes); ``True``/``False`` force.  No effect on
+      solutions (new).
     """
 
     max_iter: int = 2000
@@ -91,6 +102,7 @@ class CDOptions:
     compact: bool | None = None
     compact_size: int = 1024
     compact_rounds: int = 32
+    cache_gram: bool | None = None
 
     def replace(self, **kw) -> "CDOptions":
         return dataclasses.replace(self, **kw)

@@ -199,10 +199,12 @@ def pass_roofline(n: int, p: int, *, block_size: int = 128,
     synthetic problem and report it against the chip's peak (the
     north-star roofline metric).
 
-    Bandwidth accounting: the resident variant reads each active X block
-    once (4·n·B bytes f32); the chunked variant reads it twice.
+    Bandwidth accounting: the resident and chunked-with-retention variants
+    read each active X block once (4·n·B bytes f32); the plain chunked
+    fallback reads it twice.
     """
-    from ..ops.pallas_block import _resident_fits, fused_active_pass
+    from ..ops.pallas_block import (_resident_fits, _retention_fits,
+                                    fused_active_pass)
 
     opts = CDOptions(block_size=block_size, randomize=False)
     key = jax.random.PRNGKey(seed)
@@ -241,7 +243,10 @@ def pass_roofline(n: int, p: int, *, block_size: int = 128,
     t1 = simple_timeit(chained(1), prob, st.beta, st.r, st.active)
     tk = simple_timeit(chained(1 + k), prob, st.beta, st.r, st.active)
     sec = max((tk - t1) / k, 1e-9)
-    reads = 1 if _resident_fits(n, B) else 2
+    # resident AND chunked-with-retention variants read each active block
+    # exactly once; only the plain chunked fallback pays the second read
+    reads = (1 if (_resident_fits(n, B) or _retention_fits(n, B, nb, False))
+             else 2)
     nbytes = reads * n_act * n * B * np.dtype(np.float32).itemsize
     kind = jax.devices()[0].device_kind
     peak = _PEAK_HBM.get(kind, 8.2e11)

@@ -190,3 +190,50 @@ def test_fused_gradient_sweep_matches_einsum():
     ref = _full_gradient_c("ls", prob, r)
     out = fused_gradient_sweep(prob.Xwb, r, interpret=True)
     np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("gram", [False, True])
+@pytest.mark.parametrize("retain", [False, True])
+@pytest.mark.parametrize("kind", ["ls", "wls", "sqrt"])
+def test_chunked_pass_matches_xla(kind, retain, gram):
+    """Chunked streaming variant (with and without the phase-1 VMEM
+    retention that removes the second HBM read) vs the XLA pass, forced
+    via a small row chunk so nr > 1 and the tail chunk is ragged."""
+    from coordinatedescent_jl_tpu.ops.pallas_block import _chunked_pass
+
+    rng = np.random.default_rng(41)
+    n, p, B, R = 90, 64, 16, 32          # nr = 3, last chunk ragged
+    X, y = _gen(n, p, 7, seed=41)
+    w = jnp.asarray(0.2 + rng.random(n))
+    opts = cd.CDOptions(block_size=B, randomize=False)
+    lamw = jnp.asarray(0.5 + rng.random(p))
+    kw = {"X": X, "y": y}
+    if kind == "wls":
+        kw["w"] = w
+    prob = build_blocked(kind, opts, lamw, **kw)
+    if not gram:
+        prob = prob._replace(Kb=None)
+    nb = prob.lamw.shape[0]
+    beta_b = jnp.asarray(
+        rng.standard_normal((nb, B)) * (rng.random((nb, B)) < 0.3))
+    beta_b = (beta_b * prob.valid).at[2].set(0.0)
+    st = _init_state(kind, prob, beta_b, jax.random.PRNGKey(0))
+    lam0 = jnp.asarray(0.05)
+    nsc = jnp.asarray(float(n))
+
+    st2, maxh2 = _active_pass(kind, prob, st, lam0, nsc, randomize=False)
+
+    from coordinatedescent_jl_tpu.ops.pallas_block import _prefetch_order
+    order, n_active = _prefetch_order(st.active, jnp.arange(nb))
+    nr = -(-n // R)
+    r_pad = jnp.pad(st.r, (0, nr * R - n)).reshape(1, nr * R)
+    b3, r3, mh3, rs3 = _chunked_pass(
+        prob.Xb, prob.Xwb, prob.Kb, prob.lamw, st.beta, r_pad, st.rsqr,
+        order, n_active.reshape(1), jnp.arange(B, dtype=jnp.int32),
+        lam0, nsc, n=n, B=B, nb=nb, R=R, kind=kind, inner="exact",
+        iters=16, retain=retain, interpret=True)
+    np.testing.assert_allclose(b3, st2.beta, atol=1e-12)
+    np.testing.assert_allclose(r3.reshape(-1)[:n], st2.r, atol=1e-12)
+    np.testing.assert_allclose(float(mh3), float(maxh2), atol=1e-12)
+    if kind == "sqrt":
+        np.testing.assert_allclose(float(rs3), float(st2.rsqr), rtol=1e-10)
