@@ -43,6 +43,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.block_cd import (
     CDState,
     _active_pass,
+    _compact_mode,
+    _compact_pass,
+    _empty_ws_cache,
     _full_check,
     _lambda_max,
     _solve_at_lambda,
@@ -74,7 +77,8 @@ def _sharded_objective(kind, prob, r, beta_b, lam0, n_scale, w, axis):
 
 
 def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
-                         axis, n_shards: int, w=None, opts=None):
+                         axis, n_shards: int, w=None, opts=None,
+                         nc: int = 0, cache=None):
     """One concurrent pass: exact sequential block CD within each shard,
     block-Jacobi across shards, merged by one residual psum over ICI.
 
@@ -87,9 +91,24 @@ def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
     ``P(β + (1/D)·Σ_s Δ_s) ≤ (1/D)·Σ_s P(β + Δ_s) ≤ P(β)``.
     The fixed points are unchanged (Δ = 0 ⟺ per-shard KKT), and final
     convergence is certified by the order-independent KKT sweep either way.
+
+    With ``nc > 0`` (working-set compaction, CDOptions.compact) the
+    shard-local proposal comes from a compact working-set round
+    (block_cd._compact_pass) over the shard's own columns instead of a
+    dense pass: each shard solves its gathered dense subproblem against the
+    replicated residual (others frozen — the same frozen-shard premise),
+    which both cuts per-shard HBM traffic on scattered supports and
+    replaces many per-pass psum merges with one merge per inner solve.
+    The safeguard, exact-zero snap, and KKT certification are unchanged.
+    Returns ``(state, maxh, cache)``.
     """
     r0, beta0_b = st.r, st.beta
-    st2, maxh = _active_pass(kind, prob, st, lam0, n_scale, randomize, opts)
+    if nc:
+        st2, maxh, cache = _compact_pass(kind, prob, st, lam0, n_scale,
+                                         opts, nc, cache)
+    else:
+        st2, maxh = _active_pass(kind, prob, st, lam0, n_scale, randomize,
+                                 opts)
     dbeta = st2.beta - beta0_b
     # Δr_s = local residual drift = −X_s Δβ_s ; merge all shards' corrections
     dr = lax.psum(st2.r - r0, axis)
@@ -139,7 +158,7 @@ def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
                        drift=st.drift + dnorm)
     if kind == "sqrt":
         st2 = st2._replace(rsqr=r_new @ r_new)
-    return st2, maxh
+    return st2, maxh, cache
 
 
 def _sharded_full_check(kind, prob, st: CDState, lam0, n_scale, opt_tol,
@@ -152,35 +171,48 @@ def _sharded_full_check(kind, prob, st: CDState, lam0, n_scale, opt_tol,
 
 def _sharded_solve_at_lambda(kind, opts: CDOptions, prob, lam0, st: CDState,
                              n_scale, axis, n_shards: int = 1,
-                             w=None) -> CDState:
+                             w=None, cache=None):
     """Distributed form of the reference ``_coordinateDescent!`` epoch loop
     (coordinate_descent.jl:65-92): alternate full KKT sweeps and concurrent
     active passes until two consecutive converged passes (full confirming).
     All convergence scalars are replicated across shards (post-pmax), so the
-    ``while_loop`` trips identically on every device."""
+    ``while_loop`` trips identically on every device.
+
+    ``cache`` is the per-shard compaction working-set cache (``WsCache`` or
+    ``None``) threaded from the caller so warm-started outer loops amortize
+    the gather across λ points — the sharded mirror of
+    block_cd._solve_at_lambda_ws.  Returns ``(state, cache)``."""
     tol = opts.opt_tol
     dtype = st.beta.dtype
     patience = (opts.stall_patience
                 if jnp.dtype(dtype).itemsize < 8 else jnp.iinfo(jnp.int32).max)
+    nc = _compact_mode(kind, opts, prob, dtype)
+    if not nc:
+        cache = None
+    elif cache is None:
+        cache = _empty_ws_cache(kind, prob, nc, opts)
 
     def cond(c):
-        s, best, stall = c
+        s, cache, best, stall = c
         return jnp.logical_and(~s.done, s.it < opts.max_iter)
 
     def body(c):
-        s, best, stall = c
+        s, cache, best, stall = c
         was_full = s.conv
 
-        def full(s):
-            return _sharded_full_check(kind, prob, s, lam0, n_scale, tol,
-                                       axis)
+        def full(args):
+            s, cache = args
+            s2, maxh = _sharded_full_check(kind, prob, s, lam0, n_scale,
+                                           tol, axis)
+            return s2, maxh, cache
 
-        def act(s):
+        def act(args):
+            s, cache = args
             return _sharded_active_pass(kind, prob, s, lam0, n_scale,
                                         opts.randomize, axis, n_shards, w,
-                                        opts)
+                                        opts, nc, cache)
 
-        s2, maxh = lax.cond(was_full, full, act, s)
+        s2, maxh, cache = lax.cond(was_full, full, act, (s, cache))
         conv = maxh < tol
         # full-check-only stall accounting — same rationale as the
         # single-device loop (block_cd._solve_at_lambda): active-pass maxh
@@ -190,14 +222,16 @@ def _sharded_solve_at_lambda(kind, opts: CDOptions, prob, lam0, st: CDState,
                           jnp.where(improved, 0, stall + 1), stall)
         best = jnp.where(was_full, jnp.minimum(best, maxh), best)
         done = (was_full & conv) | (stall >= patience)
-        return (s2._replace(it=s.it + 1, conv=conv, done=done), best, stall)
+        return (s2._replace(it=s.it + 1, conv=conv, done=done), cache,
+                best, stall)
 
     st = st._replace(it=jnp.zeros((), jnp.int32),
                      conv=jnp.ones((), bool),
                      done=jnp.zeros((), bool))
-    init = (st, jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32))
-    st, _, _ = lax.while_loop(cond, body, init)
-    return st
+    init = (st, cache, jnp.asarray(jnp.inf, dtype),
+            jnp.zeros((), jnp.int32))
+    st, cache, _, _ = lax.while_loop(cond, body, init)
+    return st, cache
 
 
 def _sharded_init_state(kind, prob, beta_b, key,
@@ -228,20 +262,28 @@ def solve_blocked_sharded(kind: str, opts: CDOptions, prob, lam0, beta0_b,
 
     if opts.warm_start:
         st = _sharded_init_state(kind, prob, beta0_b, key, axis)
-        return _sharded_solve_at_lambda(kind, opts, prob, lam0, st, n_scale,
-                                        axis, n_shards, w)
+        st, _ = _sharded_solve_at_lambda(kind, opts, prob, lam0, st,
+                                         n_scale, axis, n_shards, w)
+        return st
 
     st = _sharded_init_state(kind, prob, jnp.zeros_like(beta0_b), key, axis)
     lammax = lax.pmax(_lambda_max(kind, prob, st, n_scale), axis)
     ts = jnp.linspace(jnp.log(lammax), jnp.log(lam0), opts.num_steps + 1)
     lams = jnp.exp(ts)
 
-    def scan_body(s, lam):
-        s = _sharded_solve_at_lambda(kind, opts, prob, lam, s, n_scale,
-                                     axis, n_shards, w)
-        return s, None
+    # the per-shard compaction working-set cache rides the continuation
+    # carry (same amortization as block_cd.solve_blocked)
+    nc = _compact_mode(kind, opts, prob, dtype)
+    cache0 = _empty_ws_cache(kind, prob, nc, opts) if nc else None
 
-    st, _ = lax.scan(scan_body, st, lams)
+    def scan_body(carry, lam):
+        s, cache = carry
+        s, cache = _sharded_solve_at_lambda(kind, opts, prob, lam, s,
+                                            n_scale, axis, n_shards, w,
+                                            cache)
+        return (s, cache), None
+
+    (st, _), _ = lax.scan(scan_body, (st, cache0), lams)
     return st
 
 
@@ -392,18 +434,20 @@ def _make_sharded_scaled(opts: IterLassoOptions, mesh: Mesh, axis: str,
         n_scale = jnp.asarray(n, Xl.dtype)
         sig = sig0
         st0 = _sharded_init_state("ls", prob, beta_b, key, axis)
+        nc = _compact_mode("ls", cd, prob, Xl.dtype)
+        cache0 = _empty_ws_cache("ls", prob, nc, cd) if nc else None
 
         def cond(c):
-            st, sig, sig_used, it, done = c
+            st, cache, sig, sig_used, it, done = c
             return jnp.logical_and(~done, it < opts.max_iter)
 
         def body(c):
-            st, sig, sig_used, it, done = c
+            st, cache, sig, sig_used, it, done = c
             key, k1 = jax.random.split(st.key)
             if cd.warm_start:
-                st = _sharded_solve_at_lambda("ls", cd, prob, lam * sig,
-                                              st._replace(key=k1), n_scale,
-                                              axis, D)
+                st, cache = _sharded_solve_at_lambda(
+                    "ls", cd, prob, lam * sig, st._replace(key=k1),
+                    n_scale, axis, D, cache=cache)
             else:
                 # reference semantics: cold λ-continuation every σ round
                 st = solve_blocked_sharded("ls", cd, prob, lam * sig,
@@ -415,11 +459,11 @@ def _make_sharded_scaled(opts: IterLassoOptions, mesh: Mesh, axis: str,
             done = jnp.abs(signew - sig) / sig < opts.opt_tol
             sig_used = sig
             sig = jnp.where(done, sig, signew)
-            return (st, sig, sig_used, it + 1, done)
+            return (st, cache, sig, sig_used, it + 1, done)
 
-        init = (st0, sig, sig, jnp.zeros((), jnp.int32),
+        init = (st0, cache0, sig, sig, jnp.zeros((), jnp.int32),
                 jnp.zeros((), bool))
-        st, sig, sig_used, *_ = lax.while_loop(cond, body, init)
+        st, _, sig, sig_used, *_ = lax.while_loop(cond, body, init)
         return st.beta.reshape(-1)[: beta0l.shape[0]], st.r, sig_used
 
     fn = jax.shard_map(
@@ -489,29 +533,33 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
                                    opts.block_size)
         n_scale = jnp.asarray(y.shape[0], Xl.dtype)
         st0 = _sharded_init_state("ls", prob, beta_b0, key, axis)
+        nc = _compact_mode("ls", opts, prob, Xl.dtype)
+        cache0 = _empty_ws_cache("ls", prob, nc, opts) if nc else None
 
         def scan_body(carry, lam):
-            st, stopped = carry
+            st, cache, stopped = carry
             key, k1 = jax.random.split(st.key)
             st = st._replace(key=key)
 
-            def do(st):
+            def do(args):
+                st, cache = args
                 if opts.warm_start:
                     return _sharded_solve_at_lambda(
                         "ls", opts, prob, lam, st._replace(key=k1),
-                        n_scale, axis, D)
+                        n_scale, axis, D, cache=cache)
                 return solve_blocked_sharded(
                     "ls", opts, prob, lam, jnp.zeros_like(st.beta), k1,
-                    axis, D)
+                    axis, D), cache
 
-            st = lax.cond(stopped, lambda s: s, do, st)
+            st, cache = lax.cond(stopped, lambda a: a, do, (st, cache))
             valid = ~stopped
             nnz = lax.psum(jnp.sum(st.beta != 0), axis)
             stopped = stopped | (nnz > max_hat_s)
-            return (st, stopped), (st.beta.reshape(-1)[:p_local], valid)
+            return (st, cache, stopped), (st.beta.reshape(-1)[:p_local],
+                                          valid)
 
-        (_, _), (betas, valids) = lax.scan(
-            scan_body, (st0, jnp.zeros((), bool)), lam_path)
+        (_, _, _), (betas, valids) = lax.scan(
+            scan_body, (st0, cache0, jnp.zeros((), bool)), lam_path)
         return betas, valids
 
     fn = jax.shard_map(

@@ -197,3 +197,29 @@ def test_sharded_pallas_interpret_sqrt(feature_mesh):
     opts = OPTS.replace(use_pallas=True)
     sol = sqrt_lasso_sharded(X, y, lam, feature_mesh, options=opts)
     np.testing.assert_allclose(sol.x, ref.x, atol=1e-5)
+
+
+def test_sharded_compaction_matches_single_device(feature_mesh):
+    """Working-set compaction inside the sharded epoch loop (per-shard
+    gathered subproblems, one psum merge per inner solve) must agree with
+    the single-device compacting solver and the dense sharded path."""
+    rng = np.random.default_rng(51)
+    n, p, s = 120, 512, 10
+    X = rng.standard_normal((n, p))
+    beta = np.zeros(p)
+    beta[rng.choice(p, s, replace=False)] = rng.standard_normal(s)
+    y = X @ beta + 0.2 * rng.standard_normal(n)
+    lam = 0.15
+    # force compaction (auto is f32-only; tests run f64): B=8, C=32 -> nc=4,
+    # local nb = 512/8/8 = 8 blocks per shard >= nc+1
+    o_comp = cd.CDOptions(block_size=8, compact=True, compact_size=32,
+                          opt_tol=1e-9, randomize=False)
+    o_dense = o_comp.replace(compact=False)
+    sol_sh = lasso_sharded(X, y, lam, feature_mesh, options=o_comp)
+    sol_1d = cd.lasso(X, y, lam, options=o_comp)
+    sol_dense = lasso_sharded(X, y, lam, feature_mesh, options=o_dense)
+    np.testing.assert_allclose(sol_sh.x, sol_1d.x, atol=1e-6)
+    np.testing.assert_allclose(sol_sh.x, sol_dense.x, atol=1e-6)
+    # exact-sparsity semantics survive the damped merges + snap
+    assert np.array_equal(np.asarray(sol_sh.x) != 0,
+                          np.asarray(sol_1d.x) != 0)
