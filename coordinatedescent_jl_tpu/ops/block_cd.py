@@ -788,12 +788,22 @@ def _compact_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
             xwnorm=prob.xwnorm[bi, li].reshape(nc, B),
             Kb=cache.Kb)
         beta_ws = st.beta[bi, li].reshape(nc, B)
+        # seed the subproblem's gradient cache from the outer cache: the
+        # working set's columns are raw gathers of the same X and the
+        # residual is shared, so the cached c transfers coordinate-wise;
+        # a working-set block's drift is bounded by the worst source
+        # block's drift (per-coordinate bound |c_exact − c|_j ≤
+        # ‖Xw_j‖·drift[block(j)] stays valid under the max).  In the warm
+        # steady state (outer drift ≈ 0 right after the scheduling check)
+        # this lets the inner solve's first full check certify without
+        # re-reading the gathered columns at all.
+        sub_c = st.c[bi, li].reshape(nc, B)
+        sub_drift = jnp.max(st.drift[bi].reshape(nc, B), axis=1)
         sub_st = CDState(
             beta=beta_ws, r=st.r, rsqr=st.rsqr,
             active=jnp.any(beta_ws != 0, axis=1), key=ksub,
             it=jnp.zeros((), jnp.int32), conv=jnp.ones((), bool),
-            done=jnp.zeros((), bool), c=jnp.zeros_like(beta_ws),
-            drift=jnp.full((nc,), 1e30, dt))
+            done=jnp.zeros((), bool), c=sub_c, drift=sub_drift)
         sub = _solve_at_lambda(kind, opts.replace(compact=False), sub_prob,
                                lam0, sub_st, n_scale)
         beta2 = st.beta.at[bi, li].set(sub.beta.reshape(-1))
