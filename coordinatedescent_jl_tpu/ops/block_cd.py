@@ -199,7 +199,8 @@ def _gram_mode(kind, opts: CDOptions, nb: int, B: int, dtype=None) -> bool:
         return True
     if dtype is not None and _compact_nc(kind, opts, nb, B, dtype):
         return False
-    return nb * B * B * 4 <= 256 * 1024 * 1024
+    itemsize = 4 if dtype is None else jnp.dtype(dtype).itemsize
+    return nb * B * B * itemsize <= 256 * 1024 * 1024
 
 
 def _block_grams(Xwb, Xb):
@@ -708,6 +709,28 @@ def _empty_ws_cache(kind, prob: BlockedProblem, nc: int,
                        else None))
 
 
+def _ws_cache_from_idx(kind, prob: BlockedProblem, nc: int,
+                       opts: CDOptions, idx, ok) -> WsCache:
+    """(Re)build a working-set cache from a coordinate index set — the
+    gather is a deterministic function of (X, idx), which is what lets a
+    checkpoint persist only ``idx``/``ok`` and still reconstruct the cache
+    exactly on resume (utils/checkpoint.py)."""
+    B = prob.lamw.shape[1]
+    idx = jnp.asarray(idx, jnp.int32)
+    bi, li = idx // B, idx % B
+
+    def grab(Ab):
+        g = Ab[bi, :, li]
+        return g.reshape(nc, B, -1).transpose(0, 2, 1)
+
+    Xb = grab(prob.Xb)
+    Xwb = grab(prob.Xwb) if kind == "wls" else None
+    gram = _gram_mode(kind, opts, nc, B)
+    Kb = (_block_grams(Xwb if kind == "wls" else Xb, Xb) if gram else None)
+    return WsCache(idx=idx, Xb=Xb, Xwb=Xwb, ok=jnp.asarray(ok, bool),
+                   Kb=Kb)
+
+
 def _compact_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
                   opts: CDOptions, nc: int, cache: WsCache):
     """One working-set round: solve a dense ``(n, C)`` subproblem over the
@@ -761,19 +784,7 @@ def _compact_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
         pri = jnp.where(prob.valid, pri, -jnp.inf)
         _, idx = lax.top_k(pri.reshape(-1), C)
         idx = jnp.sort(idx)               # gather locality + fixed order
-        bi, li = idx // B, idx % B
-
-        def grab(Ab):                     # (nb, n, B) → (nc, n, B) dense
-            g = Ab[bi, :, li]             # (C, n) scattered-column gather
-            return g.reshape(nc, B, -1).transpose(0, 2, 1)
-
-        Xb_ws = grab(prob.Xb)
-        Xwb_ws = grab(prob.Xwb) if kind == "wls" else None
-        Kb_ws = None
-        if cache.Kb is not None:
-            Kb_ws = _block_grams(Xwb_ws if kind == "wls" else Xb_ws, Xb_ws)
-        return WsCache(idx=idx, Xb=Xb_ws, Xwb=Xwb_ws,
-                       ok=jnp.ones((), bool), Kb=Kb_ws)
+        return _ws_cache_from_idx(kind, prob, nc, opts, idx, True)
 
     def compact(args):
         st, cache = args

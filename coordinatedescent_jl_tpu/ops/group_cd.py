@@ -73,8 +73,14 @@ def _build_group_problem(X, y, lamw_g, G: int) -> GroupProblem:
     Xg = X.reshape(n, ng, G).transpose(1, 0, 2)
     valid = (jnp.arange(P).reshape(ng, G) < p)
     # batched power iteration for λmax(X_g'X_g) (tight majorizer; safety
-    # factor absorbs the finite iteration count and rounding)
-    v = jnp.full((ng, G), 1.0 / jnp.sqrt(G), X.dtype)
+    # factor absorbs the finite iteration count and rounding).  The start
+    # vector is RANDOM: a deterministic start (e.g. all-ones) can be
+    # exactly orthogonal to the dominant eigenspace — a group containing an
+    # anti-correlated column pair (x, −x) gives K·1 = 0, collapsing the
+    # estimate to ~0 and the MM visits to NaN.
+    v = jax.random.normal(jax.random.PRNGKey(7), (ng, G), X.dtype)
+    v = v / jnp.maximum(
+        jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True)), 1e-30)
 
     def it_body(v, _):
         w = jnp.einsum("gnk,gk->gn", Xg, v, precision=_PREC)
@@ -83,14 +89,22 @@ def _build_group_problem(X, y, lamw_g, G: int) -> GroupProblem:
         return v2 / jnp.maximum(lam, 1e-30), lam[:, 0]
 
     v, lams = lax.scan(it_body, v, None, length=12)
-    # Rayleigh estimate after the last normalized step; trace is a safe cap
+    # Rayleigh estimate after the last normalized step.  trace ≥ λmax is
+    # the always-safe cap; it is ALSO the fallback whenever the estimate is
+    # degenerate (≲ eps·trace) — flooring with a tiny constant instead
+    # would make L ≪ λmax and the MM steps divergent (NaN β).  A too-large
+    # L only slows visits; soundness is unaffected (the fixed-point sweep
+    # characterizes KKT for any L > 0).
     trace = jnp.einsum("gnk,gnk->g", Xg, Xg, precision=_PREC)
-    Lg = jnp.minimum(lams[-1] * 1.05 + 1e-12, trace + 1e-12)
+    est = lams[-1] * 1.05
+    eps = jnp.asarray(jnp.finfo(X.dtype).eps, X.dtype)
+    Lg = jnp.where(est > 16.0 * eps * trace,
+                   jnp.minimum(est, trace), trace) + 1e-12
     return GroupProblem(Xg=Xg, y=y, Lg=Lg, lamw=jnp.asarray(lamw_g, X.dtype),
                         valid=valid)
 
 
-def _mm_visit(Xg_g, K, c0, beta0, L, thr, iters: int):
+def _mm_visit(K, c0, beta0, L, thr, iters: int):
     """``iters`` proximal-gradient (MM) steps on one group's subproblem.
 
     Entering residual gradient ``c0 = X_g'r``; the running gradient at
@@ -128,7 +142,7 @@ def _group_active_pass(prob: GroupProblem, st: GroupState, lam0, n_scale,
             L = prob.Lg[g]
             thr = n_scale * lam0 * prob.lamw[g] / jnp.maximum(L, 1e-30)
             b0 = beta[g]
-            b1 = _mm_visit(Xg_g, K, c0, b0, L, thr, iters)
+            b1 = _mm_visit(K, c0, b0, L, thr, iters)
             b1 = jnp.where(prob.valid[g], b1, 0.0)
             h = b1 - b0
             r2 = r - jnp.dot(Xg_g, h, precision=_PREC)

@@ -48,7 +48,6 @@ from ..ops.block_cd import (
     _empty_ws_cache,
     _full_check,
     _lambda_max,
-    _solve_at_lambda,
     _to_blocked_beta,
     build_blocked,
 )
@@ -104,8 +103,15 @@ def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
     """
     r0, beta0_b = st.r, st.beta
     if nc:
+        # screen=False: gap-safe screening's dual certificate assumes the
+        # residual is y − X_restricted·β_restricted, but other shards'
+        # frozen nonzero coefficients make the shard-local subproblem's
+        # effective response y_eff = y − X_other·β_other ≠ y — the safe
+        # rule would not be safe here.  The single-device compact path
+        # keeps screening (its restriction is exact).
         st2, maxh, cache = _compact_pass(kind, prob, st, lam0, n_scale,
-                                         opts, nc, cache)
+                                         opts.replace(screen=False), nc,
+                                         cache)
     else:
         st2, maxh = _active_pass(kind, prob, st, lam0, n_scale, randomize,
                                  opts)

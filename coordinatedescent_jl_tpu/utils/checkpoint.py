@@ -27,8 +27,11 @@ import numpy as np
 
 from ..models.lasso_path import LassoPath
 from ..ops.block_cd import (
+    _compact_nc,
+    _empty_ws_cache,
+    _ws_cache_from_idx,
     _init_state,
-    _solve_at_lambda,
+    _solve_at_lambda_ws,
     _to_blocked_beta,
     build_blocked,
     solve_blocked,
@@ -55,6 +58,11 @@ class PathCheckpoint(NamedTuple):
     c: np.ndarray            # (nb, B) cached KKT gradient (λ-independent)
     drift: np.ndarray        # (nb,) staleness bound on each block of c
     active: np.ndarray       # (nb,) active-block mask
+    ws_idx: np.ndarray       # (C,) compaction working-set indices
+                             # (empty when compaction is off; the dense
+                             # gathered columns are NOT persisted — they
+                             # are a deterministic re-gather of ws_idx)
+    ws_ok: bool              # whether ws_idx holds a real gather
 
 
 def save_checkpoint(path: str, ck: PathCheckpoint) -> None:
@@ -68,6 +76,10 @@ def load_checkpoint(path: str) -> Optional[PathCheckpoint]:
     if not os.path.exists(path):
         return None
     with np.load(path) as z:
+        if any(f not in z.files for f in PathCheckpoint._fields):
+            # old-format / foreign file: treat like a mismatched grid —
+            # ignore and restart rather than crash mid-resume
+            return None
         return PathCheckpoint(
             lam_path=z["lam_path"],
             next_index=int(z["next_index"]),
@@ -79,6 +91,8 @@ def load_checkpoint(path: str) -> Optional[PathCheckpoint]:
             c=z["c"],
             drift=z["drift"],
             active=z["active"],
+            ws_idx=z["ws_idx"],
+            ws_ok=bool(z["ws_ok"]),
         )
 
 
@@ -103,33 +117,51 @@ def lasso_path_resumable(X, y, lam_path, checkpoint_file: str,
     lamw = std_X(X) if standardize_X else jnp.ones((p,), X.dtype)
     n_scale = jnp.asarray(n, X.dtype)
 
+    nc = _compact_nc("ls", options, -(-p // options.block_size),
+                     options.block_size, X.dtype)
+
     @jax.jit
     def init_state(key):
         prob = build_blocked("ls", options, lamw, X=X, y=y)
+        cache = _empty_ws_cache("ls", prob, nc, options) if nc else None
         return _init_state(
             "ls", prob, _to_blocked_beta(jnp.zeros((p,), X.dtype),
-                                         options.block_size), key)
+                                         options.block_size), key), cache
 
     @jax.jit
-    def solve_one(lam, st):
-        # mirror models/lasso_path._lasso_path_core.scan_body exactly so
+    def rebuild_cache(idx, ok):
+        prob = build_blocked("ls", options, lamw, X=X, y=y)
+        return _ws_cache_from_idx("ls", prob, nc, options, idx, ok)
+
+    @jax.jit
+    def solve_one(lam, st, cache):
+        # mirror models/lasso_path._lasso_path_core.scan_body exactly —
+        # including the carried compaction working-set cache — so
         # resumable trajectories coincide with the scan path's
         prob = build_blocked("ls", options, lamw, X=X, y=y)
         key, k1 = jax.random.split(st.key)
         if options.warm_start:
-            st = _solve_at_lambda("ls", options, prob, lam,
-                                  st._replace(key=k1), n_scale)
+            st, cache = _solve_at_lambda_ws("ls", options, prob, lam,
+                                            st._replace(key=k1), n_scale,
+                                            cache)
         else:
             st = solve_blocked("ls", options, prob, lam,
                               jnp.zeros_like(st.beta), k1)
-        return st
+        return st, cache
 
     ck = load_checkpoint(checkpoint_file)
     if ck is not None and (ck.lam_path.shape == lam_np.shape
                            and np.allclose(ck.lam_path, lam_np)):
         start = ck.next_index
         betas = [b for b in ck.beta_path]
-        st = init_state(jnp.asarray(ck.key))  # shape/dtype template
+        st, cache = init_state(jnp.asarray(ck.key))  # shape/dtype template
+        if nc and ck.ws_idx.shape[0] == nc * options.block_size:
+            # the dense gathered columns are a deterministic function of
+            # (X, ws_idx): reconstructing them restores the cache exactly,
+            # so a resumed run's working-set choices (and hence its whole
+            # trajectory) coincide with the uninterrupted run's
+            cache = rebuild_cache(jnp.asarray(ck.ws_idx, jnp.int32),
+                                  bool(ck.ws_ok))
         st = st._replace(
             beta=_to_blocked_beta(jnp.asarray(ck.beta_warm, X.dtype),
                                   options.block_size),
@@ -142,10 +174,10 @@ def lasso_path_resumable(X, y, lam_path, checkpoint_file: str,
     else:
         start = 0
         betas = []
-        st = init_state(jax.random.PRNGKey(seed))
+        st, cache = init_state(jax.random.PRNGKey(seed))
 
     for i in range(start, lam_np.shape[0]):
-        st = solve_one(jnp.asarray(lam_np[i], X.dtype), st)
+        st, cache = solve_one(jnp.asarray(lam_np[i], X.dtype), st, cache)
         beta_i = np.asarray(st.beta.reshape(-1)[:p])
         betas.append(beta_i)
         if (i + 1) % checkpoint_every == 0 or i == lam_np.shape[0] - 1:
@@ -162,6 +194,9 @@ def lasso_path_resumable(X, y, lam_path, checkpoint_file: str,
                 c=np.asarray(st.c),
                 drift=np.asarray(st.drift),
                 active=np.asarray(st.active),
+                ws_idx=(np.asarray(cache.idx) if cache is not None
+                        else np.zeros((0,), np.int32)),
+                ws_ok=(bool(cache.ok) if cache is not None else False),
             ))
 
     return LassoPath(jnp.asarray(lam_np), jnp.asarray(np.stack(betas)))

@@ -169,3 +169,20 @@ def test_group_padding_uneven_p():
         np.pad(X, ((0, 0), (0, 3))), y, 0.1, 5)
     sol = cd.group_lasso(X, y, 0.1, 5, options=cd.CDOptions(opt_tol=1e-9))
     np.testing.assert_allclose(np.asarray(sol.x), beta_ref[:27], atol=1e-6)
+
+
+def test_group_anticorrelated_pair_no_nan():
+    """A group holding an anti-correlated column pair (x, −x) defeats a
+    deterministic power-iteration start (K·1 = 0 ⇒ majorizer collapse ⇒
+    NaN MM visits) — regression for the randomized start + trace
+    fallback."""
+    rng = np.random.default_rng(21)
+    n = 80
+    x1 = rng.standard_normal(n)
+    x2 = rng.standard_normal(n)
+    X = np.stack([x1, -x1, x2, 0.5 * x2 + rng.standard_normal(n)], axis=1)
+    y = X @ np.array([1.0, 0.0, -0.5, 0.2]) + 0.1 * rng.standard_normal(n)
+    sol = cd.group_lasso(X, y, 0.05, 2, options=cd.CDOptions(opt_tol=1e-9))
+    b = np.asarray(sol.x)
+    assert np.all(np.isfinite(b))
+    assert _group_kkt(X, y, b, 0.05, 2) < 1e-6

@@ -114,3 +114,53 @@ def test_debug_nans_context():
 def test_simple_timeit_returns_positive():
     f = lambda: jnp.sum(jnp.ones((64, 64)))
     assert cd.simple_timeit(f, tries=2, warmup=1) > 0
+
+
+def test_checkpoint_old_format_ignored(tmp_path):
+    """A checkpoint file missing newer fields (older release / foreign
+    file) must take the ignore-and-restart path, not crash the resume."""
+    import coordinatedescent_jl_tpu as cd
+
+    f = str(tmp_path / "old.npz")
+    np.savez(f, lam_path=np.array([0.2, 0.1]), next_index=1,
+             beta_path=np.zeros((1, 4)), beta_warm=np.zeros(4),
+             residuals=np.zeros(8), sigma=1.0)
+    assert cd.load_checkpoint(f) is None
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((40, 12))
+    y = X[:, 0] + 0.1 * rng.standard_normal(40)
+    path = cd.lasso_path_resumable(X, y, np.array([0.2, 0.1]), f,
+                                   options=cd.CDOptions(block_size=8))
+    assert path.beta_path.shape == (2, 12)
+
+
+def test_checkpoint_resume_trajectory_with_compaction(tmp_path):
+    """Resume mid-path with working-set compaction FORCED (f64): the
+    persisted ws_idx reconstructs the cache exactly, so the resumed
+    trajectory is bitwise-equal to the uninterrupted run's."""
+    import coordinatedescent_jl_tpu as cd
+
+    rng = np.random.default_rng(5)
+    n, p = 100, 256
+    X = rng.standard_normal((n, p))
+    beta = np.zeros(p)
+    beta[rng.choice(p, 6, replace=False)] = rng.standard_normal(6)
+    y = X @ beta + 0.2 * rng.standard_normal(n)
+    lams = np.exp(np.linspace(np.log(0.4), np.log(0.05), 6))
+    opts = cd.CDOptions(block_size=8, compact=True, compact_size=64,
+                        randomize=True, opt_tol=1e-9)
+
+    f_full = str(tmp_path / "full.npz")
+    full = cd.lasso_path_resumable(X, y, lams, f_full, options=opts)
+
+    f_int = str(tmp_path / "inter.npz")
+    # run the first 3 points, then "crash" and resume
+    cd.lasso_path_resumable(X, y, lams[:3], f_int, options=opts)
+    import numpy as _np
+    with _np.load(f_int) as z:
+        d = {k: z[k] for k in z.files}
+    d["lam_path"] = np.asarray(lams, X.dtype)   # pretend the grid was full
+    _np.savez(f_int, **d)
+    resumed = cd.lasso_path_resumable(X, y, lams, f_int, options=opts)
+    np.testing.assert_array_equal(np.asarray(resumed.beta_path),
+                                  np.asarray(full.beta_path))
