@@ -7,26 +7,29 @@ applies the ℓ2 prox per atom, i.e. the solved problem is the group Lasso
 
     min_β ‖y − Xβ‖² / (2n) + λ0 Σ_g ω_g ‖β_g‖₂ .
 
-Design mirrors the scalar block engine (block_cd.py), with the group as
-the unit of work — which maps even better onto the hardware, since a group
-visit is naturally lane-dense:
+Design mirrors the scalar block engine (block_cd.py) — and the key to
+making group visits lane-dense is NOT one-group-per-visit (a (n, G) slice
+wastes 128−G lanes and serializes p/G tiny steps) but **blocks of
+``k = ⌊128/G⌋`` whole groups**:
 
-- ``X`` is stored group-blocked ``(ng, n, G)``; a group visit is one
-  contiguous dynamic-index load feeding two MXU contractions
-  (``c = X_g'r`` and the ``G×G`` Gram).
-- The per-group subproblem has no closed form for general ``X_g``; the
-  visit runs ``block_iters`` MM (proximal-gradient) steps with the exact
-  majorizer ``L_g ≥ λmax(X_g'X_g)`` (computed once by batched power
-  iteration at build), using the Gram recursion to avoid re-reading ``X``.
-  Inexact visits are sound for exactly the same reason as the scalar
-  engine's ISTA inner: convergence is declared only by the
-  order-independent fixed-point sweep below.
-- Full sweep: ``c = X'r`` for every group at once; the per-group optimality
-  measure is one prox-gradient step from the current iterate (zero iff the
-  group satisfies the group-KKT conditions).  The reference's
-  two-consecutive-converged-passes rule (coordinate_descent.jl:72-90), the
-  active-group mask, λ-continuation and the f32 stall detector all carry
-  over unchanged.
+- ``X`` is stored column-blocked ``(nb, n, B)`` with ``B = k·G`` — a block
+  visit touches ``k`` groups at once in one contiguous load.
+- All per-block Grams ``K_b = X_b'X_b`` are precomputed once at build (the
+  same cached-Gram lever as ``CDOptions.cache_gram``), along with the
+  Gershgorin bound ``L_b ≥ λmax(K_b)``.
+- A visit runs ``block_iters`` FISTA steps of proximal gradient on the
+  block's joint subproblem with the group-separable prox
+  (``group_soft_threshold`` over the ``(k, G)`` view) — the group analogue
+  of ``pallas_block._block_ista`` — followed by an exact per-group
+  zero-snap so finite inner budgets keep exact group sparsity.  Inexact
+  visits are sound exactly as in the scalar engine: convergence is only
+  declared by the order-independent group-KKT fixed-point sweep.
+- Full sweep: ``c = X'r`` for every group at once; one prox-gradient step
+  from the current iterate is zero iff the group-KKT conditions hold
+  (for β_g = 0: ‖X_g'r‖₂ ≤ n·λ0·ω_g; else X_g'r = n·λ0·ω_g·β_g/‖β_g‖).
+  The reference's two-consecutive-converged-passes rule
+  (coordinate_descent.jl:72-90), the active-block mask, λ-continuation and
+  the f32 stall detector all carry over unchanged.
 """
 
 from __future__ import annotations
@@ -45,114 +48,134 @@ _PREC = lax.Precision.HIGHEST
 
 
 class GroupProblem(NamedTuple):
-    """Group-blocked problem data."""
+    """Group-blocked problem data (``k`` groups of width ``G`` per block,
+    ``B = k·G`` lanes)."""
 
-    Xg: jnp.ndarray     # (ng, n, G) column groups
+    Xb: jnp.ndarray     # (nb, n, B) column blocks
+    Kb: jnp.ndarray     # (nb, B, B) cached per-block Grams
     y: jnp.ndarray      # (n,)
-    Lg: jnp.ndarray     # (ng,) majorizer ≥ λmax(X_g'X_g)
-    lamw: jnp.ndarray   # (ng,) per-group penalty weights
-    valid: jnp.ndarray  # (ng, G) padding mask
+    Lb: jnp.ndarray     # (nb,) Gershgorin bound ≥ λmax(K_b)
+    lamw: jnp.ndarray   # (nb, k) per-group penalty weights
+    valid: jnp.ndarray  # (nb, B) column padding mask
 
 
 class GroupState(NamedTuple):
-    beta: jnp.ndarray    # (ng, G)
+    beta: jnp.ndarray    # (nb, B)
     r: jnp.ndarray       # (n,)
-    active: jnp.ndarray  # (ng,) bool
+    active: jnp.ndarray  # (nb,) bool
     key: jnp.ndarray
     it: jnp.ndarray
     conv: jnp.ndarray
     done: jnp.ndarray
 
 
+def _block_width(G: int) -> int:
+    """Lanes per block: as many whole groups as fit a 128-lane vector
+    (one group per block when G > 128)."""
+    return G * max(1, 128 // G)
+
+
 def _build_group_problem(X, y, lamw_g, G: int) -> GroupProblem:
     n, p = X.shape
+    B = _block_width(G)
+    k = B // G
     ng = -(-p // G)
-    P = ng * G
+    nb = -(-ng // k)
+    P = nb * B
     if P != p:
         X = jnp.pad(X, ((0, 0), (0, P - p)))
-    Xg = X.reshape(n, ng, G).transpose(1, 0, 2)
-    valid = (jnp.arange(P).reshape(ng, G) < p)
-    # batched power iteration for λmax(X_g'X_g) (tight majorizer; safety
-    # factor absorbs the finite iteration count and rounding).  The start
-    # vector is RANDOM: a deterministic start (e.g. all-ones) can be
-    # exactly orthogonal to the dominant eigenspace — a group containing an
-    # anti-correlated column pair (x, −x) gives K·1 = 0, collapsing the
-    # estimate to ~0 and the MM visits to NaN.
-    v = jax.random.normal(jax.random.PRNGKey(7), (ng, G), X.dtype)
-    v = v / jnp.maximum(
-        jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True)), 1e-30)
-
-    def it_body(v, _):
-        w = jnp.einsum("gnk,gk->gn", Xg, v, precision=_PREC)
-        v2 = jnp.einsum("gnk,gn->gk", Xg, w, precision=_PREC)
-        lam = jnp.sqrt(jnp.sum(v2 * v2, axis=1, keepdims=True))
-        return v2 / jnp.maximum(lam, 1e-30), lam[:, 0]
-
-    v, lams = lax.scan(it_body, v, None, length=12)
-    # Rayleigh estimate after the last normalized step.  trace ≥ λmax is
-    # the always-safe cap; it is ALSO the fallback whenever the estimate is
-    # degenerate (≲ eps·trace) — flooring with a tiny constant instead
-    # would make L ≪ λmax and the MM steps divergent (NaN β).  A too-large
-    # L only slows visits; soundness is unaffected (the fixed-point sweep
-    # characterizes KKT for any L > 0).
-    trace = jnp.einsum("gnk,gnk->g", Xg, Xg, precision=_PREC)
-    est = lams[-1] * 1.05
-    eps = jnp.asarray(jnp.finfo(X.dtype).eps, X.dtype)
-    Lg = jnp.where(est > 16.0 * eps * trace,
-                   jnp.minimum(est, trace), trace) + 1e-12
-    return GroupProblem(Xg=Xg, y=y, Lg=Lg, lamw=jnp.asarray(lamw_g, X.dtype),
-                        valid=valid)
+    Xb = X.reshape(n, nb, B).transpose(1, 0, 2)
+    valid = (jnp.arange(P).reshape(nb, B) < p)
+    Kb = jnp.einsum("bnk,bnl->bkl", Xb, Xb, precision=_PREC)
+    # Gershgorin row-sum bound ≥ λmax(K_b): always-safe majorizer for the
+    # block's joint prox-gradient steps (no power iteration to go wrong)
+    Lb = jnp.max(jnp.sum(jnp.abs(Kb), axis=2), axis=1)
+    lamw_b = jnp.pad(jnp.asarray(lamw_g, X.dtype),
+                     (0, nb * k - ng), constant_values=1.0).reshape(nb, k)
+    return GroupProblem(Xb=Xb, Kb=Kb, y=y, Lb=Lb, lamw=lamw_b, valid=valid)
 
 
-def _mm_visit(K, c0, beta0, L, thr, iters: int):
-    """``iters`` proximal-gradient (MM) steps on one group's subproblem.
+def _group_prox(z, thr, k: int, G: int):
+    """Group soft threshold over the (…, k·G) lane axis viewed as (k, G)
+    groups; ``thr`` has a trailing (k,) axis."""
+    shp = z.shape
+    zg = z.reshape(shp[:-1] + (k, G))
+    out = group_soft_threshold(zg, thr[..., None], axis=-1, keepdims=True)
+    return out.reshape(shp)
 
-    Entering residual gradient ``c0 = X_g'r``; the running gradient at
-    iterate ``b`` is ``c0 − K (b − beta0)`` (Gram recursion — no X reads).
-    ``thr = n·λ0·ω_g / L`` is the prox level per step."""
 
-    def body(b, _):
-        grad = c0 - jnp.dot(K, b - beta0, precision=_PREC)
-        z = b + grad / L
-        return group_soft_threshold(z, thr, axis=0, keepdims=False), None
+def _block_visit(K, c0, beta0, L, thr, k: int, G: int, iters: int):
+    """``iters`` FISTA proximal-gradient steps on one block's joint
+    subproblem with the group-separable prox (the group analogue of
+    pallas_block._block_ista).  Entering gradient ``c0 = X_b'r``; the
+    running gradient at iterate ``b`` is ``c0 − K(b − beta0)`` (Gram
+    recursion — no X reads).  ``thr`` is the per-group prox level / L.
 
-    b, _ = lax.scan(body, beta0, None, length=iters)
-    return b
+    Exact per-group zero-snap epilogue: a finite FISTA budget leaves tiny
+    nonzero dust on groups whose exact solo-optimum is 0; the exact zero
+    condition given the others fixed is ``‖c_g + K_gg·d_g‖ ≤ L·thr_g``
+    (the group-KKT zero branch), and snapping those groups keeps the
+    active mask honest and the solver's exact group sparsity."""
+    dt = c0.dtype
+
+    def body(_, carry):
+        d, d_prev, t = carry
+        t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        yv = d + ((t - 1.0) / t_next) * (d - d_prev)
+        grad = c0 - jnp.dot(K, yv - beta0, precision=_PREC,
+                            preferred_element_type=dt)
+        d_new = _group_prox(yv + grad / L, thr, k, G)
+        return d_new, d, t_next
+
+    d, _, _ = lax.fori_loop(0, iters, body,
+                            (beta0, beta0, jnp.ones((), dt)))
+    # solo-zero snap: back out each group's own contribution from the
+    # running gradient via the diagonal G×G blocks of K
+    q = c0 - jnp.dot(K, d - beta0, precision=_PREC,
+                     preferred_element_type=dt)       # (B,) = X'(r − XΔ)
+    Kdiag = jnp.diagonal(
+        K.reshape(k, G, k, G), axis1=0, axis2=2)       # (G, G, k)
+    dg = d.reshape(k, G)
+    own = jnp.einsum("ijk,kj->ki", Kdiag, dg, precision=_PREC)  # (k, G)
+    s = q.reshape(k, G) + own                          # c_g at d_g = 0
+    solo_zero = jnp.sqrt(jnp.sum(s * s, axis=1)) <= L * thr
+    d = jnp.where(jnp.repeat(solo_zero, G), 0.0, d)
+    return d, jnp.max(jnp.abs(d - beta0))
 
 
 def _group_active_pass(prob: GroupProblem, st: GroupState, lam0, n_scale,
                        randomize: bool, iters: int):
-    """One Gauss-Seidel pass over the active groups (reference nonzero
-    pass, coordinate_descent.jl:94-110, at atom granularity)."""
-    ng, G = prob.lamw.shape[0], prob.Xg.shape[2]
+    """One Gauss-Seidel pass over the active blocks — ``k`` groups per
+    visit (reference nonzero pass, coordinate_descent.jl:94-110, at atom
+    granularity)."""
+    nb, B = prob.valid.shape
+    k = prob.lamw.shape[1]
+    G = B // k
     key, k1 = jax.random.split(st.key)
-    order = (jax.random.permutation(k1, ng) if randomize
-             else jnp.arange(ng))
+    order = (jax.random.permutation(k1, nb) if randomize
+             else jnp.arange(nb))
 
     def body(t, carry):
         beta, r, maxh = carry
-        g = order[t]
+        b = order[t]
 
         def do(args):
             beta, r, maxh = args
-            Xg_g = prob.Xg[g]
-            c0 = jnp.dot(Xg_g.T, r, precision=_PREC)
-            K = jnp.dot(Xg_g.T, Xg_g, precision=_PREC,
-                        preferred_element_type=Xg_g.dtype)
-            L = prob.Lg[g]
-            thr = n_scale * lam0 * prob.lamw[g] / jnp.maximum(L, 1e-30)
-            b0 = beta[g]
-            b1 = _mm_visit(K, c0, b0, L, thr, iters)
-            b1 = jnp.where(prob.valid[g], b1, 0.0)
+            Xg = prob.Xb[b]
+            c0 = jnp.dot(Xg.T, r, precision=_PREC)
+            L = jnp.maximum(prob.Lb[b], 1e-30)
+            thr = n_scale * lam0 * prob.lamw[b] / L
+            b0 = beta[b]
+            b1, mh = _block_visit(prob.Kb[b], c0, b0, L, thr, k, G, iters)
+            b1 = jnp.where(prob.valid[b], b1, 0.0)
             h = b1 - b0
-            r2 = r - jnp.dot(Xg_g, h, precision=_PREC)
-            return (beta.at[g].set(b1), r2,
-                    jnp.maximum(maxh, jnp.max(jnp.abs(h))))
+            r2 = r - jnp.dot(Xg, h, precision=_PREC)
+            return (beta.at[b].set(b1), r2, jnp.maximum(maxh, mh))
 
-        return lax.cond(st.active[g], do, lambda a: a, (beta, r, maxh))
+        return lax.cond(st.active[b], do, lambda a: a, (beta, r, maxh))
 
     zero = jnp.zeros((), st.beta.dtype)
-    beta, r, maxh = lax.fori_loop(0, ng, body, (st.beta, st.r, zero))
+    beta, r, maxh = lax.fori_loop(0, nb, body, (st.beta, st.r, zero))
     active = jnp.any(beta != 0, axis=1)
     return st._replace(beta=beta, r=r, active=active, key=key), maxh
 
@@ -162,12 +185,15 @@ def _group_full_check(prob: GroupProblem, st: GroupState, lam0, n_scale,
     """Vectorized fixed-point sweep: one prox-gradient step per group from
     the current iterate — zero iff the group-KKT conditions hold
     (for β_g = 0: ‖X_g'r‖₂ ≤ n·λ0·ω_g; else X_g'r = n·λ0·ω_g·β_g/‖β_g‖).
-    Groups with steps ≥ tol are (re)activated."""
-    c = jnp.einsum("gnk,n->gk", prob.Xg, st.r, precision=_PREC)
-    L = jnp.maximum(prob.Lg, 1e-30)[:, None]
+    Blocks with steps ≥ tol are (re)activated."""
+    nb, B = prob.valid.shape
+    k = prob.lamw.shape[1]
+    G = B // k
+    c = jnp.einsum("bnk,n->bk", prob.Xb, st.r, precision=_PREC)
+    L = jnp.maximum(prob.Lb, 1e-30)[:, None]
     z = st.beta + c / L
-    thr = (n_scale * lam0 * prob.lamw / jnp.maximum(prob.Lg, 1e-30))[:, None]
-    bstar = group_soft_threshold(z, thr, axis=1, keepdims=True)
+    thr = n_scale * lam0 * prob.lamw / jnp.maximum(prob.Lb, 1e-30)[:, None]
+    bstar = _group_prox(z, thr, k, G)
     h = jnp.where(prob.valid, bstar - st.beta, 0.0)
     habs = jnp.abs(h)
     maxh = jnp.max(habs)
@@ -219,8 +245,12 @@ def _group_solve_at_lambda(opts: CDOptions, prob: GroupProblem, lam0,
 
 def _group_lambda_max(prob: GroupProblem, st: GroupState, n_scale):
     """Smallest λ0 with all-zero solution: ``max_g ‖X_g'y‖₂ / (n·ω_g)``."""
-    c = jnp.einsum("gnk,n->gk", prob.Xg, st.r, precision=_PREC)
-    nrm = jnp.sqrt(jnp.sum(jnp.where(prob.valid, c, 0.0) ** 2, axis=1))
+    nb, B = prob.valid.shape
+    k = prob.lamw.shape[1]
+    G = B // k
+    c = jnp.einsum("bnk,n->bk", prob.Xb, st.r, precision=_PREC)
+    cg = jnp.where(prob.valid, c, 0.0).reshape(nb, k, G)
+    nrm = jnp.sqrt(jnp.sum(cg * cg, axis=2))
     return jnp.max(nrm / (n_scale * jnp.maximum(prob.lamw, 1e-30)))
 
 
@@ -230,13 +260,13 @@ def _group_cd_core(X, y, lam0, lamw_g, beta0, key, G: int,
     n, p = X.shape
     dtype = X.dtype
     prob = _build_group_problem(X, y, lamw_g, G)
-    ng = prob.lamw.shape[0]
-    beta_g = jnp.pad(beta0, (0, ng * G - p)).reshape(ng, G)
+    nb, B = prob.valid.shape
+    beta_g = jnp.pad(beta0, (0, nb * B - p)).reshape(nb, B)
     n_scale = jnp.asarray(n, dtype)
     lam0 = jnp.asarray(lam0, dtype)
 
     def init_state(beta_g, key):
-        r = prob.y - jnp.einsum("gnk,gk->n", prob.Xg, beta_g,
+        r = prob.y - jnp.einsum("bnk,bk->n", prob.Xb, beta_g,
                                 precision=_PREC)
         return GroupState(beta=beta_g, r=r,
                           active=jnp.any(beta_g != 0, axis=1), key=key,
