@@ -104,24 +104,35 @@ def main():
         opts_sq = cd.CDOptions(opt_tol=opt_tol, max_iter=300,
                                randomize=False, warm_start=False,
                                num_steps=30, block_size=bs)
+        # every extra is timed min-of-2 with host-read syncs: the first
+        # timed call can absorb a one-time device-side executable
+        # re-upload through the tunnel (observed ~10x inflation when many
+        # programs are live), and block_until_ready does not reliably
+        # wait here (PERF.md)
         sol = cd.sqrt_lasso(X, y, lam_sq, options=opts_sq,
                             standardize_X=False)  # compile
-        jax.block_until_ready(sol.x)
-        t0 = time.perf_counter()
-        sol = cd.sqrt_lasso(X, y, lam_sq * 1.0000001, options=opts_sq,
-                            standardize_X=False)
-        nnz_sq = int(jnp.sum(sol.x != 0))  # host read = sync
-        extra["sqrt_lasso_s"] = round(time.perf_counter() - t0, 4)
+        float(jnp.sum(sol.x))  # host read: the only reliable sync here
+        t_sq = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            sol = cd.sqrt_lasso(X, y, lam_sq * (1.0 + 1e-7 * (rep + 1)),
+                                options=opts_sq, standardize_X=False)
+            nnz_sq = int(jnp.sum(sol.x != 0))  # host read = sync
+            t_sq = min(t_sq, time.perf_counter() - t0)
+        extra["sqrt_lasso_s"] = round(t_sq, 4)
         extra["sqrt_lasso_nnz"] = nnz_sq
         _log(f"bench: sqrt-lasso {extra['sqrt_lasso_s']}s nnz={nnz_sq}")
 
         lam_sc = float(np.sqrt(2 * np.log(p) / n))
         sol = cd.scaled_lasso(X, y, lam_sc)  # compile
-        jax.block_until_ready(sol.x)
-        t0 = time.perf_counter()
-        sol = cd.scaled_lasso(X, y, lam_sc * 1.0000001)
-        sig = float(sol.sigma)
-        extra["scaled_lasso_s"] = round(time.perf_counter() - t0, 4)
+        float(jnp.sum(sol.x))
+        t_sc = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            sol = cd.scaled_lasso(X, y, lam_sc * (1.0 + 1e-7 * (rep + 1)))
+            sig = float(sol.sigma)
+            t_sc = min(t_sc, time.perf_counter() - t0)
+        extra["scaled_lasso_s"] = round(t_sc, 4)
         _log(f"bench: scaled-lasso {extra['scaled_lasso_s']}s sig={sig:.3f}")
 
         # varying-coefficient grid scan (PERF.md config: 1000 eval points)
@@ -134,12 +145,43 @@ def main():
         zgrid = jnp.linspace(0.05, 0.95, gv)
         kern = cd.GaussianKernel(0.1)
         out, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern, 0.05)  # compile
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern, 0.0500001)
-        ok = bool(jnp.all(jnp.isfinite(out)))  # host read = sync
-        extra["locpolyl1_s"] = round(time.perf_counter() - t0, 4)
+        float(jnp.sum(out))
+        t_vc = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            out, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern,
+                                  0.05 + 1e-7 * (rep + 1))
+            ok = bool(jnp.all(jnp.isfinite(out)))  # host read = sync
+            t_vc = min(t_vc, time.perf_counter() - t0)
+        extra["locpolyl1_s"] = round(t_vc, 4)
         _log(f"bench: locpolyl1 {extra['locpolyl1_s']}s finite={ok}")
+
+        # group lasso (AtomIterate surface): G=8 groups, 20 active.
+        # Free the 4 GB path design first (keeps HBM headroom for the
+        # group build's batched Gram einsum)
+        del X, y, beta_true, path, sol, out
+        ngrp, pgrp, Ggrp = (500, 2000, 8) if small else (5000, 20_000, 8)
+        kg = jax.random.split(jax.random.PRNGKey(11), 3)
+        Xg = jax.random.normal(kg[0], (ngrp, pgrp), dtype)
+        bg = jnp.zeros((pgrp,), dtype)
+        gsup = jax.random.choice(kg[1], pgrp // Ggrp, (20,), replace=False)
+        for gix in np.asarray(gsup):
+            bg = bg.at[gix * Ggrp:(gix + 1) * Ggrp].set(1.0)
+        yg = Xg @ bg + 0.3 * jax.random.normal(kg[2], (ngrp,), dtype)
+        og = cd.CDOptions(opt_tol=opt_tol, randomize=False)
+        sol = cd.group_lasso(Xg, yg, 0.05, Ggrp, options=og)  # compile
+        float(jnp.sum(sol.x))
+        t_g = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            sol = cd.group_lasso(Xg, yg, 0.05 + 1e-7 * (rep + 1), Ggrp,
+                                 options=og)
+            nzg = int(jnp.sum(jnp.any(
+                jnp.reshape(sol.x, (-1, Ggrp)) != 0, axis=1)))
+            t_g = min(t_g, time.perf_counter() - t0)
+        extra["group_lasso_s"] = round(t_g, 4)
+        _log(f"bench: group-lasso {extra['group_lasso_s']}s "
+             f"nnz_groups={nzg}")
 
     # --- vs_baseline: NumPy sequential-CD oracle on the reference's
     # cd_bench shape (benchmark/cd_bench.jl:8-14), same λ / tolerance ------
@@ -182,11 +224,14 @@ def main():
         Xo_d = jnp.asarray(Xo, dtype)
         yo_d = jnp.asarray(yo, dtype)
         sol = cd.lasso(Xo_d, yo_d, lam_o, options=opts_o)  # compile
-        jax.block_until_ready(sol.x)
-        t0 = time.perf_counter()
-        sol = cd.lasso(Xo_d, yo_d, lam_o, options=opts_o)
-        jax.block_until_ready(sol.x)
-        ours_small_s = time.perf_counter() - t0
+        float(jnp.sum(sol.x))
+        ours_small_s = float("inf")
+        for rep in range(2):   # min-of-2: see the extras comment
+            t0 = time.perf_counter()
+            sol = cd.lasso(Xo_d, yo_d, lam_o * (1.0 + 1e-7 * rep),
+                           options=opts_o)
+            float(jnp.sum(sol.x))
+            ours_small_s = min(ours_small_s, time.perf_counter() - t0)
         agree = float(np.max(np.abs(np.asarray(sol.x) - beta_np)))
         speedup = oracle_s / ours_small_s
 
