@@ -263,7 +263,7 @@ def _sqrt_candidate(beta, c, a, rsqr, lam0, lamw):
 # ---------------------------------------------------------------------------
 
 
-def _visit_block(kind, G, Gw, K, beta_b, lamw_b, lam0, c, rsqr, n_scale,
+def _visit_block(kind, K, beta_b, lamw_b, lam0, c, rsqr, n_scale,
                  order):
     """Sequentially minimize each coordinate of one block.
 
@@ -404,7 +404,6 @@ def _xla_active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
             beta, r, rsqr, maxh = args
             G = prob.Xb[b]
             if kind == "quad":
-                Gw = G
                 K = lax.dynamic_slice(G, (b * B, 0), (B, B))
                 rb = lax.dynamic_slice(r, (b * B,), (B,))
                 qb = lax.dynamic_slice(prob.q, (b * B,), (B,))
@@ -419,7 +418,7 @@ def _xla_active_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
                 c = jnp.dot(Gw.T, r, precision=_PREC)
             bb = beta[b]
             bb2, rsqr2, mh = _visit_block(
-                kind, G, Gw, K, bb, prob.lamw[b], lam0, c, rsqr, n_scale,
+                kind, K, bb, prob.lamw[b], lam0, c, rsqr, n_scale,
                 corder)
             h = bb2 - bb
             if kind == "quad":
@@ -572,7 +571,10 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
       certified by restricted-KKT + the safe rule.
     """
     if kind == "sqrt":
-        rsqr = st.r @ st.r               # refresh exact ‖r‖² (drift control)
+        # refresh exact ‖r‖² (drift control) — pinned like every
+        # solver-critical contraction (the sqrt zero-threshold λ·√rsqr
+        # inherits this value's accuracy)
+        rsqr = jnp.dot(st.r, st.r, precision=_PREC)
         rn2 = rsqr
     else:
         rsqr = st.rsqr
@@ -926,7 +928,8 @@ def _init_state(kind, prob: BlockedProblem, beta_b, key) -> CDState:
     else:
         r = prob.y - jnp.einsum("bnk,bk->n", prob.Xb, beta_b,
                                 precision=_PREC)
-    rsqr = r @ r if kind == "sqrt" else jnp.zeros((), r.dtype)
+    rsqr = (jnp.dot(r, r, precision=_PREC) if kind == "sqrt"
+            else jnp.zeros((), r.dtype))
     active = jnp.any(beta_b != 0, axis=1)
     nb = beta_b.shape[0]
     return CDState(beta=beta_b, r=r, rsqr=rsqr, active=active, key=key,

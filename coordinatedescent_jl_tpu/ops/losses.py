@@ -15,8 +15,10 @@ Losses (semantics match the reference exactly):
   (reference ``CDLeastSquaresLoss``, cd_differentiable_function.jl:43-111)
 - ``WeightedLSLoss(y, X, w)``     — ``Σ_i w_i (y_i − X_i β)² / (2n)``
   (reference ``CDWeightedLSLoss``, cd_differentiable_function.jl:118-194)
-- ``SqrtLassoLoss(y, X)``         — ``‖y − Xβ‖₂ / √n``
-  (reference ``CDSqrtLassoLoss``, cd_differentiable_function.jl:202-291)
+- ``SqrtLassoLoss(y, X)``         — ``‖y − Xβ‖₂``
+  (reference ``CDSqrtLassoLoss``, cd_differentiable_function.jl:202-291;
+  the reference's header comment says ``/√n`` but its gradient and exact
+  coordinate minimizer are those of plain ``‖r‖`` — see ``value``)
 - ``QuadraticLoss(A, b)``         — ``x'Ax/2 + x'b`` (A symmetric)
   (reference ``CDQuadraticLoss``, cd_differentiable_function.jl:299-348)
 """
@@ -110,5 +112,12 @@ def value(loss, beta):
     if isinstance(loss, WeightedLSLoss):
         return jnp.sum(loss.w * r * r) / (2 * n)
     if isinstance(loss, SqrtLassoLoss):
-        return jnp.linalg.norm(r) / jnp.sqrt(jnp.asarray(n, r.dtype))
+        # ‖r‖ — NOT ‖r‖/√n: the reference's header comment says /√n
+        # (cd_differentiable_function.jl:197) but its gradient (:234-235)
+        # and exact coordinate minimizer (:242-291) are those of ‖r‖ with
+        # the λ·‖r‖ zero rule, and this engine matches them
+        # (block_cd._sqrt_candidate, _lambda_max).  Returning ‖r‖ keeps
+        # value/gradient mutually consistent and makes
+        # ``value + λ0·Σ λw·|β|`` the objective the solver decreases.
+        return jnp.sqrt(jnp.dot(r, r, precision=_PREC))
     raise TypeError(f"unsupported loss: {type(loss)!r}")

@@ -124,14 +124,35 @@ def shard_design_matrix(mesh: Mesh, x_local: np.ndarray, n: int, p: int, *,
     local_devices = [d for d in mesh.devices.flatten()
                      if d.process_index == jax.process_index()]
     n_local = len(local_devices)
-    plan = plan_device_columns(x_local.shape[1], n_local)
+    n_proc = jax.process_count()
+    pidx = jax.process_index()
+    widths = [hi - lo for lo, hi in plan_column_shards(p, n_proc)]
+    # every device shard of a sharded axis must be the same width, and it
+    # must be derived from the GLOBAL plan so all processes agree on the
+    # global shape (deriving it from the local block would let a ragged
+    # trailing shard disagree)
+    per_dev = -(-widths[0] // n_local)
+    # zero-padding may only appear at the GLOBAL column tail — interior
+    # padding would silently shift every later column off its feature
+    # index (the solvers pad lamw/beta only at the tail)
+    if any(w != n_local * per_dev for w in widths[:-1]):
+        raise ValueError(
+            f"p={p} over {n_proc} processes × {n_local} devices/process "
+            f"would need interior zero columns; pad p to a multiple of "
+            f"{n_proc * n_local} first (ragged width is allowed only on "
+            f"the final process)")
+    if x_local.shape[1] != widths[pidx]:
+        raise ValueError(
+            f"x_local has {x_local.shape[1]} columns but process {pidx} "
+            f"owns {widths[pidx]} per plan_column_shards({p}, {n_proc})")
     arrays = []
-    per_dev = 0
-    for d, (lo, hi, pad) in zip(local_devices, plan):
+    for i, d in enumerate(local_devices):
+        lo = min(i * per_dev, x_local.shape[1])
+        hi = min(lo + per_dev, x_local.shape[1])
         block = x_local[:, lo:hi]
-        if pad:                               # pad the ragged tail
-            block = np.pad(block, ((0, 0), (0, pad)))
-        per_dev = block.shape[1]
+        if block.shape[1] < per_dev:          # pad the (global) tail
+            block = np.pad(block, ((0, 0),
+                                   (0, per_dev - block.shape[1])))
         arrays.append(jax.device_put(block, d))
     return jax.make_array_from_single_device_arrays(
-        (n, per_dev * n_local * jax.process_count()), sharding, arrays)
+        (n, per_dev * n_local * n_proc), sharding, arrays)

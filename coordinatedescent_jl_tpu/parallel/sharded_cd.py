@@ -64,14 +64,21 @@ from ..utils.helpers import sample_std, find_init_sigma
 
 def _sharded_objective(kind, prob, r, beta_b, lam0, n_scale, w, axis):
     """Global objective ``f(β) + λ0 Σ λw_j |β_j|`` from the replicated
-    residual plus a psum of the local penalty contributions."""
+    residual plus a psum of the local penalty contributions.  ``f`` must
+    be EXACTLY the functional whose coordinate minimizers the engine
+    implements — the safeguard's t=1-vs-1/D comparison and its convexity
+    descent guarantee are meaningless against any other normalization:
+    ``‖r‖²/(2n)`` for ls/wls (block_cd._ls_candidate's n·λ scale) and
+    plain ``‖r‖`` for sqrt (the λ·‖r‖ zero rule of _sqrt_candidate;
+    NOT ‖r‖/√n, which would over-weight the penalty by √n here)."""
+    _P = lax.Precision.HIGHEST
     pen = lam0 * lax.psum(jnp.sum(prob.lamw * jnp.abs(beta_b)), axis)
     if kind == "ls":
-        f = (r @ r) / (2.0 * n_scale)
+        f = jnp.dot(r, r, precision=_P) / (2.0 * n_scale)
     elif kind == "wls":
-        f = jnp.sum(w * r * r) / (2.0 * n_scale)
+        f = jnp.dot(w * r, r, precision=_P) / (2.0 * n_scale)
     else:  # sqrt
-        f = jnp.sqrt(jnp.maximum(r @ r, 0.0)) / jnp.sqrt(n_scale)
+        f = jnp.sqrt(jnp.maximum(jnp.dot(r, r, precision=_P), 0.0))
     return f + pen
 
 
@@ -163,7 +170,8 @@ def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
                        active=jnp.any(beta_new != 0, axis=1),
                        drift=st.drift + dnorm)
     if kind == "sqrt":
-        st2 = st2._replace(rsqr=r_new @ r_new)
+        st2 = st2._replace(
+            rsqr=jnp.dot(r_new, r_new, precision=lax.Precision.HIGHEST))
     return st2, maxh, cache
 
 
@@ -248,7 +256,8 @@ def _sharded_init_state(kind, prob, beta_b, key,
     pred = jnp.einsum("bnk,bk->n", prob.Xb, beta_b,
                       precision=lax.Precision.HIGHEST)
     r = prob.y - lax.psum(pred, axis)
-    rsqr = r @ r if kind == "sqrt" else jnp.zeros((), r.dtype)
+    rsqr = (jnp.dot(r, r, precision=lax.Precision.HIGHEST)
+            if kind == "sqrt" else jnp.zeros((), r.dtype))
     active = jnp.any(beta_b != 0, axis=1)
     return CDState(beta=beta_b, r=r, rsqr=rsqr, active=active, key=key,
                    it=jnp.zeros((), jnp.int32), conv=jnp.ones((), bool),

@@ -39,8 +39,10 @@ class CDOptions:
       auto: on when compiling for TPU and the block buffers fit VMEM.
       ``True`` forces it (interpret mode off-TPU — slow, test-only);
       ``False`` forces the pure-XLA path.  No effect on solutions (new).
-    - ``stall_patience``: stop a λ-solve early if ``maxH`` has not improved
-      by ≥30% for this many consecutive epochs — the escape hatch for
+    - ``stall_patience``: stop a λ-solve early if the certified full-check
+      ``maxH`` has not improved at all for this many consecutive full
+      checks (active-pass maxH is trajectory noise and is not counted) —
+      the escape hatch for
       float32 runs whose rounding floor sits above ``opt_tol`` (the
       reference, always float64, has no equivalent; its loops burn
       ``max_iter``).  Only active for sub-float64 dtypes — float64 runs

@@ -169,9 +169,12 @@ def solve_with_trace(X, y, lam, weights=None,
         conv = float(maxh) < options.opt_tol
         if was_full and conv and converged_prev:
             break
-        # mirror the engine's f32 stall detector (_solve_at_lambda)
-        stall = 0 if float(maxh) < 0.7 * best else stall + 1
-        best = min(best, float(maxh))
+        # mirror the engine's f32 stall detector exactly
+        # (block_cd._solve_at_lambda_ws): full-check epochs only, reset on
+        # ANY improvement of the certified maxh
+        if was_full:
+            stall = 0 if float(maxh) < best else stall + 1
+            best = min(best, float(maxh))
         if not f64 and stall >= options.stall_patience:
             break
         converged_prev = conv

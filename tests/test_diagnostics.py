@@ -149,6 +149,19 @@ def test_gradient_value_match_numpy_f64():
     np.testing.assert_allclose(
         np.asarray(cd.gradient(cd.LeastSquaresLoss(yd, Xd), bd)),
         -(X64.T @ r) / n, atol=1e-5)
+    # sqrt value is plain ||r|| — consistent with gradient() = -X'r/||r||
+    # and the solver's lam*||r|| zero rule (the reference's /sqrt(n) header
+    # comment disagrees with its own gradient/minimizer; see losses.value)
     np.testing.assert_allclose(
         float(cd.value(cd.SqrtLassoLoss(yd, Xd), bd)),
-        np.linalg.norm(r) / np.sqrt(n), atol=1e-5)
+        np.linalg.norm(r), rtol=1e-5)
+    # value/gradient consistency: finite-difference of value matches
+    # gradient for the sqrt loss (the inconsistency the old /sqrt(n)
+    # normalization would fail by a factor sqrt(n))
+    j, eps = 3, 1e-4
+    bp = b64.copy(); bp[j] += eps
+    bm = b64.copy(); bm[j] -= eps
+    fd = (np.linalg.norm(y64 - X64 @ bp)
+          - np.linalg.norm(y64 - X64 @ bm)) / (2 * eps)
+    g = np.asarray(cd.gradient(cd.SqrtLassoLoss(yd, Xd), bd))[j]
+    np.testing.assert_allclose(g, fd, rtol=1e-3)

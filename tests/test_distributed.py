@@ -103,23 +103,49 @@ def test_plan_device_columns_fake_layouts():
 
 
 def test_shard_plans_compose_to_global_matrix():
-    """End-to-end fake 4-process x 2-device layout: process shards then
-    device slices reassemble the exact global matrix with padding only at
-    the global tail — the arithmetic shard_design_matrix relies on."""
-    from coordinatedescent_jl_tpu.parallel import (plan_column_shards,
-                                                   plan_device_columns)
+    """End-to-end fake 4-process x 2-device layout (p chosen so only the
+    final process is ragged, the contract shard_design_matrix enforces):
+    process shards then uniform per-device slices reassemble the exact
+    global matrix with zero-padding only at the global tail."""
+    from coordinatedescent_jl_tpu.parallel import plan_column_shards
 
     rng = np.random.default_rng(2)
     n, p, procs, devs = 8, 29, 4, 2
     X = rng.standard_normal((n, p))
+    shards = plan_column_shards(p, procs)
+    widths = [hi - lo for lo, hi in shards]
+    per_dev = -(-widths[0] // devs)
+    # this layout satisfies the tail-only-padding contract
+    assert all(w == devs * per_dev for w in widths[:-1])
     cols = []
-    for lo, hi in plan_column_shards(p, procs):
+    for lo, hi in shards:
         xl = X[:, lo:hi]
-        for dlo, dhi, pad in plan_device_columns(xl.shape[1], devs):
+        for i in range(devs):
+            dlo = min(i * per_dev, xl.shape[1])
+            dhi = min(dlo + per_dev, xl.shape[1])
             blk = xl[:, dlo:dhi]
-            if pad:
-                blk = np.pad(blk, ((0, 0), (0, pad)))
+            if blk.shape[1] < per_dev:
+                blk = np.pad(blk, ((0, 0), (0, per_dev - blk.shape[1])))
             cols.append(blk)
     glob = np.concatenate(cols, axis=1)
+    assert glob.shape[1] == per_dev * devs * procs
     np.testing.assert_array_equal(glob[:, :p], X)
     assert not np.any(glob[:, p:])
+
+
+def test_shard_design_matrix_rejects_interior_padding(monkeypatch):
+    """A layout whose non-final shards would need zero-padding (feature
+    misalignment) must be rejected with a clear error, not silently
+    misaligned."""
+    import coordinatedescent_jl_tpu.parallel.distributed as dist
+
+    mesh = feature_mesh()
+    # fake a 2-process view of the 8-device mesh: each process would own
+    # 10 columns of p=20 across 8 local devices -> per_dev=2, 8*2=16 != 10
+    # -> interior padding would be required between the process blocks
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    X = np.zeros((4, 10))
+    with pytest.raises(ValueError, match="interior zero columns"):
+        # the arithmetic check fires before any device placement
+        dist.shard_design_matrix(mesh, X, 4, 20)
