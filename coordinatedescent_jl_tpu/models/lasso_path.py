@@ -27,6 +27,7 @@ from jax import lax
 from ..ops.block_cd import (
     _compact_mode,
     _empty_ws_cache,
+    _extrapolate_path_start,
     _init_state,
     _solve_at_lambda_ws,
     _to_blocked_beta,
@@ -65,12 +66,21 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
     cache0 = _empty_ws_cache("ls", prob, nc, opts) if nc else None
 
     def scan_body(carry, lam):
-        st, cache, stopped = carry
+        st, cache, beta_prev, lam_k, lam_km1, stopped = carry
+        beta_k = st.beta
 
         def do(args):
             st, cache = args
             key, k1 = jax.random.split(st.key)
             if opts.warm_start:
+                if nc:
+                    # secant extrapolation along the path: β(λ) is
+                    # piecewise linear, so the shifted start usually lands
+                    # within rounding of the next solution; the shift's
+                    # residual update uses only the cached working-set
+                    # columns (see _extrapolate_path_start)
+                    st = _extrapolate_path_start(st, cache, beta_prev,
+                                                 lam_k, lam_km1, lam)
                 return _solve_at_lambda_ws("ls", opts, prob, lam,
                                            st._replace(key=k1), n_scale,
                                            cache)
@@ -86,10 +96,13 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
         # the point that first exceeds max_hat_s is still recorded
         # (lasso.jl:253-256)
         stopped = stopped | (nnz > max_hat_s)
-        return (st, cache, stopped), (st.beta, valid)
+        return (st, cache, beta_k, lam, lam_k, stopped), (st.beta, valid)
 
-    (_, _, _), (betas, valids) = lax.scan(
-        scan_body, (st0, cache0, jnp.zeros((), bool)), lam_path)
+    zero_lam = jnp.zeros((), X.dtype)
+    (_, _, _, _, _, _), (betas, valids) = lax.scan(
+        scan_body,
+        (st0, cache0, st0.beta, zero_lam, zero_lam, jnp.zeros((), bool)),
+        lam_path)
     return betas.reshape(betas.shape[0], -1)[:, :p], valids
 
 

@@ -711,6 +711,59 @@ def _empty_ws_cache(kind, prob: BlockedProblem, nc: int,
                        else None))
 
 
+def _extrapolate_path_start(st: CDState, cache: WsCache, beta_prev,
+                            lam_k, lam_km1, lam_new):
+    """Secant extrapolation of the warm start along a λ path.
+
+    The Lasso solution is piecewise LINEAR in λ (fixed support + signs ⇒
+    β(λ) solves a linear system affine in λ), so
+    ``β(λ_new) ≈ β_k + α·(β_k − β_{k−1})`` with
+    ``α = (λ_new − λ_k)/(λ_k − λ_{k−1})`` is *exact* between kinks — the
+    extrapolated start usually lands within rounding of the next
+    solution, collapsing the inner epochs per path point.  A capability
+    the reference's plain warm start lacks (lasso.jl:250-252).
+
+    The residual for the shifted start needs ``X·Δ``; the shift's support
+    lives inside the compaction working set whenever both supports are
+    covered, so the update uses only the CACHED columns (no large X
+    read).  If coverage fails (support moved outside the set, or no
+    cache yet) the extrapolation is skipped — it is an accelerant only,
+    never required: the epoch loop's certification is unaffected by the
+    start.  Drift grows by ‖Δr‖ like any pass."""
+    nb, B = st.beta.shape
+    nc = cache.Xb.shape[0]
+    dt = st.beta.dtype
+    denom = lam_k - lam_km1
+    alpha = jnp.where(jnp.abs(denom) > 0,
+                      (lam_new - lam_k) / jnp.where(denom == 0, 1.0, denom),
+                      0.0)
+    # between-kinks exactness only holds locally; cap the step so a kink
+    # right after λ_k cannot fling the start far off (the solver would
+    # recover, but from a worse point than the plain warm start)
+    alpha = jnp.clip(alpha, 0.0, 2.0).astype(dt)
+    # freeze coordinates currently at 0: a coordinate that just LEFT the
+    # support sits at a kink — extrapolating through it would re-enter it
+    # with a flipped sign; for the Lasso it locally stays out.  This also
+    # keeps the start's support exactly supp(β_k) (honest active mask).
+    delta = jnp.where(st.beta != 0, st.beta - beta_prev, 0.0)
+    member = (jnp.zeros((nb * B,), bool).at[cache.idx].set(True)
+              .reshape(nb, B))
+    covered = cache.ok & ~jnp.any((delta != 0) & ~member)
+
+    def apply(st):
+        d = alpha * delta
+        bi, li = cache.idx // B, cache.idx % B
+        dws = d[bi, li].reshape(nc, B)
+        dr = -jnp.einsum("bnk,bk->n", cache.Xb, dws, precision=_PREC)
+        beta2 = st.beta + d
+        dnorm = jnp.sqrt(jnp.sum(dr * dr))
+        return st._replace(beta=beta2, r=st.r + dr,
+                           active=jnp.any(beta2 != 0, axis=1),
+                           drift=st.drift + dnorm)
+
+    return lax.cond(covered & (alpha > 0), apply, lambda s: s, st)
+
+
 def _ws_cache_from_idx(kind, prob: BlockedProblem, nc: int,
                        opts: CDOptions, idx, ok) -> WsCache:
     """(Re)build a working-set cache from a coordinate index set — the

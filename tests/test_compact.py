@@ -136,3 +136,24 @@ def test_compact_f32_scattered_support():
     got = set(np.nonzero(np.asarray(sol.x))[0])
     dense_sup = set(np.nonzero(np.asarray(sol_dense.x))[0])
     assert got == dense_sup
+
+
+def test_path_extrapolated_warm_start_matches_oracle():
+    """Secant extrapolation along the path (compaction forced so the
+    cached-column shift path runs at f64): every point still matches the
+    sequential-CD oracle — the extrapolated start is an accelerant, never
+    a semantics change."""
+    rng = np.random.default_rng(31)
+    n, p, s = 150, 256, 8
+    X = rng.standard_normal((n, p))
+    y = X[:, :s] @ rng.standard_normal(s) + 0.5 * rng.standard_normal(n)
+    lam_max = np.abs(X.T @ y / n).max()
+    lam_path = lam_max * np.logspace(-0.3, -2, 12)
+    opts = cd.CDOptions(block_size=8, compact=True, compact_size=64,
+                        opt_tol=1e-9, randomize=False)
+    path = cd.lasso_path(X, y, lam_path, options=opts, standardize_X=False)
+    from oracle import cd_lasso
+    for i in [0, 1, 2, 6, 11]:
+        ref, _ = cd_lasso(X, y, lam_path[i], tol=1e-11)
+        np.testing.assert_allclose(np.asarray(path.beta_path[i]), ref,
+                                   atol=1e-6)
