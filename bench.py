@@ -183,6 +183,45 @@ def main():
         _log(f"bench: group-lasso {extra['group_lasso_s']}s "
              f"nnz_groups={nzg}")
 
+        # feature-sharded solver on a 1-device mesh: exercises the real
+        # shard_map + collective composition on the actual backend
+        # (VERDICT r1 item 4).  Certificates use all_gather+max instead of
+        # pmax (parallel/sharded_cd._pmax_scalar) so the axon AOT compiler
+        # accepts the program; gated because sharded support through the
+        # tunnel is still the least-proven surface
+        try:
+            from jax.sharding import Mesh
+            mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("feature",))
+            ns, ps = (500, 2000) if small else (5000, 50_000)
+            ks = jax.random.split(jax.random.PRNGKey(13), 3)
+            Xs = jax.random.normal(ks[0], (ns, ps), dtype)
+            bs_true = jnp.zeros((ps,), dtype).at[:40].set(
+                jax.random.normal(ks[1], (40,), dtype))
+            ys = Xs @ bs_true + 0.3 * jax.random.normal(ks[2], (ns,), dtype)
+            lam_s = 0.1 * float(jnp.max(jnp.abs(jnp.dot(
+                ys, Xs, precision=jax.lax.Precision.HIGHEST))) / ns)
+            os_ = cd.CDOptions(opt_tol=opt_tol, randomize=False)
+            sol_sh = cd.parallel.lasso_sharded(Xs, ys, lam_s, mesh1,
+                                               options=os_)  # compile
+            float(jnp.sum(sol_sh.x))
+            t_sh = float("inf")
+            for rep in range(2):
+                t0 = time.perf_counter()
+                sol_sh = cd.parallel.lasso_sharded(
+                    Xs, ys, lam_s * (1.0 + 1e-7 * (rep + 1)), mesh1,
+                    options=os_)
+                nnz_sh = int(jnp.sum(sol_sh.x != 0))
+                t_sh = min(t_sh, time.perf_counter() - t0)
+            sol_ref = cd.lasso(Xs, ys, lam_s, options=os_)
+            agree_sh = float(jnp.max(jnp.abs(sol_sh.x - sol_ref.x)))
+            extra["sharded_1dev_s"] = round(t_sh, 4)
+            extra["sharded_vs_single_max_abs_diff"] = agree_sh
+            _log(f"bench: sharded(1-dev mesh) {extra['sharded_1dev_s']}s "
+                 f"nnz={nnz_sh} vs-single {agree_sh:.2e}")
+        except Exception as e:  # pragma: no cover - backend-specific
+            extra["sharded_1dev_error"] = f"{type(e).__name__}: {e}"[:200]
+            _log(f"bench: sharded(1-dev mesh) failed: {e}")
+
     # --- vs_baseline: NumPy sequential-CD oracle on the reference's
     # cd_bench shape (benchmark/cd_bench.jl:8-14), same λ / tolerance ------
     speedup = -1.0

@@ -69,6 +69,26 @@ from ..utils.options import CDOptions
 _PREC = lax.Precision.HIGHEST
 
 
+def conv_tol(tol, beta):
+    """Effective convergence tolerance for a ``maxH < tol`` check.
+
+    The user's ``opt_tol``, floored — for sub-f64 dtypes only — at a couple
+    of ulps of the largest iterate coordinate.  A coordinate step below
+    ``eps·max|β|`` is float rounding noise, not progress: at f32 with
+    ``opt_tol = 1e-7`` (the reference default, utils.jl:11) the full check
+    enters a limit cycle repeating ``maxH = 1 ulp`` forever, and every
+    solve then burns ``stall_patience`` full-check/active-solve rounds
+    before the stall detector fires — ~20× the useful work in warm outer
+    loops (σ rounds, λ paths).  f64 keeps the reference's exact criterion
+    (the floor is ~4e-16·|β|, far below any real ``opt_tol``)."""
+    dtype = beta.dtype
+    if jnp.dtype(dtype).itemsize >= 8:
+        return jnp.asarray(tol, dtype)
+    eps = jnp.finfo(dtype).eps
+    return jnp.maximum(jnp.asarray(tol, dtype),
+                       2 * eps * jnp.max(jnp.abs(beta)))
+
+
 # ---------------------------------------------------------------------------
 # Blocked problem representation
 # ---------------------------------------------------------------------------
@@ -937,7 +957,7 @@ def _solve_at_lambda_ws(kind, opts: CDOptions, prob: BlockedProblem, lam0,
             return s2, maxh, cache
 
         s2, maxh, cache = lax.cond(was_full, full, act, (s, cache))
-        conv = maxh < tol
+        conv = maxh < conv_tol(tol, s2.beta)
         # stall accounting uses FULL-check maxh only — the certified
         # order-independent measure.  Active-pass maxh is trajectory noise:
         # it hits exact 0 whenever the current active set is quiescent

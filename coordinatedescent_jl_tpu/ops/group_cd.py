@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .block_cd import conv_tol
 from .prox import ProxL1Group, group_soft_threshold
 from ..utils.options import CDOptions
 
@@ -228,7 +229,7 @@ def _group_solve_at_lambda(opts: CDOptions, prob: GroupProblem, lam0,
                                       opts.randomize, opts.block_iters)
 
         s2, maxh = lax.cond(was_full, full, act, s)
-        conv = maxh < tol
+        conv = maxh < conv_tol(tol, s2.beta)
         improved = was_full & (maxh < best)
         stall = jnp.where(was_full,
                           jnp.where(improved, 0, stall + 1), stall)

@@ -3,7 +3,8 @@
 The reference has no parallelism of any kind (SURVEY.md §2.5); this package
 provides the TPU-native scaling story (SURVEY.md §5.7-5.8): ``shard_map``
 over a ``jax.sharding.Mesh`` with XLA collectives (psum of residual
-corrections over ICI, pmax convergence certificates, consensus σ), plus
+corrections over ICI, gathered max convergence certificates, consensus σ),
+plus
 batch-axis sharding of the embarrassingly-parallel scenario loops.
 """
 

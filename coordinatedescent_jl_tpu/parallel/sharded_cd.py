@@ -50,6 +50,7 @@ from ..ops.block_cd import (
     _lambda_max,
     _to_blocked_beta,
     build_blocked,
+    conv_tol,
 )
 from ..ops.losses import LeastSquaresLoss, SqrtLassoLoss, WeightedLSLoss
 from ..ops.prox import ProxL1, ProxZero, as_l1
@@ -60,6 +61,17 @@ from ..utils.helpers import sample_std, find_init_sigma
 # ---------------------------------------------------------------------------
 # In-shard collective pass primitives
 # ---------------------------------------------------------------------------
+
+
+def _pmax_scalar(x, axis):
+    """max-reduce a replicated-use scalar across the mesh axis.
+
+    Deliberately ``all_gather`` + local max instead of ``lax.pmax``: the
+    max-computation all-reduce is the one collective the axon TPU AOT
+    compiler rejects (psum and all-gather compile fine), and for the
+    per-pass scalar certificates the D-element gather is latency-noise
+    either way.  Semantics are identical to ``lax.pmax``."""
+    return jnp.max(lax.all_gather(x, axis))
 
 
 def _sharded_objective(kind, prob, r, beta_b, lam0, n_scale, w, axis):
@@ -125,7 +137,7 @@ def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
     dbeta = st2.beta - beta0_b
     # Δr_s = local residual drift = −X_s Δβ_s ; merge all shards' corrections
     dr = lax.psum(st2.r - r0, axis)
-    maxh = lax.pmax(maxh, axis)
+    maxh = _pmax_scalar(maxh, axis)
 
     if n_shards > 1:
         def at(t):
@@ -180,7 +192,7 @@ def _sharded_full_check(kind, prob, st: CDState, lam0, n_scale, opt_tol,
     """Vectorized KKT sweep: each shard checks its own coordinates against
     the replicated residual; the certificate is the pmax over shards."""
     st2, maxh = _full_check(kind, prob, st, lam0, n_scale, opt_tol)
-    return st2, lax.pmax(maxh, axis)
+    return st2, _pmax_scalar(maxh, axis)
 
 
 def _sharded_solve_at_lambda(kind, opts: CDOptions, prob, lam0, st: CDState,
@@ -227,7 +239,11 @@ def _sharded_solve_at_lambda(kind, opts: CDOptions, prob, lam0, st: CDState,
                                         opts, nc, cache)
 
         s2, maxh, cache = lax.cond(was_full, full, act, (s, cache))
-        conv = maxh < tol
+        # the f32 rounding floor (block_cd.conv_tol) must be computed from
+        # the GLOBAL iterate max — a shard-local max would let shards
+        # disagree on conv and diverge the while_loop control flow
+        bmax = _pmax_scalar(jnp.max(jnp.abs(s2.beta)), axis)
+        conv = maxh < conv_tol(tol, bmax[None])
         # full-check-only stall accounting — same rationale as the
         # single-device loop (block_cd._solve_at_lambda): active-pass maxh
         # is trajectory noise, the certified full-check measure is not
@@ -282,7 +298,7 @@ def solve_blocked_sharded(kind: str, opts: CDOptions, prob, lam0, beta0_b,
         return st
 
     st = _sharded_init_state(kind, prob, jnp.zeros_like(beta0_b), key, axis)
-    lammax = lax.pmax(_lambda_max(kind, prob, st, n_scale), axis)
+    lammax = _pmax_scalar(_lambda_max(kind, prob, st, n_scale), axis)
     ts = jnp.linspace(jnp.log(lammax), jnp.log(lam0), opts.num_steps + 1)
     lams = jnp.exp(ts)
 

@@ -152,3 +152,39 @@ def test_warm_start_from_random_point():
         LeastSquaresLoss(jnp.asarray(y), jnp.asarray(X)),
         ProxL1(lam), _opts(warm_start=True))
     np.testing.assert_allclose(np.asarray(beta), ref, atol=1e-5)
+
+
+def test_f32_rounding_floor_converges_without_stall():
+    """f32 with the reference-default opt_tol=1e-7 (one ulp below the f32
+    step floor at |beta| ~ 1): conv_tol's rounding-floor detects the limit
+    cycle in O(1) epochs instead of burning stall_patience full-check /
+    active-solve rounds (block_cd.conv_tol); the solution still matches
+    the f64 sequential oracle."""
+    import jax
+    from coordinatedescent_jl_tpu.ops.block_cd import (
+        _to_blocked_beta, _unblock, build_blocked, solve_blocked)
+
+    rng = np.random.default_rng(5)
+    n, p, s = 300, 600, 10
+    X = rng.standard_normal((n, p)).astype(np.float32)
+    y = (X[:, :s] @ rng.standard_normal(s)
+         + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    lam = 0.2 * float(np.abs(X.T @ y / n).max())
+    opts = CDOptions(opt_tol=1e-7, randomize=False)
+    lamw = jnp.ones((p,), jnp.float32)
+    prob = build_blocked("ls", opts, lamw, X=jnp.asarray(X),
+                         y=jnp.asarray(y))
+    st = solve_blocked(
+        "ls", opts, prob, lam,
+        _to_blocked_beta(jnp.zeros(p, jnp.float32), opts.block_size),
+        jax.random.PRNGKey(0))
+    assert bool(st.done)
+    # measured 9 epochs; anything under stall_patience proves the floor
+    # (not the stall detector) ended the solve
+    assert int(st.it) < opts.stall_patience
+
+    ref, _ = cd_lasso(X.astype(np.float64), y.astype(np.float64), lam,
+                      tol=1e-11)
+    got = np.asarray(_unblock(st.beta, p))
+    assert set(np.nonzero(got)[0]) == set(np.nonzero(ref)[0])
+    np.testing.assert_allclose(got, ref, atol=1e-6)
