@@ -1056,14 +1056,24 @@ def solve_blocked(kind: str, opts: CDOptions, prob: BlockedProblem, lam0,
     # support only grows as λ falls, so most steps reuse one gather
     nc = _compact_mode(kind, opts, prob, dtype)
     cache0 = _empty_ws_cache(kind, prob, nc, opts) if nc else None
+    # secant extrapolation across continuation steps (same accelerant as
+    # the lasso_path scan, _extrapolate_path_start); residual-form kinds
+    # only — quad's CDState.r caches Ax, not a residual
+    extrap = nc and kind in ("ls", "wls", "sqrt")
 
     def scan_body(carry, lam):
-        s, cache = carry
+        s, cache, beta_prev, lam_k, lam_km1 = carry
+        beta_k = s.beta
+        if extrap:
+            s = _extrapolate_path_start(s, cache, beta_prev, lam_k,
+                                        lam_km1, lam)
         s, cache = _solve_at_lambda_ws(kind, opts, prob, lam, s, n_scale,
                                        cache)
-        return (s, cache), None
+        return (s, cache, beta_k, lam, lam_k), None
 
-    (st, _), _ = lax.scan(scan_body, (st, cache0), lams)
+    zero_lam = jnp.zeros((), dtype)
+    (st, _, _, _, _), _ = lax.scan(
+        scan_body, (st, cache0, st.beta, zero_lam, zero_lam), lams)
     return st
 
 

@@ -157,3 +157,29 @@ def test_path_extrapolated_warm_start_matches_oracle():
         ref, _ = cd_lasso(X, y, lam_path[i], tol=1e-11)
         np.testing.assert_allclose(np.asarray(path.beta_path[i]), ref,
                                    atol=1e-6)
+
+
+def test_continuation_extrapolated_start_matches_oracle():
+    """Cold-start λ-continuation (solve_blocked warm_start=False) with the
+    secant-extrapolated start and compaction forced: the final solution at
+    the target λ still matches the sequential-CD oracle, for both the ls
+    and sqrt kinds (the sqrt path additionally exercises the
+    rsqr-refresh-on-full-check guarantee after an extrapolated shift)."""
+    from oracle import cd_lasso, cd_sqrt_lasso
+    rng = np.random.default_rng(17)
+    n, p, s = 120, 200, 6
+    X = rng.standard_normal((n, p))
+    y = X[:, :s] @ rng.standard_normal(s) + 0.4 * rng.standard_normal(n)
+    opts = cd.CDOptions(block_size=8, compact=True, compact_size=64,
+                        opt_tol=1e-10, randomize=False, warm_start=False,
+                        num_steps=25)
+
+    lam = 0.1 * float(np.abs(X.T @ y / n).max())
+    sol = cd.lasso(X, y, lam, options=opts)
+    ref, _ = cd_lasso(X, y, lam, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol.x), ref, atol=1e-7)
+
+    lam_sq = 0.4 * float(np.abs(X.T @ (y / np.linalg.norm(y))).max())
+    sol_sq = cd.sqrt_lasso(X, y, lam_sq, options=opts, standardize_X=False)
+    ref_sq, _ = cd_sqrt_lasso(X, y, lam_sq, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol_sq.x), ref_sq, atol=1e-7)
