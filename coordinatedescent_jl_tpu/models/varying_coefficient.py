@@ -187,22 +187,39 @@ def _locpolyl1_core(X, z, y, zgrid, h, lam0, key, degree: int,
     beta_b0 = _to_blocked_beta(jnp.zeros((ep,), X.dtype), opts.block_size)
 
     def scan_body(carry, z0):
-        beta_b, key = carry
+        beta_b, beta_prev, z_k, z_km1, key = carry
+        beta_k = beta_b
         key, k1 = jax.random.split(key)
+        # secant extrapolation of the warm start across grid points:
+        # β(z0) is smooth between support changes, so shifting the start
+        # along the last secant usually lands near the next solution
+        # (same accelerant as block_cd._extrapolate_path_start; here the
+        # residual is recomputed from scratch by the solver's init, so the
+        # shift needs no cache bookkeeping).  Zero coordinates stay zero —
+        # support changes are the solver's job.
+        denom = z_k - z_km1
+        alpha = jnp.where(jnp.abs(denom) > 0,
+                          (z0 - z_k) / jnp.where(denom == 0, 1.0, denom),
+                          0.0)
+        alpha = jnp.clip(alpha, 0.0, 2.0).astype(X.dtype)
+        start = jnp.where(beta_b != 0,
+                          beta_b + alpha * (beta_b - beta_prev), 0.0)
         w = evaluate(kernel, z, z0)
         eX = expand_X(X, z, z0, degree)
         stdX = std_X(eX, w)
         prob = build_blocked("wls", opts, stdX, X=eX, y=y, w=w)
-        st = solve_blocked("wls", opts, prob, lam0, beta_b, k1)
+        st = solve_blocked("wls", opts, prob, lam0, start, k1)
         beta = st.beta.reshape(-1)[:ep]
         if refit:
             mask = _group_mask_expanded(beta, p, degree)
             br = _masked_weighted_refit(eX, w, y, mask)
         else:
             br = jnp.zeros((ep,), X.dtype)
-        return (st.beta, key), (beta, br)
+        return (st.beta, beta_k, z0, z_k, key), (beta, br)
 
-    (_, _), (out, out_r) = lax.scan(scan_body, (beta_b0, key), zgrid)
+    zero_z = jnp.zeros((), X.dtype)
+    (_, _, _, _, _), (out, out_r) = lax.scan(
+        scan_body, (beta_b0, beta_b0, zero_z, zero_z, key), zgrid)
     return out.T, out_r.T
 
 
