@@ -41,6 +41,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.block_cd import (
+    _PREC,
     CDState,
     _active_pass,
     _compact_mode,
@@ -61,6 +62,43 @@ from ..utils.helpers import sample_std, find_init_sigma
 # ---------------------------------------------------------------------------
 # In-shard collective pass primitives
 # ---------------------------------------------------------------------------
+
+
+def _sharded_extrapolate_start(st: CDState, cache, beta_prev, lam_k,
+                               lam_km1, lam_new, axis):
+    """Sharded twin of ``block_cd._extrapolate_path_start``: secant-shift
+    the warm start along the λ path using only the shard's cached
+    working-set columns.  Two deltas from the single-device version:
+    ``covered`` is the all-shard AND (gathered, so every shard takes the
+    same branch) and the residual correction is the psum of the local
+    ``−X_s Δβ_s`` corrections (the replicated r tracks the global fit)."""
+    nb, B = st.beta.shape
+    nc = cache.Xb.shape[0]
+    dt = st.beta.dtype
+    denom = lam_k - lam_km1
+    alpha = jnp.where(jnp.abs(denom) > 0,
+                      (lam_new - lam_k) / jnp.where(denom == 0, 1.0, denom),
+                      0.0)
+    alpha = jnp.clip(alpha, 0.0, 2.0).astype(dt)
+    delta = jnp.where(st.beta != 0, st.beta - beta_prev, 0.0)
+    member = (jnp.zeros((nb * B,), bool).at[cache.idx].set(True)
+              .reshape(nb, B))
+    covered_local = cache.ok & ~jnp.any((delta != 0) & ~member)
+    covered = jnp.all(lax.all_gather(covered_local, axis))
+
+    def apply(st):
+        d = alpha * delta
+        bi, li = cache.idx // B, cache.idx % B
+        dws = d[bi, li].reshape(nc, B)
+        dr = lax.psum(
+            -jnp.einsum("bnk,bk->n", cache.Xb, dws, precision=_PREC), axis)
+        beta2 = st.beta + d
+        dnorm = jnp.sqrt(jnp.sum(dr * dr))
+        return st._replace(beta=beta2, r=st.r + dr,
+                           active=jnp.any(beta2 != 0, axis=1),
+                           drift=st.drift + dnorm)
+
+    return lax.cond(covered & (alpha > 0), apply, lambda s: s, st)
 
 
 def _pmax_scalar(x, axis):
@@ -568,13 +606,18 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
         cache0 = _empty_ws_cache("ls", prob, nc, opts) if nc else None
 
         def scan_body(carry, lam):
-            st, cache, stopped = carry
+            st, cache, beta_prev, lam_k, lam_km1, stopped = carry
+            beta_k = st.beta
             key, k1 = jax.random.split(st.key)
             st = st._replace(key=key)
 
             def do(args):
                 st, cache = args
                 if opts.warm_start:
+                    if nc:
+                        st = _sharded_extrapolate_start(
+                            st, cache, beta_prev, lam_k, lam_km1, lam,
+                            axis)
                     return _sharded_solve_at_lambda(
                         "ls", opts, prob, lam, st._replace(key=k1),
                         n_scale, axis, D, cache=cache)
@@ -586,11 +629,15 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
             valid = ~stopped
             nnz = lax.psum(jnp.sum(st.beta != 0), axis)
             stopped = stopped | (nnz > max_hat_s)
-            return (st, cache, stopped), (st.beta.reshape(-1)[:p_local],
-                                          valid)
+            return ((st, cache, beta_k, lam, lam_k, stopped),
+                    (st.beta.reshape(-1)[:p_local], valid))
 
-        (_, _, _), (betas, valids) = lax.scan(
-            scan_body, (st0, cache0, jnp.zeros((), bool)), lam_path)
+        zero_lam = jnp.zeros((), Xl.dtype)
+        (_, _, _, _, _, _), (betas, valids) = lax.scan(
+            scan_body,
+            (st0, cache0, st0.beta, zero_lam, zero_lam,
+             jnp.zeros((), bool)),
+            lam_path)
         return betas, valids
 
     fn = jax.shard_map(

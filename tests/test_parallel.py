@@ -223,3 +223,18 @@ def test_sharded_compaction_matches_single_device(feature_mesh):
     # exact-sparsity semantics survive the damped merges + snap
     assert np.array_equal(np.asarray(sol_sh.x) != 0,
                           np.asarray(sol_1d.x) != 0)
+
+
+def test_sharded_path_extrapolated_compact_matches_single(feature_mesh):
+    """λ-path with compaction forced so the sharded secant extrapolation
+    (_sharded_extrapolate_start: gathered covered-AND + psum'd residual
+    shift) actually runs; every point must match the single-device path."""
+    X, y = _gen(150, 128, 8, seed=21)
+    lam_max = float(np.abs(np.asarray(X).T @ np.asarray(y) / 150).max())
+    lams = lam_max * np.logspace(-0.2, -1.8, 10)
+    opts = cd.CDOptions(block_size=8, compact=True, compact_size=64,
+                        opt_tol=1e-10, randomize=False)
+    p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    p8 = lasso_path_sharded(X, y, lams, feature_mesh, options=opts,
+                            standardize_X=False)
+    np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-8)
