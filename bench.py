@@ -205,14 +205,17 @@ def main():
                                                options=os_)  # compile
             float(jnp.sum(sol_sh.x))
             t_sh = float("inf")
+            lam_rep = lam_s
             for rep in range(2):
+                lam_rep = lam_s * (1.0 + 1e-7 * (rep + 1))
                 t0 = time.perf_counter()
-                sol_sh = cd.parallel.lasso_sharded(
-                    Xs, ys, lam_s * (1.0 + 1e-7 * (rep + 1)), mesh1,
-                    options=os_)
+                sol_sh = cd.parallel.lasso_sharded(Xs, ys, lam_rep, mesh1,
+                                                   options=os_)
                 nnz_sh = int(jnp.sum(sol_sh.x != 0))
                 t_sh = min(t_sh, time.perf_counter() - t0)
-            sol_ref = cd.lasso(Xs, ys, lam_s, options=os_)
+            # agreement at the SAME λ as the last timed rep — otherwise
+            # the metric conflates the λ perturbation with divergence
+            sol_ref = cd.lasso(Xs, ys, lam_rep, options=os_)
             agree_sh = float(jnp.max(jnp.abs(sol_sh.x - sol_ref.x)))
             extra["sharded_1dev_s"] = round(t_sh, 4)
             extra["sharded_vs_single_max_abs_diff"] = agree_sh

@@ -98,10 +98,12 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
         stopped = stopped | (nnz > max_hat_s)
         return (st, cache, beta_k, lam, lam_k, stopped), (st.beta, valid)
 
-    zero_lam = jnp.zeros((), X.dtype)
+    # both abscissa carries start at the first path value so the first two
+    # steps skip the shift (block_cd.secant_alpha)
+    lam_init = lam_path[0]
     (_, _, _, _, _, _), (betas, valids) = lax.scan(
         scan_body,
-        (st0, cache0, st0.beta, zero_lam, zero_lam, jnp.zeros((), bool)),
+        (st0, cache0, st0.beta, lam_init, lam_init, jnp.zeros((), bool)),
         lam_path)
     return betas.reshape(betas.shape[0], -1)[:, :p], valids
 

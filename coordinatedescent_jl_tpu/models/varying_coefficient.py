@@ -37,6 +37,7 @@ from jax import lax
 from ..ops.block_cd import (
     _to_blocked_beta,
     build_blocked,
+    secant_alpha,
     solve_blocked,
 )
 from ..utils.helpers import get_sigma, std_X
@@ -197,11 +198,7 @@ def _locpolyl1_core(X, z, y, zgrid, h, lam0, key, degree: int,
         # residual is recomputed from scratch by the solver's init, so the
         # shift needs no cache bookkeeping).  Zero coordinates stay zero —
         # support changes are the solver's job.
-        denom = z_k - z_km1
-        alpha = jnp.where(jnp.abs(denom) > 0,
-                          (z0 - z_k) / jnp.where(denom == 0, 1.0, denom),
-                          0.0)
-        alpha = jnp.clip(alpha, 0.0, 2.0).astype(X.dtype)
+        alpha = secant_alpha(z0, z_k, z_km1, X.dtype)
         start = jnp.where(beta_b != 0,
                           beta_b + alpha * (beta_b - beta_prev), 0.0)
         w = evaluate(kernel, z, z0)
@@ -217,9 +214,13 @@ def _locpolyl1_core(X, z, y, zgrid, h, lam0, key, degree: int,
             br = jnp.zeros((ep,), X.dtype)
         return (st.beta, beta_k, z0, z_k, key), (beta, br)
 
-    zero_z = jnp.zeros((), X.dtype)
+    # initialize both abscissa carries with the FIRST grid value: the
+    # first two steps then see denom == 0 and skip the shift (a 0-sentinel
+    # would make step 2 extrapolate from a fictitious (z=0, β=0) point on
+    # ascending grids)
+    z_init = zgrid[0]
     (_, _, _, _, _), (out, out_r) = lax.scan(
-        scan_body, (beta_b0, beta_b0, zero_z, zero_z, key), zgrid)
+        scan_body, (beta_b0, beta_b0, z_init, z_init, key), zgrid)
     return out.T, out_r.T
 
 

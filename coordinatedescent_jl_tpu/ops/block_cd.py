@@ -69,24 +69,48 @@ from ..utils.options import CDOptions
 _PREC = lax.Precision.HIGHEST
 
 
-def conv_tol(tol, beta):
-    """Effective convergence tolerance for a ``maxH < tol`` check.
+def noise_floor_mask(habs, beta, step_noise=None):
+    """Zero out per-coordinate steps below that coordinate's computational
+    noise floor (sub-f64 dtypes only).
 
-    The user's ``opt_tol``, floored — for sub-f64 dtypes only — at a couple
-    of ulps of the largest iterate coordinate.  A coordinate step below
-    ``eps·max|β|`` is float rounding noise, not progress: at f32 with
-    ``opt_tol = 1e-7`` (the reference default, utils.jl:11) the full check
-    enters a limit cycle repeating ``maxH = 1 ulp`` forever, and every
-    solve then burns ``stall_patience`` full-check/active-solve rounds
-    before the stall detector fires — ~20× the useful work in warm outer
-    loops (σ rounds, λ paths).  f64 keeps the reference's exact criterion
-    (the floor is ~4e-16·|β|, far below any real ``opt_tol``)."""
-    dtype = beta.dtype
+    Two noise sources bound what a computed step can mean at f32:
+
+    - **iterate quantization** ``2·eps·|β_j|`` — a smaller step cannot
+      meaningfully move β_j;
+    - **gradient accumulation** ``step_noise_j ≈ κ·eps·‖r‖/‖X_j‖`` — the
+      rounding error of the (HIGHEST-pinned, f32-accumulated) dot
+      ``c_j = X_j'r`` is ~``eps·‖X_j‖·‖r‖``, which divided by the
+      curvature ``a_j = ‖X_j‖²`` is the noise in the *step*.  The observed
+      f32 limit cycle repeats exactly this magnitude.
+
+    Without the mask, f32 full checks at the reference-default
+    ``opt_tol = 1e-7`` (utils.jl:11) cycle forever on this noise and every
+    solve burns ``stall_patience`` full-check/active-solve rounds before
+    the stall detector fires — ~20× the useful work in warm outer loops
+    (σ rounds, λ paths).  The floor is per-coordinate on purpose: a global
+    ``eps·max|β|`` floor would swallow genuine small steps on small
+    coordinates when the iterate has wide dynamic range.  f64 keeps the
+    reference's exact criterion (both terms are ~1e-16-scale, far below
+    any real ``opt_tol``); the stall detector remains the backstop for
+    noise above this floor."""
+    if jnp.dtype(beta.dtype).itemsize >= 8:
+        return habs
+    eps = jnp.finfo(beta.dtype).eps
+    floor = 2 * eps * jnp.abs(beta)
+    if step_noise is not None:
+        floor = floor + step_noise
+    return jnp.where(habs <= floor, 0.0, habs)
+
+
+def _step_noise(r, xwnorm, dtype):
+    """Per-coordinate f32 step-noise scale ``κ·eps·‖r‖/‖Xw_j‖`` (see
+    noise_floor_mask); κ=4 covers the RMS accumulation error of the pinned
+    f32 dot with margin (the observed cycle noise is ≈1·eps·‖r‖/‖X_j‖)."""
     if jnp.dtype(dtype).itemsize >= 8:
-        return jnp.asarray(tol, dtype)
+        return None
     eps = jnp.finfo(dtype).eps
-    return jnp.maximum(jnp.asarray(tol, dtype),
-                       2 * eps * jnp.max(jnp.abs(beta)))
+    rnorm = jnp.sqrt(jnp.dot(r, r, precision=_PREC))
+    return 4 * eps * rnorm / jnp.maximum(xwnorm, 1e-30)
 
 
 # ---------------------------------------------------------------------------
@@ -649,6 +673,12 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
     # the conservative (< tol) bound so reporting stays an upper bound
     habs = jnp.where(use_bound[:, None], bound, habs)
     habs = jnp.where(cand[:, None], habs, 0.0)  # screened ⇒ certified zero
+    # quad's state caches Ax (not a residual) — its gradient-noise scale
+    # doesn't follow the ‖r‖/‖X_j‖ formula, so only the iterate term
+    habs = noise_floor_mask(
+        habs, st.beta,
+        None if kind == "quad" else _step_noise(st.r, prob.xwnorm,
+                                                st.beta.dtype))
     maxh = jnp.max(habs)
     viol = jnp.any(habs >= opt_tol, axis=1)
     active = jnp.any(st.beta != 0, axis=1) | viol
@@ -731,6 +761,26 @@ def _empty_ws_cache(kind, prob: BlockedProblem, nc: int,
                        else None))
 
 
+def secant_alpha(x_new, x_k, x_km1, dtype):
+    """Clipped secant ratio ``(x_new − x_k)/(x_k − x_km1)`` for warm-start
+    extrapolation along a parameter schedule (λ paths, z grids).
+
+    Shared by the single-device path, the sharded path, and the locpolyl1
+    grid so the kink-clip rule lives in one place.  Zero when the two
+    previous abscissae coincide (the scan carries are initialized with the
+    schedule's FIRST value twice, so the first two steps — where no real
+    secant exists — skip the shift instead of extrapolating from a
+    fictitious point).  Clipped to [0, 2]: between-kinks exactness only
+    holds locally, and a kink right after x_k must not fling the start far
+    off (the solver would recover, but from a worse point than the plain
+    warm start)."""
+    denom = x_k - x_km1
+    alpha = jnp.where(jnp.abs(denom) > 0,
+                      (x_new - x_k) / jnp.where(denom == 0, 1.0, denom),
+                      0.0)
+    return jnp.clip(alpha, 0.0, 2.0).astype(dtype)
+
+
 def _extrapolate_path_start(st: CDState, cache: WsCache, beta_prev,
                             lam_k, lam_km1, lam_new):
     """Secant extrapolation of the warm start along a λ path.
@@ -753,14 +803,7 @@ def _extrapolate_path_start(st: CDState, cache: WsCache, beta_prev,
     nb, B = st.beta.shape
     nc = cache.Xb.shape[0]
     dt = st.beta.dtype
-    denom = lam_k - lam_km1
-    alpha = jnp.where(jnp.abs(denom) > 0,
-                      (lam_new - lam_k) / jnp.where(denom == 0, 1.0, denom),
-                      0.0)
-    # between-kinks exactness only holds locally; cap the step so a kink
-    # right after λ_k cannot fling the start far off (the solver would
-    # recover, but from a worse point than the plain warm start)
-    alpha = jnp.clip(alpha, 0.0, 2.0).astype(dt)
+    alpha = secant_alpha(lam_new, lam_k, lam_km1, dt)
     # freeze coordinates currently at 0: a coordinate that just LEFT the
     # support sits at a kink — extrapolating through it would re-enter it
     # with a flipped sign; for the Lasso it locally stays out.  This also
@@ -957,7 +1000,7 @@ def _solve_at_lambda_ws(kind, opts: CDOptions, prob: BlockedProblem, lam0,
             return s2, maxh, cache
 
         s2, maxh, cache = lax.cond(was_full, full, act, (s, cache))
-        conv = maxh < conv_tol(tol, s2.beta)
+        conv = maxh < tol
         # stall accounting uses FULL-check maxh only — the certified
         # order-independent measure.  Active-pass maxh is trajectory noise:
         # it hits exact 0 whenever the current active set is quiescent
@@ -1071,9 +1114,10 @@ def solve_blocked(kind: str, opts: CDOptions, prob: BlockedProblem, lam0,
                                        cache)
         return (s, cache, beta_k, lam, lam_k), None
 
-    zero_lam = jnp.zeros((), dtype)
+    # both abscissa carries start at the first schedule value so the first
+    # two steps skip the shift (secant_alpha)
     (st, _, _, _, _), _ = lax.scan(
-        scan_body, (st, cache0, st.beta, zero_lam, zero_lam), lams)
+        scan_body, (st, cache0, st.beta, lams[0], lams[0]), lams)
     return st
 
 

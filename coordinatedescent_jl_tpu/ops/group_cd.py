@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .block_cd import conv_tol
+from .block_cd import noise_floor_mask
 from .prox import ProxL1Group, group_soft_threshold
 from ..utils.options import CDOptions
 
@@ -196,7 +196,18 @@ def _group_full_check(prob: GroupProblem, st: GroupState, lam0, n_scale,
     thr = n_scale * lam0 * prob.lamw / jnp.maximum(prob.Lb, 1e-30)[:, None]
     bstar = _group_prox(z, thr, k, G)
     h = jnp.where(prob.valid, bstar - st.beta, 0.0)
-    habs = jnp.abs(h)
+    # per-coordinate computational noise floor (block_cd.noise_floor_mask):
+    # the group step is c/L_b, so its gradient-noise scale is
+    # κ·eps·‖X_j‖·‖r‖/L_b with ‖X_j‖² = diag(K_b)
+    if jnp.dtype(st.beta.dtype).itemsize < 8:
+        eps = jnp.finfo(st.beta.dtype).eps
+        rnorm = jnp.sqrt(jnp.dot(st.r, st.r, precision=_PREC))
+        xnorm = jnp.sqrt(jnp.maximum(
+            jnp.diagonal(prob.Kb, axis1=1, axis2=2), 0.0))
+        step_noise = 4 * eps * rnorm * xnorm / L
+    else:
+        step_noise = None
+    habs = noise_floor_mask(jnp.abs(h), st.beta, step_noise)
     maxh = jnp.max(habs)
     viol = jnp.any(habs >= opt_tol, axis=1)
     active = jnp.any(st.beta != 0, axis=1) | viol
@@ -229,7 +240,7 @@ def _group_solve_at_lambda(opts: CDOptions, prob: GroupProblem, lam0,
                                       opts.randomize, opts.block_iters)
 
         s2, maxh = lax.cond(was_full, full, act, s)
-        conv = maxh < conv_tol(tol, s2.beta)
+        conv = maxh < tol
         improved = was_full & (maxh < best)
         stall = jnp.where(was_full,
                           jnp.where(improved, 0, stall + 1), stall)

@@ -51,7 +51,7 @@ from ..ops.block_cd import (
     _lambda_max,
     _to_blocked_beta,
     build_blocked,
-    conv_tol,
+    secant_alpha,
 )
 from ..ops.losses import LeastSquaresLoss, SqrtLassoLoss, WeightedLSLoss
 from ..ops.prox import ProxL1, ProxZero, as_l1
@@ -75,11 +75,7 @@ def _sharded_extrapolate_start(st: CDState, cache, beta_prev, lam_k,
     nb, B = st.beta.shape
     nc = cache.Xb.shape[0]
     dt = st.beta.dtype
-    denom = lam_k - lam_km1
-    alpha = jnp.where(jnp.abs(denom) > 0,
-                      (lam_new - lam_k) / jnp.where(denom == 0, 1.0, denom),
-                      0.0)
-    alpha = jnp.clip(alpha, 0.0, 2.0).astype(dt)
+    alpha = secant_alpha(lam_new, lam_k, lam_km1, dt)
     delta = jnp.where(st.beta != 0, st.beta - beta_prev, 0.0)
     member = (jnp.zeros((nb * B,), bool).at[cache.idx].set(True)
               .reshape(nb, B))
@@ -277,11 +273,10 @@ def _sharded_solve_at_lambda(kind, opts: CDOptions, prob, lam0, st: CDState,
                                         opts, nc, cache)
 
         s2, maxh, cache = lax.cond(was_full, full, act, (s, cache))
-        # the f32 rounding floor (block_cd.conv_tol) must be computed from
-        # the GLOBAL iterate max — a shard-local max would let shards
-        # disagree on conv and diverge the while_loop control flow
-        bmax = _pmax_scalar(jnp.max(jnp.abs(s2.beta)), axis)
-        conv = maxh < conv_tol(tol, bmax[None])
+        # maxh is already noise-floor-masked per coordinate inside
+        # _full_check (block_cd.noise_floor_mask) and pmax'd, so the
+        # criterion is shard-consistent as-is
+        conv = maxh < tol
         # full-check-only stall accounting — same rationale as the
         # single-device loop (block_cd._solve_at_lambda): active-pass maxh
         # is trajectory noise, the certified full-check measure is not
@@ -341,18 +336,25 @@ def solve_blocked_sharded(kind: str, opts: CDOptions, prob, lam0, beta0_b,
     lams = jnp.exp(ts)
 
     # the per-shard compaction working-set cache rides the continuation
-    # carry (same amortization as block_cd.solve_blocked)
+    # carry (same amortization as block_cd.solve_blocked), and the warm
+    # start is secant-shifted across steps like the single-device twin
     nc = _compact_mode(kind, opts, prob, dtype)
     cache0 = _empty_ws_cache(kind, prob, nc, opts) if nc else None
+    extrap = nc and kind in ("ls", "wls", "sqrt")
 
     def scan_body(carry, lam):
-        s, cache = carry
+        s, cache, beta_prev, lam_k, lam_km1 = carry
+        beta_k = s.beta
+        if extrap:
+            s = _sharded_extrapolate_start(s, cache, beta_prev, lam_k,
+                                           lam_km1, lam, axis)
         s, cache = _sharded_solve_at_lambda(kind, opts, prob, lam, s,
                                             n_scale, axis, n_shards, w,
                                             cache)
-        return (s, cache), None
+        return (s, cache, beta_k, lam, lam_k), None
 
-    (st, _), _ = lax.scan(scan_body, (st, cache0), lams)
+    (st, _, _, _, _), _ = lax.scan(
+        scan_body, (st, cache0, st.beta, lams[0], lams[0]), lams)
     return st
 
 
@@ -632,10 +634,12 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
             return ((st, cache, beta_k, lam, lam_k, stopped),
                     (st.beta.reshape(-1)[:p_local], valid))
 
-        zero_lam = jnp.zeros((), Xl.dtype)
+        # both abscissa carries start at the first path value so the first
+        # two steps skip the shift (block_cd.secant_alpha)
+        lam_init = lam_path[0]
         (_, _, _, _, _, _), (betas, valids) = lax.scan(
             scan_body,
-            (st0, cache0, st0.beta, zero_lam, zero_lam,
+            (st0, cache0, st0.beta, lam_init, lam_init,
              jnp.zeros((), bool)),
             lam_path)
         return betas, valids

@@ -29,6 +29,7 @@ from ..models.lasso_path import LassoPath
 from ..ops.block_cd import (
     _compact_nc,
     _empty_ws_cache,
+    _extrapolate_path_start,
     _ws_cache_from_idx,
     _init_state,
     _solve_at_lambda_ws,
@@ -63,6 +64,11 @@ class PathCheckpoint(NamedTuple):
                              # gathered columns are NOT persisted — they
                              # are a deterministic re-gather of ws_idx)
     ws_ok: bool              # whether ws_idx holds a real gather
+    beta_prev: np.ndarray    # (p,) previous path point's solution — the
+                             # secant warm-start extrapolation's second
+                             # support point (_extrapolate_path_start)
+    lam_k: float             # abscissa of beta_warm's path point
+    lam_km1: float           # abscissa of beta_prev's path point
 
 
 def save_checkpoint(path: str, ck: PathCheckpoint) -> None:
@@ -93,6 +99,9 @@ def load_checkpoint(path: str) -> Optional[PathCheckpoint]:
             active=z["active"],
             ws_idx=z["ws_idx"],
             ws_ok=bool(z["ws_ok"]),
+            beta_prev=z["beta_prev"],
+            lam_k=float(z["lam_k"]),
+            lam_km1=float(z["lam_km1"]),
         )
 
 
@@ -134,13 +143,17 @@ def lasso_path_resumable(X, y, lam_path, checkpoint_file: str,
         return _ws_cache_from_idx("ls", prob, nc, options, idx, ok)
 
     @jax.jit
-    def solve_one(lam, st, cache):
+    def solve_one(lam, st, cache, beta_prev_b, lam_k, lam_km1):
         # mirror models/lasso_path._lasso_path_core.scan_body exactly —
-        # including the carried compaction working-set cache — so
-        # resumable trajectories coincide with the scan path's
+        # including the carried compaction working-set cache and the
+        # secant warm-start extrapolation — so resumable trajectories
+        # coincide with the scan path's
         prob = build_blocked("ls", options, lamw, X=X, y=y)
         key, k1 = jax.random.split(st.key)
         if options.warm_start:
+            if nc:
+                st = _extrapolate_path_start(st, cache, beta_prev_b,
+                                             lam_k, lam_km1, lam)
             st, cache = _solve_at_lambda_ws("ls", options, prob, lam,
                                             st._replace(key=k1), n_scale,
                                             cache)
@@ -171,13 +184,25 @@ def lasso_path_resumable(X, y, lam_path, checkpoint_file: str,
             drift=jnp.asarray(ck.drift, X.dtype),
             active=jnp.asarray(ck.active, bool),
         )
+        beta_prev_b = _to_blocked_beta(jnp.asarray(ck.beta_prev, X.dtype),
+                                       options.block_size)
+        lam_k, lam_km1 = ck.lam_k, ck.lam_km1
     else:
         start = 0
         betas = []
         st, cache = init_state(jax.random.PRNGKey(seed))
+        beta_prev_b = st.beta
+        # both abscissa carries start at the first path value (the scan
+        # path's init) so the first two points skip the shift
+        lam_k = lam_km1 = float(lam_np[0])
 
     for i in range(start, lam_np.shape[0]):
-        st, cache = solve_one(jnp.asarray(lam_np[i], X.dtype), st, cache)
+        beta_k_b = st.beta
+        st, cache = solve_one(jnp.asarray(lam_np[i], X.dtype), st, cache,
+                              beta_prev_b,
+                              jnp.asarray(lam_k, X.dtype),
+                              jnp.asarray(lam_km1, X.dtype))
+        beta_prev_b, lam_km1, lam_k = beta_k_b, lam_k, float(lam_np[i])
         beta_i = np.asarray(st.beta.reshape(-1)[:p])
         betas.append(beta_i)
         if (i + 1) % checkpoint_every == 0 or i == lam_np.shape[0] - 1:
@@ -197,6 +222,9 @@ def lasso_path_resumable(X, y, lam_path, checkpoint_file: str,
                 ws_idx=(np.asarray(cache.idx) if cache is not None
                         else np.zeros((0,), np.int32)),
                 ws_ok=(bool(cache.ok) if cache is not None else False),
+                beta_prev=np.asarray(beta_prev_b.reshape(-1)[:p]),
+                lam_k=float(lam_k),
+                lam_km1=float(lam_km1),
             ))
 
     return LassoPath(jnp.asarray(lam_np), jnp.asarray(np.stack(betas)))

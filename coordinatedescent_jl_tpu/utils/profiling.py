@@ -32,7 +32,6 @@ from ..ops.block_cd import (
     _init_state,
     _to_blocked_beta,
     build_blocked,
-    conv_tol,
 )
 from ..ops.diagnostics import lasso_duality_gap
 from ..utils.options import CDOptions
@@ -167,9 +166,9 @@ def solve_with_trace(X, y, lam, weights=None,
         nnzs.append(int(jnp.sum(beta != 0)))
         gaps.append(float(lasso_duality_gap(X, y, beta, lam, lamw)))
         secs.append(time.perf_counter() - t0)
-        # mirror the engine's criterion, including the sub-f64 rounding
-        # floor (block_cd.conv_tol)
-        conv = float(maxh) < float(conv_tol(options.opt_tol, st.beta))
+        # maxh from _full_check is already noise-floor-masked per
+        # coordinate (block_cd.noise_floor_mask), matching the engine
+        conv = float(maxh) < options.opt_tol
         if was_full and conv and converged_prev:
             break
         # mirror the engine's f32 stall detector exactly

@@ -164,3 +164,36 @@ def test_checkpoint_resume_trajectory_with_compaction(tmp_path):
     resumed = cd.lasso_path_resumable(X, y, lams, f_int, options=opts)
     np.testing.assert_array_equal(np.asarray(resumed.beta_path),
                                   np.asarray(full.beta_path))
+
+
+def test_resume_trajectory_identical_compaction(tmp_path):
+    """Same bitwise-resume guarantee with compaction (and therefore the
+    secant warm-start extrapolation) engaged: the resumable driver must
+    mirror the scan path's extrapolated trajectory, and the checkpoint's
+    beta_prev/lam_k/lam_km1 must restore the secant state exactly."""
+    X, y = _gen(120, 256, 8, seed=11)
+    lam_max = float(np.abs(np.asarray(X).T @ np.asarray(y) / 120).max())
+    lams = lam_max * np.logspace(-0.3, -1.7, 8)
+    opts = cd.CDOptions(block_size=8, compact=True, compact_size=64,
+                        randomize=True)
+    f1 = str(tmp_path / "full.npz")
+    f2 = str(tmp_path / "interrupted.npz")
+    p_full = cd.lasso_path_resumable(X, y, lams, f1, options=opts,
+                                     standardize_X=False, seed=3)
+    cd.lasso_path_resumable(X, y, lams[:4], f2, options=opts,
+                            standardize_X=False, seed=3)
+    ck = cd.load_checkpoint(f2)
+    cd.save_checkpoint(f2, ck._replace(lam_path=np.asarray(lams)))
+    p_res = cd.lasso_path_resumable(X, y, lams, f2, options=opts,
+                                    standardize_X=False, seed=3)
+    assert np.array_equal(np.asarray(p_res.beta_path),
+                          np.asarray(p_full.beta_path))
+    c1, c2 = cd.load_checkpoint(f1), cd.load_checkpoint(f2)
+    for fld in ("beta_warm", "residuals", "key", "c", "drift", "active",
+                "ws_idx", "beta_prev", "lam_k", "lam_km1"):
+        assert np.array_equal(getattr(c1, fld), getattr(c2, fld)), fld
+    # and the scan driver follows the same trajectory endpoint
+    p_scan = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                           seed=3)
+    np.testing.assert_allclose(np.asarray(p_scan.beta_path),
+                               np.asarray(p_full.beta_path), atol=1e-9)
