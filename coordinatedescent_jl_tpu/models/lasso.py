@@ -29,6 +29,7 @@ from ..ops.block_cd import (
     BlockedProblem,
     _compact_mode,
     _empty_ws_cache,
+    _extrapolate_path_start,
     _init_state,
     _pad_to_blocks,
     _blockify_cols,
@@ -148,31 +149,43 @@ def _scaled_lasso_core(X, y, lam, lamw, beta0, key, opts: IterLassoOptions,
     cache0 = _empty_ws_cache("ls", prob, nc, cd) if nc else None
 
     def cond(c):
-        st, cache, sig, sig_used, it, done = c
+        it, done = c[4], c[5]
         return jnp.logical_and(~done, it < opts.max_iter)
 
     def body(c):
-        st, cache, sig, sig_used, it, done = c
+        (st, cache, sig, sig_used, it, done,
+         beta_prev, lam_k, lam_km1) = c
+        beta_k = st.beta
+        lam_new = lam * sig
         key, k1 = jax.random.split(st.key)
         if cd.warm_start:
-            st, cache = _solve_at_lambda_ws("ls", cd, prob, lam * sig,
+            if nc:
+                # the σ rounds move the effective penalty along the
+                # λ·σ abscissa — same secant accelerant as the λ path
+                # (σ oscillations give α < 0, which the clip skips)
+                st = _extrapolate_path_start(st, cache, beta_prev,
+                                             lam_k, lam_km1, lam_new)
+            st, cache = _solve_at_lambda_ws("ls", cd, prob, lam_new,
                                             st._replace(key=k1), n_scale,
                                             cache)
         else:
             # reference semantics: coordinateDescent! with warmStart=false
             # zeroes β and runs λ-continuation every σ round
             # (lasso.jl:133, coordinate_descent.jl:24-37)
-            st = solve_blocked("ls", cd, prob, lam * sig,
+            st = solve_blocked("ls", cd, prob, lam_new,
                                jnp.zeros_like(st.beta), k1)
         signew = jnp.sqrt(jnp.sum(st.r * st.r) / n)
         done = jnp.abs(signew - sig) / sig < opts.opt_tol
         sig_used = sig
         sig = jnp.where(done, sig, signew)
-        return (st, cache, sig, sig_used, it + 1, done)
+        return (st, cache, sig, sig_used, it + 1, done,
+                beta_k, lam_new, lam_k)
 
+    lam_first = lam * sig
     init = (st0, cache0, sig, sig, jnp.zeros((), jnp.int32),
-            jnp.zeros((), bool))
-    st, _, sig, sig_used, it, done = lax.while_loop(cond, body, init)
+            jnp.zeros((), bool), st0.beta, lam_first, lam_first)
+    st, _, sig, sig_used, it, done, _, _, _ = lax.while_loop(
+        cond, body, init)
     beta = _unblock(st.beta, beta0.shape[0])
     return beta, st.r, sig_used
 

@@ -183,3 +183,22 @@ def test_continuation_extrapolated_start_matches_oracle():
     sol_sq = cd.sqrt_lasso(X, y, lam_sq, options=opts, standardize_X=False)
     ref_sq, _ = cd_sqrt_lasso(X, y, lam_sq, tol=1e-12)
     np.testing.assert_allclose(np.asarray(sol_sq.x), ref_sq, atol=1e-7)
+
+
+def test_scaled_lasso_compact_extrapolated_matches_dense():
+    """Scaled lasso with compaction forced (σ-round secant extrapolation
+    active) must match the dense-engine scaled lasso: the σ fixed point
+    and coefficients are invariant to the accelerant."""
+    X, y, _ = _gen(150, 256, 8, seed=5)
+    lam = float(np.sqrt(2 * np.log(256) / 150))
+    o_c = cd.IterLassoOptions(options_cd=cd.CDOptions(
+        block_size=8, compact=True, compact_size=64, opt_tol=1e-10,
+        randomize=False))
+    o_d = cd.IterLassoOptions(options_cd=cd.CDOptions(
+        block_size=8, compact=False, opt_tol=1e-10, randomize=False))
+    s_c = cd.scaled_lasso(X, y, lam, options=o_c)
+    s_d = cd.scaled_lasso(X, y, lam, options=o_d)
+    np.testing.assert_allclose(np.asarray(s_c.x), np.asarray(s_d.x),
+                               atol=1e-8)
+    np.testing.assert_allclose(float(s_c.sigma), float(s_d.sigma),
+                               rtol=1e-8)
