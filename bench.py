@@ -156,6 +156,22 @@ def main():
         extra["locpolyl1_s"] = round(t_vc, 4)
         _log(f"bench: locpolyl1 {extra['locpolyl1_s']}s finite={ok}")
 
+        # batched-grid execution: coarse scan + chunked-vmap refinement —
+        # the TPU-first alternative to the reference's serial grid loop
+        out, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern, 0.05,
+                              grid_batch=128)  # compile
+        float(jnp.sum(out))
+        t_vb = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            out, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern,
+                                  0.05 + 1e-7 * (rep + 1), grid_batch=128)
+            ok = bool(jnp.all(jnp.isfinite(out)))
+            t_vb = min(t_vb, time.perf_counter() - t0)
+        extra["locpolyl1_batched_s"] = round(t_vb, 4)
+        _log(f"bench: locpolyl1(batched) {extra['locpolyl1_batched_s']}s "
+             f"finite={ok}")
+
         # group lasso (AtomIterate surface): G=8 groups, 20 active.
         # Free the 4 GB path design first (keeps HBM headroom for the
         # group build's batched Gram einsum)
