@@ -159,7 +159,7 @@ def _scaled_lasso_core(X, y, lam, lamw, beta0, key, opts: IterLassoOptions,
         lam_new = lam * sig
         key, k1 = jax.random.split(st.key)
         if cd.warm_start:
-            if nc:
+            if nc and cd.extrapolate:
                 # the σ rounds move the effective penalty along the
                 # λ·σ abscissa — same secant accelerant as the λ path
                 # (σ oscillations give α < 0, which the clip skips)

@@ -73,7 +73,7 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
             st, cache = args
             key, k1 = jax.random.split(st.key)
             if opts.warm_start:
-                if nc:
+                if nc and opts.extrapolate:
                     # secant extrapolation along the path: β(λ) is
                     # piecewise linear, so the shifted start usually lands
                     # within rounding of the next solution; the shift's

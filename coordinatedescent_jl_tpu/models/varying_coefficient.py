@@ -198,7 +198,8 @@ def _locpolyl1_core(X, z, y, zgrid, h, lam0, key, degree: int,
         # residual is recomputed from scratch by the solver's init, so the
         # shift needs no cache bookkeeping).  Zero coordinates stay zero —
         # support changes are the solver's job.
-        alpha = secant_alpha(z0, z_k, z_km1, X.dtype)
+        alpha = (secant_alpha(z0, z_k, z_km1, X.dtype)
+                 if opts.extrapolate else jnp.zeros((), X.dtype))
         start = jnp.where(beta_b != 0,
                           beta_b + alpha * (beta_b - beta_prev), 0.0)
         w = evaluate(kernel, z, z0)

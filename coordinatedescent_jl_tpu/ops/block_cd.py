@@ -1102,7 +1102,7 @@ def solve_blocked(kind: str, opts: CDOptions, prob: BlockedProblem, lam0,
     # secant extrapolation across continuation steps (same accelerant as
     # the lasso_path scan, _extrapolate_path_start); residual-form kinds
     # only — quad's CDState.r caches Ax, not a residual
-    extrap = nc and kind in ("ls", "wls", "sqrt")
+    extrap = nc and opts.extrapolate and kind in ("ls", "wls", "sqrt")
 
     def scan_body(carry, lam):
         s, cache, beta_prev, lam_k, lam_km1 = carry

@@ -340,7 +340,7 @@ def solve_blocked_sharded(kind: str, opts: CDOptions, prob, lam0, beta0_b,
     # start is secant-shifted across steps like the single-device twin
     nc = _compact_mode(kind, opts, prob, dtype)
     cache0 = _empty_ws_cache(kind, prob, nc, opts) if nc else None
-    extrap = nc and kind in ("ls", "wls", "sqrt")
+    extrap = nc and opts.extrapolate and kind in ("ls", "wls", "sqrt")
 
     def scan_body(carry, lam):
         s, cache, beta_prev, lam_k, lam_km1 = carry
@@ -616,7 +616,7 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
             def do(args):
                 st, cache = args
                 if opts.warm_start:
-                    if nc:
+                    if nc and opts.extrapolate:
                         st = _sharded_extrapolate_start(
                             st, cache, beta_prev, lam_k, lam_km1, lam,
                             axis)

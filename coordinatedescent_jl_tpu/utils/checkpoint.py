@@ -151,7 +151,7 @@ def lasso_path_resumable(X, y, lam_path, checkpoint_file: str,
         prob = build_blocked("ls", options, lamw, X=X, y=y)
         key, k1 = jax.random.split(st.key)
         if options.warm_start:
-            if nc:
+            if nc and options.extrapolate:
                 st = _extrapolate_path_start(st, cache, beta_prev_b,
                                              lam_k, lam_km1, lam)
             st, cache = _solve_at_lambda_ws("ls", options, prob, lam,

@@ -88,6 +88,15 @@ class CDOptions:
       on for the regression losses when the cache is ≤ 256 MiB
       (``p·B·4`` bytes); ``True``/``False`` force.  No effect on
       solutions (new).
+    - ``extrapolate``: secant warm-start extrapolation along solver
+      schedules (λ paths, λ-continuation, scaled-lasso σ rounds, the
+      locpolyl1 z-grid).  β(λ) is piecewise linear, so shifting the warm
+      start along the last secant usually lands within rounding of the
+      next solution and the inner epochs collapse.  Requires the
+      compaction working set (the shift's residual update uses only the
+      cached columns) except on the z-grid, where the residual is rebuilt
+      per point anyway.  Solutions are unchanged — every solve is still
+      certified by the full KKT sweep (new).
     """
 
     max_iter: int = 2000
@@ -105,6 +114,7 @@ class CDOptions:
     compact_size: int = 1024
     compact_rounds: int = 32
     cache_gram: bool | None = None
+    extrapolate: bool = True
 
     def replace(self, **kw) -> "CDOptions":
         return dataclasses.replace(self, **kw)
