@@ -241,8 +241,9 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
 
     1. the ordinary sequential scan on a coarse subgrid (every
        ``stride``-th point, endpoints included) — cheap, keeps the
-       reference's warm-start quality along the grid;
-    2. every grid point solved INDEPENDENTLY (``lax.map`` with
+       reference's warm-start quality along the grid, and its solutions
+       (+ refits) are taken as-is;
+    2. the REMAINING points solved independently (``lax.map`` with
        ``batch_size=grid_batch`` ⇒ chunked vmap), warm-started from the
        linear interpolation of the two bracketing coarse solutions.
 
@@ -256,24 +257,28 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
     kernel = kernel_type(h)
     g = zgrid.shape[0]
 
-    import numpy as _np
-    cidx = _np.arange(0, g, stride)
+    cidx = np.arange(0, g, stride)
     if cidx[-1] != g - 1:
-        cidx = _np.append(cidx, g - 1)
+        cidx = np.append(cidx, g - 1)
+    rest = np.setdiff1d(np.arange(g), cidx)
     zg_c = zgrid[jnp.asarray(cidx)]
     key, kc = jax.random.split(key)
-    out_c, _ = _locpolyl1_core(X, z, y, zg_c, h, lam0, kc, degree,
-                               kernel_type, opts, False)
+    out_c, out_rc = _locpolyl1_core(X, z, y, zg_c, h, lam0, kc, degree,
+                                    kernel_type, opts, refit)
+    if rest.size == 0:
+        return out_c, out_rc
 
-    # per-point warm start: linear interpolation between bracketing
-    # coarse solutions (dense start is fine — the solver prunes)
-    seg = jnp.clip(jnp.searchsorted(zg_c, zgrid, side="right") - 1,
+    # warm starts for the remaining points: linear interpolation between
+    # the bracketing coarse solutions (dense start is fine — the solver
+    # prunes)
+    zr = zgrid[jnp.asarray(rest)]
+    seg = jnp.clip(jnp.searchsorted(zg_c, zr, side="right") - 1,
                    0, len(cidx) - 2)
     z_lo, z_hi = zg_c[seg], zg_c[seg + 1]
-    a = jnp.where(z_hi > z_lo, (zgrid - z_lo)
+    a = jnp.where(z_hi > z_lo, (zr - z_lo)
                   / jnp.where(z_hi > z_lo, z_hi - z_lo, 1.0), 0.0)
     starts = ((1.0 - a)[None, :] * out_c[:, seg]
-              + a[None, :] * out_c[:, seg + 1])        # (ep, g)
+              + a[None, :] * out_c[:, seg + 1])        # (ep, |rest|)
 
     def point_solve(args):
         z0, beta0_e, k = args
@@ -291,9 +296,14 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
             br = jnp.zeros((ep,), X.dtype)
         return beta, br
 
-    keys = jax.random.split(key, g)
-    out, out_r = jax.lax.map(point_solve, (zgrid, starts.T, keys),
-                             batch_size=min(grid_batch, g))
+    keys = jax.random.split(key, rest.size)
+    out_rest, r_rest = jax.lax.map(
+        point_solve, (zr, starts.T, keys),
+        batch_size=min(grid_batch, int(rest.size)))
+    out = (jnp.zeros((g, ep), X.dtype).at[jnp.asarray(cidx)].set(out_c.T)
+           .at[jnp.asarray(rest)].set(out_rest))
+    out_r = (jnp.zeros((g, ep), X.dtype).at[jnp.asarray(cidx)]
+             .set(out_rc.T).at[jnp.asarray(rest)].set(r_rest))
     return out.T, out_r.T
 
 
@@ -309,11 +319,15 @@ def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
 
     ``grid_batch > 0`` switches to the batched-grid execution
     (_locpolyl1_batched_core): a coarse sequential scan on every
-    ``coarse_stride``-th point, then all points solved in vmapped chunks
-    of ``grid_batch`` from interpolated warm starts — same certified
-    solutions, MXU-parallel instead of serial on TPU.  Requires ``zgrid``
-    sorted ascending.
+    ``coarse_stride``-th point, then the remaining points solved in
+    vmapped chunks of ``grid_batch`` from interpolated warm starts — same
+    certified solutions, MXU-parallel instead of serial on TPU.  Requires
+    ``zgrid`` sorted ascending.  Grids no longer than
+    ``max(2, coarse_stride)`` fall back to the sequential scan (there is
+    nothing to batch between coarse points).
     """
+    if coarse_stride < 1:
+        raise ValueError("coarse_stride must be >= 1")
     X = jnp.asarray(X)
     z = jnp.asarray(z, X.dtype)
     y = jnp.asarray(y, X.dtype)
