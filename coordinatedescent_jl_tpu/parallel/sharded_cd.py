@@ -509,19 +509,28 @@ def _make_sharded_scaled(opts: IterLassoOptions, mesh: Mesh, axis: str,
         cache0 = _empty_ws_cache("ls", prob, nc, cd) if nc else None
 
         def cond(c):
-            st, cache, sig, sig_used, it, done = c
+            it, done = c[4], c[5]
             return jnp.logical_and(~done, it < opts.max_iter)
 
         def body(c):
-            st, cache, sig, sig_used, it, done = c
+            (st, cache, sig, sig_used, it, done,
+             beta_prev, lam_k, lam_km1) = c
+            beta_k = st.beta
+            lam_new = lam * sig
             key, k1 = jax.random.split(st.key)
             if cd.warm_start:
+                if nc and cd.extrapolate:
+                    # σ rounds move the penalty along the λ·σ abscissa —
+                    # same secant accelerant as the single-device twin
+                    st = _sharded_extrapolate_start(
+                        st, cache, beta_prev, lam_k, lam_km1, lam_new,
+                        axis)
                 st, cache = _sharded_solve_at_lambda(
-                    "ls", cd, prob, lam * sig, st._replace(key=k1),
+                    "ls", cd, prob, lam_new, st._replace(key=k1),
                     n_scale, axis, D, cache=cache)
             else:
                 # reference semantics: cold λ-continuation every σ round
-                st = solve_blocked_sharded("ls", cd, prob, lam * sig,
+                st = solve_blocked_sharded("ls", cd, prob, lam_new,
                                            jnp.zeros_like(st.beta), k1,
                                            axis, D)
             # consensus σ: residual is replicated post-psum, every shard
@@ -530,10 +539,12 @@ def _make_sharded_scaled(opts: IterLassoOptions, mesh: Mesh, axis: str,
             done = jnp.abs(signew - sig) / sig < opts.opt_tol
             sig_used = sig
             sig = jnp.where(done, sig, signew)
-            return (st, cache, sig, sig_used, it + 1, done)
+            return (st, cache, sig, sig_used, it + 1, done,
+                    beta_k, lam_new, lam_k)
 
+        lam_first = lam * sig
         init = (st0, cache0, sig, sig, jnp.zeros((), jnp.int32),
-                jnp.zeros((), bool))
+                jnp.zeros((), bool), st0.beta, lam_first, lam_first)
         st, _, sig, sig_used, *_ = lax.while_loop(cond, body, init)
         return st.beta.reshape(-1)[: beta0l.shape[0]], st.r, sig_used
 
