@@ -186,3 +186,25 @@ def test_group_anticorrelated_pair_no_nan():
     b = np.asarray(sol.x)
     assert np.all(np.isfinite(b))
     assert _group_kkt(X, y, b, 0.05, 2) < 1e-6
+
+
+def test_group_f32_noise_floor_converges():
+    """f32 group solve at the reference-default opt_tol=1e-7 (below the
+    dtype's step floor): the per-coordinate noise floor in the group full
+    check (noise_floor_mask with diag(K_b)/L_b scale) must end the solve
+    without burning the stall budget, with the f64 group support
+    recovered."""
+    X, y, gsup = _gen(200, 64, 8, 3, seed=4)
+    X32 = jnp.asarray(np.asarray(X), jnp.float32)
+    y32 = jnp.asarray(np.asarray(y), jnp.float32)
+    lam = 0.08
+    opts = cd.CDOptions(opt_tol=1e-7, randomize=False)
+    sol32 = cd.group_lasso(X32, y32, lam, 8, options=opts)
+    sol64 = cd.group_lasso(X, y, lam, 8, options=opts)
+    g32 = set(np.nonzero(np.any(
+        np.asarray(sol32.x).reshape(-1, 8) != 0, axis=1))[0])
+    g64 = set(np.nonzero(np.any(
+        np.asarray(sol64.x).reshape(-1, 8) != 0, axis=1))[0])
+    assert g32 == g64
+    np.testing.assert_allclose(np.asarray(sol32.x), np.asarray(sol64.x),
+                               atol=5e-5)
