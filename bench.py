@@ -87,6 +87,27 @@ def main():
         t_path = min(t_path, time.perf_counter() - t0)
     _log(f"bench: path run {t_path:.2f}s")
 
+    # batched-path execution (coarse scan + chunked batched certify):
+    # amortizes each certifying X sweep across a chunk of λ points —
+    # wins when per-point dispatch/latency dominates (TPU), loses on
+    # compute-bound CPU.  Reported alongside; the headline stays the scan.
+    t_pb = float("inf")
+    try:
+        pb = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                           path_batch=16)  # compile
+        float(jnp.sum(pb.beta_path))
+        for rep in range(2):
+            t0 = time.perf_counter()
+            pb = cd.lasso_path(X, y, [l * (1.0 + 1e-7 * (rep + 1))
+                                      for l in lams],
+                               options=opts, standardize_X=False,
+                               path_batch=16)
+            float(jnp.sum(pb.beta_path))
+            t_pb = min(t_pb, time.perf_counter() - t0)
+        _log(f"bench: path(batched) run {t_pb:.2f}s")
+    except Exception as e:  # pragma: no cover - backend-specific
+        _log(f"bench: path(batched) failed: {e}")
+
     gap, primal = cd.lasso_duality_gap_f64(
         X, y, path.beta_path[-1], float(lams[-1]))
     nnz = int(np.sum(np.asarray(path.beta_path[-1]) != 0))
@@ -305,6 +326,8 @@ def main():
             "opt_tol": opt_tol,
             "inner": inner,
             "path_points_per_s": round(L / t_path, 3),
+            "path_batched_s": (round(t_pb, 4)
+                               if t_pb != float("inf") else None),
             "compile_plus_run_s": round(t_with_compile, 4),
             "final_point_duality_gap": float(gap),
             "final_point_rel_gap": float(gap / max(primal, 1e-300)),

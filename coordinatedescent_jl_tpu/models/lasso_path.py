@@ -108,8 +108,154 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
     return betas.reshape(betas.shape[0], -1)[:, :p], valids
 
 
+@functools.partial(jax.jit, static_argnames=("opts", "stride", "batch"))
+def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
+                             opts: CDOptions, stride: int, batch: int):
+    """Batched λ-path: coarse sequential scan + chunked batched refinement.
+
+    The scan path is inherently serial — every point pays its own
+    confirming KKT sweep (one O(n·p) X read).  Here only every
+    ``stride``-th point runs sequentially; the remaining points are
+    refined in ``lax.map`` chunks of ``batch`` lanes from warm starts
+    interpolated between the bracketing coarse solutions.  One certify
+    GEMM ``R @ X`` then sweeps ALL lanes of a chunk per X read, and the
+    violating coordinates are polished by FISTA on a gathered union
+    working set (same restricted-solve soundness argument as
+    ``block_cd._compact_pass``: coordinates outside the set stay fixed and
+    the next certify catches any violation they develop).  Every point's
+    final certify is the engine's order-independent full KKT sweep with
+    the f32 noise floor, so solutions match the scan path to solver
+    tolerance."""
+    from ..ops.block_cd import _PREC, noise_floor_mask
+    from ..ops.prox import soft_threshold
+
+    n, p = X.shape
+    dt = X.dtype
+    g = lam_path.shape[0]
+    tol = opts.opt_tol
+    n_scale = jnp.asarray(n, dt)
+
+    cidx = np.arange(0, g, stride)
+    if cidx[-1] != g - 1:
+        cidx = np.append(cidx, g - 1)
+    rest = np.setdiff1d(np.arange(g), cidx)
+    betas_c, _ = _lasso_path_core(X, y, lam_path[jnp.asarray(cidx)], lamw,
+                                  key, max_hat_s, opts)
+
+    adiag = jnp.maximum(jnp.einsum("nj,nj->j", X, X, precision=_PREC),
+                        jnp.asarray(1e-30, dt))
+    xnorm = jnp.sqrt(adiag)
+    C = int(min(opts.compact_size, p))
+    eps = jnp.finfo(dt).eps
+    sub_f64 = jnp.dtype(dt).itemsize < 8
+    BIGP = jnp.asarray(jnp.finfo(dt).max / 8, dt)
+
+    def certify(B, R, thrw):
+        Cg = jnp.dot(R, X, precision=_PREC)                     # (k, p)
+        cand = soft_threshold(B + Cg / adiag[None], thrw / adiag[None])
+        H = jnp.abs(cand - B)
+        if sub_f64:
+            rnorm = jnp.sqrt(jnp.einsum("kn,kn->k", R, R,
+                                        precision=_PREC))
+            H = noise_floor_mask(
+                H, B, 4 * eps * rnorm[:, None] / xnorm[None, :])
+        else:
+            H = noise_floor_mask(H, B)
+        return H
+
+    def refine(args):
+        lam_k, B0 = args                                        # (k,), (k,p)
+        thrw = lamw[None, :] * (lam_k * n_scale)[:, None]
+        R = y[None, :] - jnp.dot(B0, X.T, precision=_PREC)
+
+        H0 = certify(B0, R, thrw)
+        cert0 = jnp.max(H0, axis=1) < tol
+
+        def cond(s):
+            B, R, H, cert, rounds = s
+            return jnp.logical_and(~jnp.all(cert),
+                                   rounds < 2 * opts.compact_rounds)
+
+        def body(s):
+            B, R, H, cert, rounds = s
+            # union working set over uncertified lanes: their whole
+            # support first, then the largest KKT steps
+            pri = jnp.max(jnp.where(cert[:, None], 0.0,
+                                    H + BIGP * (B != 0)), axis=0)
+            _, idx = lax.top_k(pri, C)
+            idx = jnp.sort(idx)
+            Xs = X[:, idx]                                      # (n, C)
+            Ks = jnp.dot(Xs.T, Xs, precision=_PREC)
+            Lg = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ks), axis=1)),
+                             jnp.asarray(1e-30, dt))
+            Bs0 = B[:, idx]
+            thrS = thrw[:, idx]
+            cs0 = jnp.dot(R, Xs, precision=_PREC)               # Xs'R per lane
+
+            def fista(carry, _):
+                bs, v, t = carry
+                # gradient at the extrapolated point v, via the cached
+                # cs = Xs'R(bs) and the Gram correction for (v − bs)
+                cs_v = cs0 - jnp.dot(v - Bs0, Ks, precision=_PREC)
+                z = v + cs_v / Lg
+                bs_new = soft_threshold(z, thrS / Lg)
+                bs_new = jnp.where(cert[:, None], bs, bs_new)
+                t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                v_new = bs_new + ((t - 1.0) / t_new) * (bs_new - bs)
+                return (bs_new, v_new, t_new), None
+
+            (bs, _, _), _ = lax.scan(fista, (Bs0, Bs0, jnp.ones((), dt)),
+                                     None, length=opts.block_iters)
+            R = R - jnp.dot(bs - Bs0, Xs.T, precision=_PREC)
+            B = B.at[:, idx].set(bs)
+            H = certify(B, R, thrw)
+            cert = jnp.max(H, axis=1) < tol
+            return (B, R, H, cert, rounds + 1)
+
+        B, _, _, cert, _ = lax.while_loop(
+            cond, body, (B0, R, H0, cert0, jnp.zeros((), jnp.int32)))
+        return B
+
+    if rest.size:
+        seg = np.searchsorted(cidx, rest) - 1
+        lam_lo = lam_path[jnp.asarray(cidx[seg])]
+        lam_hi = lam_path[jnp.asarray(cidx[seg + 1])]
+        lam_r = lam_path[jnp.asarray(rest)]
+        denom = jnp.where(lam_hi != lam_lo, lam_hi - lam_lo, 1.0)
+        a = jnp.clip((lam_r - lam_lo) / denom, 0.0, 1.0)
+        starts = ((1.0 - a)[:, None] * betas_c[seg]
+                  + a[:, None] * betas_c[seg + 1])
+        # explicit same-shape chunks (NOT lax.map/vmap: the refine body
+        # shares ONE union working set across its whole chunk — a vmapped
+        # per-lane gather would materialize k separate (n, C) gathers)
+        k = min(batch, int(rest.size))
+        nchunks = -(-int(rest.size) // k)
+        pad = nchunks * k - int(rest.size)
+        if pad:
+            lam_r = jnp.concatenate([lam_r, jnp.repeat(lam_r[-1:], pad)])
+            starts = jnp.concatenate(
+                [starts, jnp.repeat(starts[-1:], pad, axis=0)])
+        refined = jnp.concatenate(
+            [refine((lam_r[i * k:(i + 1) * k],
+                     starts[i * k:(i + 1) * k])) for i in range(nchunks)]
+        )[:rest.size]
+        betas = (jnp.zeros((g, p), dt)
+                 .at[jnp.asarray(cidx)].set(betas_c)
+                 .at[jnp.asarray(rest)].set(refined))
+    else:
+        betas = betas_c
+
+    # reference early-stop semantics: the first point whose support
+    # exceeds max_hat_s is still recorded, later points are dropped
+    exceed = jnp.sum(betas != 0, axis=1) > max_hat_s
+    stopped_before = jnp.concatenate(
+        [jnp.zeros((1,), bool), jnp.cumsum(exceed)[:-1] > 0])
+    return betas, ~stopped_before
+
+
 def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
                max_hat_s: float = np.inf, standardize_X: bool = True,
+               path_batch: int = 0, coarse_stride: int = 8,
                seed: int = 0) -> LassoPath:
     """Solve the Lasso along a **decreasing** λ grid with warm starts.
 
@@ -118,14 +264,29 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
     (lasso.jl:237-242).  The path is truncated after the first point whose
     support size exceeds ``max_hat_s`` (that point is kept, matching the
     reference's ``resize!`` semantics).
+
+    ``path_batch > 0`` switches to the batched execution
+    (_lasso_path_batched_core): only every ``coarse_stride``-th point runs
+    sequentially; the rest are refined in vmapped chunks of ``path_batch``
+    lanes, amortizing each certifying X sweep across the whole chunk —
+    same certified solutions, a fraction of the serial chain.  Grids no
+    longer than ``max(2, coarse_stride)`` fall back to the scan.
     """
+    if coarse_stride < 1:
+        raise ValueError("coarse_stride must be >= 1")
     X = jnp.asarray(X)
     y = jnp.asarray(y, X.dtype)
     lam_path = jnp.asarray(lam_path, X.dtype)
     lamw = std_X(X) if standardize_X else jnp.ones((X.shape[1],), X.dtype)
     key = jax.random.PRNGKey(seed)
-    betas, valids = _lasso_path_core(
-        X, y, lam_path, lamw, key, jnp.asarray(max_hat_s, X.dtype), options)
+    if path_batch and lam_path.shape[0] > max(2, coarse_stride):
+        betas, valids = _lasso_path_batched_core(
+            X, y, lam_path, lamw, key, jnp.asarray(max_hat_s, X.dtype),
+            options, int(coarse_stride), int(path_batch))
+    else:
+        betas, valids = _lasso_path_core(
+            X, y, lam_path, lamw, key, jnp.asarray(max_hat_s, X.dtype),
+            options)
     valids = np.asarray(valids)
     k = int(valids.sum())
     return LassoPath(lam_path[:k], betas[:k])

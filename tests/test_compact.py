@@ -202,3 +202,31 @@ def test_scaled_lasso_compact_extrapolated_matches_dense():
                                atol=1e-8)
     np.testing.assert_allclose(float(s_c.sigma), float(s_d.sigma),
                                rtol=1e-8)
+
+
+def test_batched_path_matches_scan():
+    """path_batch>0 (coarse scan + chunked batched certify/refine) must
+    reproduce the sequential scan's certified path, including the
+    max_hat_s early-stop truncation semantics."""
+    rng = np.random.default_rng(23)
+    n, p, s = 300, 1200, 10
+    X = rng.standard_normal((n, p))
+    sup = rng.choice(p, s, replace=False)
+    b = np.zeros(p)
+    b[sup] = rng.standard_normal(s)
+    y = X @ b + 0.3 * rng.standard_normal(n)
+    lam_max = float(np.abs(X.T @ y / n).max())
+    lams = lam_max * np.logspace(-0.1, -2, 25)
+    opts = cd.CDOptions(opt_tol=1e-10, randomize=False)
+    p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    p2 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                       path_batch=6, coarse_stride=5)
+    np.testing.assert_allclose(np.asarray(p2.beta_path),
+                               np.asarray(p1.beta_path), atol=1e-7)
+    p3 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                       max_hat_s=15)
+    p4 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                       max_hat_s=15, path_batch=6, coarse_stride=5)
+    assert p4.beta_path.shape == p3.beta_path.shape
+    np.testing.assert_allclose(np.asarray(p4.beta_path),
+                               np.asarray(p3.beta_path), atol=1e-7)
