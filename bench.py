@@ -32,11 +32,22 @@ import numpy as np
 
 def main():
     import jax
+
+    # the axon TPU tunnel can be down for hours at a time (observed
+    # backend-init UNAVAILABLE); a CPU fallback keeps the bench recording
+    # a (small-mode) line instead of crashing the round
+    try:
+        dev = jax.devices()[0]
+    except Exception as e:
+        _log(f"bench: TPU backend unavailable ({type(e).__name__}); "
+             f"falling back to CPU small mode")
+        jax.config.update("jax_platforms", "cpu")
+        dev = jax.devices()[0]
+
     import jax.numpy as jnp
 
     import coordinatedescent_jl_tpu as cd
 
-    dev = jax.devices()[0]
     platform = dev.platform
     small = os.environ.get("BENCH_SMALL") == "1" or platform == "cpu"
     if small:
