@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.block_cd import (
-    BlockedProblem,
     _compact_mode,
     _empty_ws_cache,
     _extrapolate_path_start,

@@ -54,9 +54,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .losses import (
-    LeastSquaresLoss,
     QuadraticLoss,
-    SqrtLassoLoss,
     WeightedLSLoss,
 )
 from .prox import ProxL1, ProxL1Group, ProxZero, as_l1, soft_threshold

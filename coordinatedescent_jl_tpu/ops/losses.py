@@ -25,7 +25,7 @@ Losses (semantics match the reference exactly):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 from jax import lax
