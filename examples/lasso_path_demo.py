@@ -48,6 +48,15 @@ def main():
     refits = cd.refit_lasso_path(path, X, y)
     print(f"refits: {len(refits)} distinct supports")
 
+    # batched execution: only every 8th point runs sequentially, the rest
+    # refine in chunks where one R@X sweep certifies the whole chunk
+    pb = cd.lasso_path(Xd, yd, lams, options=opts, max_hat_s=4 * s,
+                       path_batch=16)
+    agree = float(np.max(np.abs(np.asarray(pb.beta_path)
+                                - np.asarray(path.beta_path))))
+    print(f"batched path: identical shape {pb.beta_path.shape}, "
+          f"max |Δ| vs scan = {agree:.1e}")
+
     beta, trace = cd.solve_with_trace(Xd, yd, float(lams[-1]), options=opts)
     print(f"trace: converged in {len(trace.max_h)} epochs, "
           f"final maxH={trace.max_h[-1]:.1e}, gap={trace.duality_gap[-1]:.1e}")
