@@ -17,6 +17,7 @@ truncation happens on the host afterwards).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Dict, NamedTuple, Tuple
 
 import jax
@@ -124,8 +125,16 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     ``block_cd._compact_pass``: coordinates outside the set stay fixed and
     the next certify catches any violation they develop).  Every point's
     final certify is the engine's order-independent full KKT sweep with
-    the f32 noise floor, so solutions match the scan path to solver
-    tolerance."""
+    the f32 noise floor.
+
+    Returns ``(betas, valids, all_cert)``.  ``all_cert`` is False when any
+    refined lane exhausted its round budget without passing the certify
+    sweep (e.g. a chunk's union support saturating ``compact_size``) — the
+    caller MUST then discard the batched result and fall back to the scan
+    path, which handles those regimes; certified outputs match the scan to
+    solver tolerance.  Lanes past the coarse scan's ``max_hat_s`` stop are
+    frozen (their anchors are stale by construction); they are truncated
+    by the final prefix rule exactly like the scan's post-stop points."""
     from ..ops.block_cd import _PREC, noise_floor_mask
     from ..ops.prox import soft_threshold
 
@@ -139,8 +148,8 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     if cidx[-1] != g - 1:
         cidx = np.append(cidx, g - 1)
     rest = np.setdiff1d(np.arange(g), cidx)
-    betas_c, _ = _lasso_path_core(X, y, lam_path[jnp.asarray(cidx)], lamw,
-                                  key, max_hat_s, opts)
+    betas_c, valids_c = _lasso_path_core(X, y, lam_path[jnp.asarray(cidx)],
+                                         lamw, key, max_hat_s, opts)
 
     adiag = jnp.maximum(jnp.einsum("nj,nj->j", X, X, precision=_PREC),
                         jnp.asarray(1e-30, dt))
@@ -148,7 +157,6 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     C = int(min(opts.compact_size, p))
     eps = jnp.finfo(dt).eps
     sub_f64 = jnp.dtype(dt).itemsize < 8
-    BIGP = jnp.asarray(jnp.finfo(dt).max / 8, dt)
 
     def certify(B, R, thrw):
         Cg = jnp.dot(R, X, precision=_PREC)                     # (k, p)
@@ -164,12 +172,12 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
         return H
 
     def refine(args):
-        lam_k, B0 = args                                        # (k,), (k,p)
+        lam_k, B0, frozen = args                           # (k,), (k,p), (k,)
         thrw = lamw[None, :] * (lam_k * n_scale)[:, None]
         R = y[None, :] - jnp.dot(B0, X.T, precision=_PREC)
 
         H0 = certify(B0, R, thrw)
-        cert0 = jnp.max(H0, axis=1) < tol
+        cert0 = (jnp.max(H0, axis=1) < tol) | frozen
 
         def cond(s):
             B, R, H, cert, rounds = s
@@ -178,10 +186,18 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
 
         def body(s):
             B, R, H, cert, rounds = s
-            # union working set over uncertified lanes: their whole
-            # support first, then the largest KKT steps
-            pri = jnp.max(jnp.where(cert[:, None], 0.0,
-                                    H + BIGP * (B != 0)), axis=0)
+            # union working set over uncertified lanes: support
+            # coordinates strictly above violations, ranked by |B|
+            # within the support tier and by H within the violation
+            # tier (a finfo.max tier offset would absorb the ranks in
+            # floating point and degenerate top_k to index order)
+            Habs = jnp.where(cert[:, None], 0.0, H)
+            Bmag = jnp.max(jnp.where(cert[:, None], 0.0, jnp.abs(B)),
+                           axis=0)
+            hi = 2.0 * jnp.max(Habs) + 1.0
+            anynz = jnp.any((B != 0) & ~cert[:, None], axis=0)
+            pri = jnp.where(anynz, hi * (1.0 + Bmag / (1.0 + Bmag)),
+                            jnp.max(Habs, axis=0))
             _, idx = lax.top_k(pri, C)
             idx = jnp.sort(idx)
             Xs = X[:, idx]                                      # (n, C)
@@ -209,12 +225,12 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
             R = R - jnp.dot(bs - Bs0, Xs.T, precision=_PREC)
             B = B.at[:, idx].set(bs)
             H = certify(B, R, thrw)
-            cert = jnp.max(H, axis=1) < tol
+            cert = (jnp.max(H, axis=1) < tol) | frozen
             return (B, R, H, cert, rounds + 1)
 
         B, _, _, cert, _ = lax.while_loop(
             cond, body, (B0, R, H0, cert0, jnp.zeros((), jnp.int32)))
-        return B
+        return B, cert
 
     if rest.size:
         seg = np.searchsorted(cidx, rest) - 1
@@ -225,6 +241,12 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
         a = jnp.clip((lam_r - lam_lo) / denom, 0.0, 1.0)
         starts = ((1.0 - a)[:, None] * betas_c[seg]
                   + a[:, None] * betas_c[seg + 1])
+        # lanes past the coarse scan's max_hat_s stop have stale anchors:
+        # freeze them (no refinement work, no crowding of the chunk's
+        # shared working set); the final prefix rule truncates them
+        # exactly like the scan's post-stop points
+        frozen = ~(valids_c[jnp.asarray(seg)]
+                   & valids_c[jnp.asarray(seg + 1)])
         # explicit same-shape chunks (NOT lax.map/vmap: the refine body
         # shares ONE union working set across its whole chunk — a vmapped
         # per-lane gather would materialize k separate (n, C) gathers)
@@ -235,22 +257,27 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
             lam_r = jnp.concatenate([lam_r, jnp.repeat(lam_r[-1:], pad)])
             starts = jnp.concatenate(
                 [starts, jnp.repeat(starts[-1:], pad, axis=0)])
-        refined = jnp.concatenate(
-            [refine((lam_r[i * k:(i + 1) * k],
-                     starts[i * k:(i + 1) * k])) for i in range(nchunks)]
-        )[:rest.size]
+            frozen = jnp.concatenate(
+                [frozen, jnp.ones((pad,), bool)])
+        chunks = [refine((lam_r[i * k:(i + 1) * k],
+                          starts[i * k:(i + 1) * k],
+                          frozen[i * k:(i + 1) * k]))
+                  for i in range(nchunks)]
+        refined = jnp.concatenate([c[0] for c in chunks])[:rest.size]
+        all_cert = jnp.all(jnp.concatenate([c[1] for c in chunks]))
         betas = (jnp.zeros((g, p), dt)
                  .at[jnp.asarray(cidx)].set(betas_c)
                  .at[jnp.asarray(rest)].set(refined))
     else:
         betas = betas_c
+        all_cert = jnp.ones((), bool)
 
     # reference early-stop semantics: the first point whose support
     # exceeds max_hat_s is still recorded, later points are dropped
     exceed = jnp.sum(betas != 0, axis=1) > max_hat_s
     stopped_before = jnp.concatenate(
         [jnp.zeros((1,), bool), jnp.cumsum(exceed)[:-1] > 0])
-    return betas, ~stopped_before
+    return betas, ~stopped_before, all_cert
 
 
 def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
@@ -274,16 +301,30 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
     """
     if coarse_stride < 1:
         raise ValueError("coarse_stride must be >= 1")
+    if path_batch < 0:
+        raise ValueError("path_batch must be >= 0")
     X = jnp.asarray(X)
     y = jnp.asarray(y, X.dtype)
     lam_path = jnp.asarray(lam_path, X.dtype)
     lamw = std_X(X) if standardize_X else jnp.ones((X.shape[1],), X.dtype)
     key = jax.random.PRNGKey(seed)
+    batched_ok = False
     if path_batch and lam_path.shape[0] > max(2, coarse_stride):
-        betas, valids = _lasso_path_batched_core(
+        betas, valids, all_cert = _lasso_path_batched_core(
             X, y, lam_path, lamw, key, jnp.asarray(max_hat_s, X.dtype),
             options, int(coarse_stride), int(path_batch))
-    else:
+        batched_ok = bool(all_cert)
+        if not batched_ok:
+            # a refined lane exhausted its round budget without passing
+            # the certify sweep (typically a chunk's union support
+            # saturating compact_size): discard and fall back to the
+            # scan, which handles that regime — correctness over speed
+            warnings.warn(
+                "lasso_path(path_batch=...): batched refinement did not "
+                "certify every point; falling back to the sequential "
+                "scan (consider a larger options.compact_size or a "
+                "smaller path_batch)", RuntimeWarning)
+    if not batched_ok:
         betas, valids = _lasso_path_core(
             X, y, lam_path, lamw, key, jnp.asarray(max_hat_s, X.dtype),
             options)

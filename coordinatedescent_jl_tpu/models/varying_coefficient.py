@@ -328,6 +328,8 @@ def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
     """
     if coarse_stride < 1:
         raise ValueError("coarse_stride must be >= 1")
+    if grid_batch < 0:
+        raise ValueError("grid_batch must be >= 0")
     X = jnp.asarray(X)
     z = jnp.asarray(z, X.dtype)
     y = jnp.asarray(y, X.dtype)

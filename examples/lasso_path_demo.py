@@ -52,10 +52,14 @@ def main():
     # refine in chunks where one R@X sweep certifies the whole chunk
     pb = cd.lasso_path(Xd, yd, lams, options=opts, max_hat_s=4 * s,
                        path_batch=16)
-    agree = float(np.max(np.abs(np.asarray(pb.beta_path)
-                                - np.asarray(path.beta_path))))
-    print(f"batched path: identical shape {pb.beta_path.shape}, "
-          f"max |Δ| vs scan = {agree:.1e}")
+    if pb.beta_path.shape == path.beta_path.shape:
+        agree = float(np.max(np.abs(np.asarray(pb.beta_path)
+                                    - np.asarray(path.beta_path))))
+        print(f"batched path: shape {pb.beta_path.shape}, "
+              f"max |Δ| vs scan = {agree:.1e}")
+    else:
+        print(f"batched path: truncation DIFFERS from scan "
+              f"({pb.beta_path.shape} vs {path.beta_path.shape})")
 
     beta, trace = cd.solve_with_trace(Xd, yd, float(lams[-1]), options=opts)
     print(f"trace: converged in {len(trace.max_h)} epochs, "

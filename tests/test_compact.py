@@ -230,3 +230,49 @@ def test_batched_path_matches_scan():
     assert p4.beta_path.shape == p3.beta_path.shape
     np.testing.assert_allclose(np.asarray(p4.beta_path),
                                np.asarray(p3.beta_path), atol=1e-7)
+
+
+def test_batched_path_saturated_working_set_falls_back():
+    """When a chunk's union support saturates compact_size, the batched
+    refinement cannot certify; the wrapper must fall back to the scan
+    (with a warning) and return the exact scan result."""
+    import warnings
+    rng = np.random.default_rng(0)
+    n, p = 200, 600
+    X = rng.standard_normal((n, p))
+    b = np.zeros(p)
+    b[rng.choice(p, 60, replace=False)] = rng.standard_normal(60)
+    y = X @ b + 0.1 * rng.standard_normal(n)
+    lam_max = float(np.abs(X.T @ y / n).max())
+    lams = lam_max * np.logspace(-0.1, -2.5, 20)
+    opts = cd.CDOptions(opt_tol=1e-9, compact_size=64, randomize=False)
+    p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    with warnings.catch_warnings(record=True) as ws:
+        warnings.simplefilter("always")
+        p2 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                           path_batch=8)
+        assert any("falling back" in str(w.message) for w in ws)
+    np.testing.assert_array_equal(np.asarray(p2.beta_path),
+                                  np.asarray(p1.beta_path))
+
+
+def test_batched_path_early_stop_kept_points_uncorrupted():
+    """Mid-path max_hat_s truncation: post-stop lanes are frozen so they
+    cannot crowd kept lanes out of the chunk's shared working set — kept
+    points must match the scan."""
+    rng = np.random.default_rng(0)
+    n, p = 200, 600
+    X = rng.standard_normal((n, p))
+    b = np.zeros(p)
+    b[rng.choice(p, 60, replace=False)] = rng.standard_normal(60)
+    y = X @ b + 0.1 * rng.standard_normal(n)
+    lam_max = float(np.abs(X.T @ y / n).max())
+    lams = lam_max * np.logspace(-0.1, -2.5, 20)
+    opts = cd.CDOptions(opt_tol=1e-9, compact_size=64, randomize=False)
+    p3 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                       max_hat_s=40)
+    p4 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                       max_hat_s=40, path_batch=8, coarse_stride=6)
+    assert p4.beta_path.shape == p3.beta_path.shape
+    np.testing.assert_allclose(np.asarray(p4.beta_path),
+                               np.asarray(p3.beta_path), atol=1e-7)

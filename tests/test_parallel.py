@@ -238,3 +238,20 @@ def test_sharded_path_extrapolated_compact_matches_single(feature_mesh):
     p8 = lasso_path_sharded(X, y, lams, feature_mesh, options=opts,
                             standardize_X=False)
     np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-8)
+
+
+def test_sharded_scaled_compact_extrapolated_matches_single(feature_mesh):
+    """σ-round secant extrapolation in the sharded scaled lasso with
+    compaction forced (the branch is dead under default f64 options):
+    must match the single-device solver."""
+    X, y = _gen(150, 128, 8, seed=25, sigma=0.5)
+    lam = np.sqrt(2 * np.log(128) / 150)
+    o = cd.IterLassoOptions(options_cd=cd.CDOptions(
+        block_size=8, compact=True, compact_size=64, opt_tol=1e-10,
+        randomize=False))
+    s1 = cd.scaled_lasso(X, y, lam, options=o)
+    s8 = scaled_lasso_sharded(X, y, lam, feature_mesh, options=o)
+    np.testing.assert_allclose(np.asarray(s8.x), np.asarray(s1.x),
+                               atol=1e-8)
+    np.testing.assert_allclose(float(s8.sigma), float(s1.sigma),
+                               rtol=1e-8)
