@@ -120,12 +120,15 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     refined in ``lax.map`` chunks of ``batch`` lanes from warm starts
     interpolated between the bracketing coarse solutions.  One certify
     GEMM ``R @ X`` then sweeps ALL lanes of a chunk per X read, and the
-    violating coordinates are polished by FISTA on a gathered union
-    working set (same restricted-solve soundness argument as
-    ``block_cd._compact_pass``: coordinates outside the set stay fixed and
-    the next certify catches any violation they develop).  Every point's
-    final certify is the engine's order-independent full KKT sweep with
-    the f32 noise floor.
+    violating coordinates are polished by **block-coordinate descent on a
+    gathered union working set** — cyclic over ``block_size``-wide blocks
+    of the union Gram with per-block Gershgorin majorizers (the same
+    proven scheme as ``block_cd._visit_block``; a single whole-union
+    majorizer is ~C/√n too loose and never certifies).  The restricted
+    solve is sound for the same reason as ``block_cd._compact_pass``:
+    coordinates outside the set stay fixed and the next certify catches
+    any violation they develop.  Every point's final certify is the
+    engine's order-independent full KKT sweep with the f32 noise floor.
 
     Returns ``(betas, valids, all_cert)``.  ``all_cert`` is False when any
     refined lane exhausted its round budget without passing the certify
@@ -154,7 +157,12 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     adiag = jnp.maximum(jnp.einsum("nj,nj->j", X, X, precision=_PREC),
                         jnp.asarray(1e-30, dt))
     xnorm = jnp.sqrt(adiag)
+    # union working set size, padded up to a block multiple; padded gather
+    # slots use index p (out of range) → zero columns via mode="fill"
+    Bb = int(opts.block_size)
     C = int(min(opts.compact_size, p))
+    Cp = -(-C // Bb) * Bb
+    ncb = Cp // Bb
     eps = jnp.finfo(dt).eps
     sub_f64 = jnp.dtype(dt).itemsize < 8
 
@@ -200,30 +208,66 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
                             jnp.max(Habs, axis=0))
             _, idx = lax.top_k(pri, C)
             idx = jnp.sort(idx)
-            Xs = X[:, idx]                                      # (n, C)
-            Ks = jnp.dot(Xs.T, Xs, precision=_PREC)
-            Lg = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ks), axis=1)),
-                             jnp.asarray(1e-30, dt))
-            Bs0 = B[:, idx]
-            thrS = thrw[:, idx]
-            cs0 = jnp.dot(R, Xs, precision=_PREC)               # Xs'R per lane
+            if Cp != C:                       # pad → zero columns below
+                idx = jnp.concatenate(
+                    [idx, jnp.full((Cp - C,), p, idx.dtype)])
+            Xs = jnp.take(X, idx, axis=1, mode="fill",
+                          fill_value=0)                         # (n, Cp)
+            Ks = jnp.dot(Xs.T, Xs, precision=_PREC)             # (Cp, Cp)
+            # per-block Gershgorin majorizers over the *diagonal blocks*
+            # only (within-block coupling is all a block visit sees;
+            # cross-block coupling is handled by the cyclic sweeps via the
+            # maintained cs)
+            Kd = Ks.reshape(ncb, Bb, ncb, Bb)
+            Kdiag = Kd[jnp.arange(ncb), :, jnp.arange(ncb), :]  # (ncb,Bb,Bb)
+            Lb = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Kdiag), axis=2),
+                                     axis=1),
+                             jnp.asarray(1e-30, dt))            # (ncb,)
+            Bs0 = jnp.take(B, idx, axis=1, mode="fill", fill_value=0)
+            # padded slots: infinite threshold pins them at zero
+            thr_full = jnp.take(thrw, idx, axis=1, mode="fill",
+                                fill_value=jnp.finfo(dt).max / 8)
+            cs0 = jnp.dot(R, Xs, precision=_PREC)          # (k, Cp) = Xs'R
 
-            def fista(carry, _):
-                bs, v, t = carry
-                # gradient at the extrapolated point v, via the cached
-                # cs = Xs'R(bs) and the Gram correction for (v − bs)
-                cs_v = cs0 - jnp.dot(v - Bs0, Ks, precision=_PREC)
-                z = v + cs_v / Lg
-                bs_new = soft_threshold(z, thrS / Lg)
-                bs_new = jnp.where(cert[:, None], bs, bs_new)
-                t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-                v_new = bs_new + ((t - 1.0) / t_new) * (bs_new - bs)
-                return (bs_new, v_new, t_new), None
+            def sweep(carry, _):
+                bs, cs = carry          # (k,Cp) coeffs; cs = Xs'R(bs)
 
-            (bs, _, _), _ = lax.scan(fista, (Bs0, Bs0, jnp.ones((), dt)),
-                                     None, length=opts.block_iters)
+                def blk(carry2, b):
+                    bs, cs = carry2
+                    o = b * Bb
+                    bs_b = lax.dynamic_slice_in_dim(bs, o, Bb, 1)
+                    cs_b = lax.dynamic_slice_in_dim(cs, o, Bb, 1)
+                    thr_b = lax.dynamic_slice_in_dim(thr_full, o, Bb, 1)
+                    Kbb = Kdiag[b]
+                    L = Lb[b]
+
+                    def fista(c3, _):
+                        z, v, t = c3
+                        gv = cs_b - jnp.dot(v - bs_b, Kbb,
+                                            precision=_PREC)
+                        z_new = soft_threshold(v + gv / L, thr_b / L)
+                        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                        v_new = z_new + ((t - 1.0) / t_new) * (z_new - z)
+                        return (z_new, v_new, t_new), None
+
+                    (b_new, _, _), _ = lax.scan(
+                        fista, (bs_b, bs_b, jnp.ones((), dt)), None,
+                        length=opts.block_iters)
+                    b_new = jnp.where(cert[:, None], bs_b, b_new)
+                    d = b_new - bs_b
+                    # cross-block gradient maintenance: cs -= d·Ks[rows b]
+                    Krows = lax.dynamic_slice_in_dim(Ks, o, Bb, 0)
+                    cs = cs - jnp.dot(d, Krows, precision=_PREC)
+                    bs = lax.dynamic_update_slice_in_dim(bs, b_new, o, 1)
+                    return (bs, cs), None
+
+                return lax.scan(blk, (bs, cs), jnp.arange(ncb))[0], None
+
+            # several cyclic sweeps per certify: sweeps are Gram-sized
+            # (cheap); the certify GEMM is the O(n·p) X read to amortize
+            (bs, _), _ = lax.scan(sweep, (Bs0, cs0), None, length=8)
             R = R - jnp.dot(bs - Bs0, Xs.T, precision=_PREC)
-            B = B.at[:, idx].set(bs)
+            B = B.at[:, idx].set(bs, mode="drop")
             H = certify(B, R, thrw)
             cert = (jnp.max(H, axis=1) < tol) | frozen
             return (B, R, H, cert, rounds + 1)
@@ -247,9 +291,10 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
         # exactly like the scan's post-stop points
         frozen = ~(valids_c[jnp.asarray(seg)]
                    & valids_c[jnp.asarray(seg + 1)])
-        # explicit same-shape chunks (NOT lax.map/vmap: the refine body
-        # shares ONE union working set across its whole chunk — a vmapped
-        # per-lane gather would materialize k separate (n, C) gathers)
+        # same-shape chunks under lax.map (compiles refine ONCE for any
+        # chunk count; a vmap over lanes would instead materialize one
+        # (n, C) gather per lane — the refine body shares ONE union
+        # working set across its whole chunk)
         k = min(batch, int(rest.size))
         nchunks = -(-int(rest.size) // k)
         pad = nchunks * k - int(rest.size)
@@ -259,12 +304,17 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
                 [starts, jnp.repeat(starts[-1:], pad, axis=0)])
             frozen = jnp.concatenate(
                 [frozen, jnp.ones((pad,), bool)])
-        chunks = [refine((lam_r[i * k:(i + 1) * k],
-                          starts[i * k:(i + 1) * k],
-                          frozen[i * k:(i + 1) * k]))
-                  for i in range(nchunks)]
-        refined = jnp.concatenate([c[0] for c in chunks])[:rest.size]
-        all_cert = jnp.all(jnp.concatenate([c[1] for c in chunks]))
+        if nchunks == 1:
+            refined_all, certs = refine((lam_r, starts, frozen))
+        else:
+            refined_all, certs = lax.map(
+                refine, (lam_r.reshape(nchunks, k),
+                         starts.reshape(nchunks, k, p),
+                         frozen.reshape(nchunks, k)))
+            refined_all = refined_all.reshape(nchunks * k, p)
+            certs = certs.reshape(nchunks * k)
+        refined = refined_all[:rest.size]
+        all_cert = jnp.all(certs[:rest.size] | frozen[:rest.size])
         betas = (jnp.zeros((g, p), dt)
                  .at[jnp.asarray(cidx)].set(betas_c)
                  .at[jnp.asarray(rest)].set(refined))

@@ -50,14 +50,20 @@ _PREC = lax.Precision.HIGHEST
 
 class GroupProblem(NamedTuple):
     """Group-blocked problem data (``k`` groups of width ``G`` per block,
-    ``B = k·G`` lanes)."""
+    ``B = k·G`` lanes).  For the weighted-LS loss ``Xwb`` holds the
+    row-weighted blocks ``diag(w)·X`` (the same array as ``Xb`` when
+    unweighted): gradients are ``Xw'r``, Grams ``Xw'X``, residual updates
+    use the raw ``X`` — mirroring block_cd's ls/wls split."""
 
     Xb: jnp.ndarray     # (nb, n, B) column blocks
-    Kb: jnp.ndarray     # (nb, B, B) cached per-block Grams
+    Xwb: jnp.ndarray    # (nb, n, B) row-weighted blocks (= Xb for ls)
+    Kb: jnp.ndarray     # (nb, B, B) cached per-block Grams Xw_b'X_b
     y: jnp.ndarray      # (n,)
     Lb: jnp.ndarray     # (nb,) Gershgorin bound ≥ λmax(K_b)
     lamw: jnp.ndarray   # (nb, k) per-group penalty weights
     valid: jnp.ndarray  # (nb, B) column padding mask
+    xwnorm: jnp.ndarray  # (nb, B) ‖Xw_j‖ — gradient accumulation-noise
+                         # scale for the f32 noise floor
 
 
 class GroupState(NamedTuple):
@@ -76,7 +82,7 @@ def _block_width(G: int) -> int:
     return G * max(1, 128 // G)
 
 
-def _build_group_problem(X, y, lamw_g, G: int) -> GroupProblem:
+def _build_group_problem(X, y, lamw_g, G: int, w=None) -> GroupProblem:
     n, p = X.shape
     B = _block_width(G)
     k = B // G
@@ -86,14 +92,21 @@ def _build_group_problem(X, y, lamw_g, G: int) -> GroupProblem:
     if P != p:
         X = jnp.pad(X, ((0, 0), (0, P - p)))
     Xb = X.reshape(n, nb, B).transpose(1, 0, 2)
+    if w is None:
+        Xwb = Xb
+    else:
+        Xwb = Xb * w[None, :, None]
     valid = (jnp.arange(P).reshape(nb, B) < p)
-    Kb = jnp.einsum("bnk,bnl->bkl", Xb, Xb, precision=_PREC)
+    Kb = jnp.einsum("bnk,bnl->bkl", Xwb, Xb, precision=_PREC)
     # Gershgorin row-sum bound ≥ λmax(K_b): always-safe majorizer for the
     # block's joint prox-gradient steps (no power iteration to go wrong)
     Lb = jnp.max(jnp.sum(jnp.abs(Kb), axis=2), axis=1)
     lamw_b = jnp.pad(jnp.asarray(lamw_g, X.dtype),
                      (0, nb * k - ng), constant_values=1.0).reshape(nb, k)
-    return GroupProblem(Xb=Xb, Kb=Kb, y=y, Lb=Lb, lamw=lamw_b, valid=valid)
+    xwnorm = jnp.sqrt(jnp.einsum("bnk,bnk->bk", Xwb, Xwb,
+                                 precision=_PREC))
+    return GroupProblem(Xb=Xb, Xwb=Xwb, Kb=Kb, y=y, Lb=Lb, lamw=lamw_b,
+                        valid=valid, xwnorm=xwnorm)
 
 
 def _group_prox(z, thr, k: int, G: int):
@@ -163,7 +176,7 @@ def _group_active_pass(prob: GroupProblem, st: GroupState, lam0, n_scale,
         def do(args):
             beta, r, maxh = args
             Xg = prob.Xb[b]
-            c0 = jnp.dot(Xg.T, r, precision=_PREC)
+            c0 = jnp.dot(prob.Xwb[b].T, r, precision=_PREC)
             L = jnp.maximum(prob.Lb[b], 1e-30)
             thr = n_scale * lam0 * prob.lamw[b] / L
             b0 = beta[b]
@@ -190,7 +203,7 @@ def _group_full_check(prob: GroupProblem, st: GroupState, lam0, n_scale,
     nb, B = prob.valid.shape
     k = prob.lamw.shape[1]
     G = B // k
-    c = jnp.einsum("bnk,n->bk", prob.Xb, st.r, precision=_PREC)
+    c = jnp.einsum("bnk,n->bk", prob.Xwb, st.r, precision=_PREC)
     L = jnp.maximum(prob.Lb, 1e-30)[:, None]
     z = st.beta + c / L
     thr = n_scale * lam0 * prob.lamw / jnp.maximum(prob.Lb, 1e-30)[:, None]
@@ -198,13 +211,11 @@ def _group_full_check(prob: GroupProblem, st: GroupState, lam0, n_scale,
     h = jnp.where(prob.valid, bstar - st.beta, 0.0)
     # per-coordinate computational noise floor (block_cd.noise_floor_mask):
     # the group step is c/L_b, so its gradient-noise scale is
-    # κ·eps·‖X_j‖·‖r‖/L_b with ‖X_j‖² = diag(K_b)
+    # κ·eps·‖Xw_j‖·‖r‖/L_b
     if jnp.dtype(st.beta.dtype).itemsize < 8:
         eps = jnp.finfo(st.beta.dtype).eps
         rnorm = jnp.sqrt(jnp.dot(st.r, st.r, precision=_PREC))
-        xnorm = jnp.sqrt(jnp.maximum(
-            jnp.diagonal(prob.Kb, axis1=1, axis2=2), 0.0))
-        step_noise = 4 * eps * rnorm * xnorm / L
+        step_noise = 4 * eps * rnorm * prob.xwnorm / L
     else:
         step_noise = None
     habs = noise_floor_mask(jnp.abs(h), st.beta, step_noise)
@@ -260,7 +271,7 @@ def _group_lambda_max(prob: GroupProblem, st: GroupState, n_scale):
     nb, B = prob.valid.shape
     k = prob.lamw.shape[1]
     G = B // k
-    c = jnp.einsum("bnk,n->bk", prob.Xb, st.r, precision=_PREC)
+    c = jnp.einsum("bnk,n->bk", prob.Xwb, st.r, precision=_PREC)
     cg = jnp.where(prob.valid, c, 0.0).reshape(nb, k, G)
     nrm = jnp.sqrt(jnp.sum(cg * cg, axis=2))
     return jnp.max(nrm / (n_scale * jnp.maximum(prob.lamw, 1e-30)))
@@ -268,10 +279,10 @@ def _group_lambda_max(prob: GroupProblem, st: GroupState, n_scale):
 
 @functools.partial(jax.jit, static_argnames=("G", "opts"))
 def _group_cd_core(X, y, lam0, lamw_g, beta0, key, G: int,
-                   opts: CDOptions):
+                   opts: CDOptions, w=None):
     n, p = X.shape
     dtype = X.dtype
-    prob = _build_group_problem(X, y, lamw_g, G)
+    prob = _build_group_problem(X, y, lamw_g, G, w)
     nb, B = prob.valid.shape
     beta_g = jnp.pad(beta0, (0, nb * B - p)).reshape(nb, B)
     n_scale = jnp.asarray(n, dtype)
@@ -308,13 +319,20 @@ def group_coordinate_descent(beta0, loss, penalty: ProxL1Group,
                              seed: int = 0, key=None):
     """Minimize ``loss(β) + λ0 Σ_g ω_g ‖β_g‖₂`` over equal-size consecutive
     groups — the reference driver with an ``AtomIterate``
-    (coordinate_descent.jl:8).  Supports the least-squares loss.
+    (coordinate_descent.jl:8; its signature is loss-generic).  Supports
+    the least-squares and weighted-least-squares losses (the latter is
+    the one with a real consumer: group-penalized varying coefficients,
+    where the (degree+1)-sized expanded blocks are literal groups).
     Returns ``(beta, residuals)``."""
-    from .losses import LeastSquaresLoss
+    from .losses import LeastSquaresLoss, WeightedLSLoss
 
-    if not isinstance(loss, LeastSquaresLoss):
+    if isinstance(loss, WeightedLSLoss):
+        w = jnp.asarray(loss.w, loss.X.dtype)
+    elif isinstance(loss, LeastSquaresLoss):
+        w = None
+    else:
         raise TypeError("group penalty currently supports the "
-                        "least-squares loss")
+                        "least-squares and weighted-LS losses")
     X, y = loss.X, loss.y
     p = X.shape[1]
     G = int(penalty.group_size)
@@ -331,7 +349,7 @@ def group_coordinate_descent(beta0, loss, penalty: ProxL1Group,
         key = jax.random.PRNGKey(seed)
     return _group_cd_core(X, jnp.asarray(y, dtype),
                           jnp.asarray(penalty.lam0, dtype), lamw_g,
-                          jnp.asarray(beta0, dtype), key, G, options)
+                          jnp.asarray(beta0, dtype), key, G, options, w)
 
 
 def group_lasso(X, y, lam, group_size: int, weights=None,

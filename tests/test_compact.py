@@ -207,7 +207,11 @@ def test_scaled_lasso_compact_extrapolated_matches_dense():
 def test_batched_path_matches_scan():
     """path_batch>0 (coarse scan + chunked batched certify/refine) must
     reproduce the sequential scan's certified path, including the
-    max_hat_s early-stop truncation semantics."""
+    max_hat_s early-stop truncation semantics — WITHOUT falling back to
+    the scan (a fallback would make the equivalence assertion vacuous:
+    scan compared against scan)."""
+    import warnings
+
     rng = np.random.default_rng(23)
     n, p, s = 300, 1200, 10
     X = rng.standard_normal((n, p))
@@ -219,14 +223,16 @@ def test_batched_path_matches_scan():
     lams = lam_max * np.logspace(-0.1, -2, 25)
     opts = cd.CDOptions(opt_tol=1e-10, randomize=False)
     p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
-    p2 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
-                       path_batch=6, coarse_stride=5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        p2 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                           path_batch=6, coarse_stride=5)
+        p4 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                           max_hat_s=15, path_batch=6, coarse_stride=5)
     np.testing.assert_allclose(np.asarray(p2.beta_path),
                                np.asarray(p1.beta_path), atol=1e-7)
     p3 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
                        max_hat_s=15)
-    p4 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
-                       max_hat_s=15, path_batch=6, coarse_stride=5)
     assert p4.beta_path.shape == p3.beta_path.shape
     np.testing.assert_allclose(np.asarray(p4.beta_path),
                                np.asarray(p3.beta_path), atol=1e-7)

@@ -15,27 +15,31 @@ import pytest
 import coordinatedescent_jl_tpu as cd
 
 
-def group_cd_oracle(X, y, lam, G, w=None, tol=1e-11, max_pass=3000):
+def group_cd_oracle(X, y, lam, G, w=None, tol=1e-11, max_pass=3000,
+                    row_w=None):
     """Sequential group CD; each group minimized to (numerical) exactness
-    by iterating prox-gradient steps with L = λmax(X_g'X_g)."""
+    by iterating prox-gradient steps with L = λmax(Xw_g'X_g).  ``row_w``
+    gives the weighted-LS loss Σ w_i(y_i − X_iβ)²/(2n) (reference
+    CDWeightedLSLoss, cd_differentiable_function.jl:118-194, at atom
+    granularity)."""
     n, p = X.shape
     ng = p // G
     assert ng * G == p
     w = np.ones(ng) if w is None else np.asarray(w)
+    Xw = X if row_w is None else X * np.asarray(row_w)[:, None]
     beta = np.zeros(p)
     r = y.copy()
     Ls, Ks = [], []
     for g in range(ng):
-        Xg = X[:, g * G:(g + 1) * G]
-        K = Xg.T @ Xg
+        K = Xw[:, g * G:(g + 1) * G].T @ X[:, g * G:(g + 1) * G]
         Ks.append(K)
-        Ls.append(np.linalg.eigvalsh(K)[-1])
+        Ls.append(np.linalg.eigvalsh(0.5 * (K + K.T))[-1])
     for _ in range(max_pass):
         maxh = 0.0
         for g in range(ng):
             Xg = X[:, g * G:(g + 1) * G]
             b0 = beta[g * G:(g + 1) * G].copy()
-            c0 = Xg.T @ r
+            c0 = Xw[:, g * G:(g + 1) * G].T @ r
             L, K = Ls[g], Ks[g]
             t = n * lam * w[g] / L
             b = b0.copy()
@@ -111,6 +115,52 @@ def test_group_lasso_weighted_matches_oracle():
                          options=cd.CDOptions(opt_tol=1e-9))
     beta_np, _ = group_cd_oracle(X, y, lam, 6, w=w)
     np.testing.assert_allclose(np.asarray(sol.x), beta_np, atol=1e-6)
+
+
+def test_group_wls_matches_oracle():
+    """Weighted-LS group CD (the loss-generic driver acceptance,
+    coordinate_descent.jl:8): must match the row-weighted NumPy oracle and
+    satisfy the weighted group-KKT conditions ‖Xw_g'r‖ ≤ n·λ·ω_g."""
+    X, y, _ = _gen(140, 48, 4, 3, seed=11)
+    rng = np.random.default_rng(13)
+    rw = 0.2 + rng.random(140)          # kernel-like positive row weights
+    lam = 0.08
+    opts = cd.CDOptions(opt_tol=1e-10, randomize=False)
+    loss = cd.WeightedLSLoss(jnp.asarray(y), jnp.asarray(X),
+                             jnp.asarray(rw))
+    beta, r = cd.group_coordinate_descent(
+        jnp.zeros(48), loss, cd.ProxL1Group(lam, 4), opts)
+    beta_np, r_np = group_cd_oracle(X, y, lam, 4, row_w=rw)
+    np.testing.assert_allclose(np.asarray(beta), beta_np, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r), r_np, atol=1e-7)
+    # weighted group-KKT certificate
+    n = 140
+    Xw = X * rw[:, None]
+    rr = y - X @ np.asarray(beta)
+    for g in range(48 // 4):
+        cg = Xw[:, g * 4:(g + 1) * 4].T @ rr
+        bg = np.asarray(beta)[g * 4:(g + 1) * 4]
+        if np.all(bg == 0):
+            assert np.linalg.norm(cg) <= n * lam * (1 + 1e-6)
+        else:
+            target = n * lam * bg / np.linalg.norm(bg)
+            np.testing.assert_allclose(cg, target, atol=1e-5 * n * lam)
+
+
+def test_group_wls_unit_weights_match_ls():
+    """Weighted path with w≡1 must agree with the plain-LS group path
+    bitwise (same Grams, same trajectory)."""
+    X, y, _ = _gen(100, 32, 4, 2, seed=17)
+    lam = 0.1
+    opts = cd.CDOptions(opt_tol=1e-10, randomize=False)
+    b_ls, _ = cd.group_coordinate_descent(
+        jnp.zeros(32), cd.LeastSquaresLoss(jnp.asarray(y), jnp.asarray(X)),
+        cd.ProxL1Group(lam, 4), opts)
+    b_w, _ = cd.group_coordinate_descent(
+        jnp.zeros(32),
+        cd.WeightedLSLoss(jnp.asarray(y), jnp.asarray(X), jnp.ones(100)),
+        cd.ProxL1Group(lam, 4), opts)
+    np.testing.assert_array_equal(np.asarray(b_ls), np.asarray(b_w))
 
 
 def test_group_lasso_group_sparsity_pattern():
