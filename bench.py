@@ -98,24 +98,44 @@ def main():
         t_path = min(t_path, time.perf_counter() - t0)
     _log(f"bench: path run {t_path:.2f}s")
 
-    # batched-path execution (coarse scan + chunked batched certify):
-    # amortizes each certifying X sweep across a chunk of λ points —
-    # wins when per-point dispatch/latency dominates (TPU), loses on
-    # compute-bound CPU.  Reported alongside; the headline stays the scan.
+    # batched-path execution (coarse scan + batched certify/refine over a
+    # union working set): one R@X GEMM certifies a whole chunk of λ points
+    # per X read.  Config (batch=128 → one chunk, stride=33) is the
+    # on-chip A/B winner (PERF.md round 3: 0.34s vs 1.41s scan).  A lane
+    # that fails the certify sweep falls back to the scan — that run is
+    # recorded as NOT certified and its time is NOT used anywhere.
+    import warnings as _warnings
+
     t_pb = float("inf")
+    pb_cert = False
+    pb_diff = float("nan")
     try:
-        pb = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
-                           path_batch=16)  # compile
-        float(jnp.sum(pb.beta_path))
-        for rep in range(2):
-            t0 = time.perf_counter()
-            pb = cd.lasso_path(X, y, [l * (1.0 + 1e-7 * (rep + 1))
-                                      for l in lams],
-                               options=opts, standardize_X=False,
-                               path_batch=16)
+        with _warnings.catch_warnings(record=True) as _wl:
+            _warnings.simplefilter("always")
+            pb = cd.lasso_path(X, y, lams, options=opts,
+                               standardize_X=False, path_batch=128,
+                               coarse_stride=33)  # compile
             float(jnp.sum(pb.beta_path))
-            t_pb = min(t_pb, time.perf_counter() - t0)
-        _log(f"bench: path(batched) run {t_pb:.2f}s")
+            pb_cert = not any("did not certify" in str(w.message)
+                              for w in _wl)
+        if pb_cert:
+            for rep in range(2):
+                t0 = time.perf_counter()
+                with _warnings.catch_warnings(record=True) as _wl:
+                    _warnings.simplefilter("always")
+                    pb = cd.lasso_path(X, y, [l * (1.0 + 1e-7 * (rep + 1))
+                                              for l in lams],
+                                       options=opts, standardize_X=False,
+                                       path_batch=128, coarse_stride=33)
+                    float(jnp.sum(pb.beta_path))
+                    pb_cert = pb_cert and not any(
+                        "did not certify" in str(w.message) for w in _wl)
+                t_pb = min(t_pb, time.perf_counter() - t0)
+        if pb_cert and pb.beta_path.shape == path.beta_path.shape:
+            pb_diff = float(jnp.max(jnp.abs(pb.beta_path
+                                            - path.beta_path)))
+        _log(f"bench: path(batched) run {t_pb:.2f}s certified={pb_cert} "
+             f"max|diff vs scan|={pb_diff:.2e}")
     except Exception as e:  # pragma: no cover - backend-specific
         _log(f"bench: path(batched) failed: {e}")
 
@@ -325,10 +345,16 @@ def main():
         agree = float(np.max(np.abs(np.asarray(sol.x) - beta_np)))
         speedup = oracle_s / ours_small_s
 
+    # headline = the best CERTIFIED configuration: the batched path's
+    # output passes the same order-independent full-KKT certification as
+    # the scan (and the recorded max|diff| is ~solver tolerance), so when
+    # it certifies AND wins it IS the framework's path time; a fallback
+    # run never contributes a time anywhere
+    t_best = min(t_path, t_pb) if pb_cert else t_path
     print(json.dumps({
         "metric": "lasso_path_wall_time_n10k_p100k_100pts"
                   if not small else "lasso_path_wall_time_small",
-        "value": round(t_path, 4),
+        "value": round(t_best, 4),
         "unit": "s",
         "vs_baseline": round(speedup, 2),
         "details": {
@@ -336,9 +362,13 @@ def main():
             "shape": {"n": n, "p": p, "s": s, "path_points": L},
             "opt_tol": opt_tol,
             "inner": inner,
-            "path_points_per_s": round(L / t_path, 3),
+            "path_points_per_s": round(L / t_best, 3),
+            "path_scan_s": round(t_path, 4),
             "path_batched_s": (round(t_pb, 4)
                                if t_pb != float("inf") else None),
+            "path_batched_certified": bool(pb_cert),
+            "path_batched_vs_scan_max_abs_diff":
+                (None if not np.isfinite(pb_diff) else pb_diff),
             "compile_plus_run_s": round(t_with_compile, 4),
             "final_point_duality_gap": float(gap),
             "final_point_rel_gap": float(gap / max(primal, 1e-300)),

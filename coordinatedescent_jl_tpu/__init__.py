@@ -60,8 +60,11 @@ from .utils.checkpoint import (
 from .utils.profiling import (
     EpochTrace,
     RooflineReport,
+    SigmaRoundTrace,
     simple_timeit,
     solve_with_trace,
+    scaled_lasso_with_trace,
+    group_solve_with_trace,
     pass_roofline,
     debug_nans,
 )
@@ -105,7 +108,8 @@ __all__ = [
     # checkpoint / observability
     "PathCheckpoint", "save_checkpoint", "load_checkpoint",
     "lasso_path_resumable", "EpochTrace", "RooflineReport", "simple_timeit",
-    "solve_with_trace", "pass_roofline", "debug_nans",
+    "solve_with_trace", "scaled_lasso_with_trace", "group_solve_with_trace",
+    "SigmaRoundTrace", "pass_roofline", "debug_nans",
     # helpers
     "std_X", "get_loadings", "get_sigma", "sample_std",
     "find_largest_correlations", "find_init_residuals", "find_init_sigma",

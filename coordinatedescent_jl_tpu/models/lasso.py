@@ -48,7 +48,7 @@ from ..utils.helpers import (
     sample_std,
     std_X,
 )
-from ..utils.options import CDOptions, IterLassoOptions
+from ..utils.options import CDOptions, IterLassoOptions, resolve_extrapolate
 
 
 class LassoSolution(NamedTuple):
@@ -158,7 +158,7 @@ def _scaled_lasso_core(X, y, lam, lamw, beta0, key, opts: IterLassoOptions,
         lam_new = lam * sig
         key, k1 = jax.random.split(st.key)
         if cd.warm_start:
-            if nc and cd.extrapolate:
+            if nc and resolve_extrapolate(cd, True):
                 # the σ rounds move the effective penalty along the
                 # λ·σ abscissa — same secant accelerant as the λ path
                 # (σ oscillations give α < 0, which the clip skips)

@@ -36,7 +36,7 @@ from ..ops.block_cd import (
     solve_blocked,
 )
 from ..utils.helpers import std_X
-from ..utils.options import CDOptions
+from ..utils.options import CDOptions, resolve_extrapolate
 
 
 class LassoPath(NamedTuple):
@@ -74,7 +74,7 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
             st, cache = args
             key, k1 = jax.random.split(st.key)
             if opts.warm_start:
-                if nc and opts.extrapolate:
+                if nc and resolve_extrapolate(opts, False):
                     # secant extrapolation along the path: β(λ) is
                     # piecewise linear, so the shifted start usually lands
                     # within rounding of the next solution; the shift's

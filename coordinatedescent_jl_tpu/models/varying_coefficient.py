@@ -41,7 +41,7 @@ from ..ops.block_cd import (
     solve_blocked,
 )
 from ..utils.helpers import get_sigma, std_X
-from ..utils.options import CDOptions
+from ..utils.options import CDOptions, resolve_extrapolate
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +199,7 @@ def _locpolyl1_core(X, z, y, zgrid, h, lam0, key, degree: int,
         # shift needs no cache bookkeeping).  Zero coordinates stay zero —
         # support changes are the solver's job.
         alpha = (secant_alpha(z0, z_k, z_km1, X.dtype)
-                 if opts.extrapolate else jnp.zeros((), X.dtype))
+                 if resolve_extrapolate(opts, True) else jnp.zeros((), X.dtype))
         start = jnp.where(beta_b != 0,
                           beta_b + alpha * (beta_b - beta_prev), 0.0)
         w = evaluate(kernel, z, z0)

@@ -58,7 +58,7 @@ from .losses import (
     WeightedLSLoss,
 )
 from .prox import ProxL1, ProxL1Group, ProxZero, as_l1, soft_threshold
-from ..utils.options import CDOptions
+from ..utils.options import CDOptions, resolve_extrapolate
 
 # CD convergence hinges on accurate coordinate gradients: on TPU the default
 # f32 matmul precision lowers to bf16 MXU passes (~1e-3 relative error),
@@ -1100,7 +1100,8 @@ def solve_blocked(kind: str, opts: CDOptions, prob: BlockedProblem, lam0,
     # secant extrapolation across continuation steps (same accelerant as
     # the lasso_path scan, _extrapolate_path_start); residual-form kinds
     # only — quad's CDState.r caches Ax, not a residual
-    extrap = nc and opts.extrapolate and kind in ("ls", "wls", "sqrt")
+    extrap = (nc and resolve_extrapolate(opts, True)
+              and kind in ("ls", "wls", "sqrt"))
 
     def scan_body(carry, lam):
         s, cache, beta_prev, lam_k, lam_km1 = carry

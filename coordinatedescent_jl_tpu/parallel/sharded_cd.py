@@ -55,7 +55,7 @@ from ..ops.block_cd import (
 )
 from ..ops.losses import LeastSquaresLoss, SqrtLassoLoss, WeightedLSLoss
 from ..ops.prox import ProxL1, ProxZero, as_l1
-from ..utils.options import CDOptions, IterLassoOptions
+from ..utils.options import CDOptions, IterLassoOptions, resolve_extrapolate
 from ..utils.helpers import sample_std, find_init_sigma
 
 
@@ -340,7 +340,8 @@ def solve_blocked_sharded(kind: str, opts: CDOptions, prob, lam0, beta0_b,
     # start is secant-shifted across steps like the single-device twin
     nc = _compact_mode(kind, opts, prob, dtype)
     cache0 = _empty_ws_cache(kind, prob, nc, opts) if nc else None
-    extrap = nc and opts.extrapolate and kind in ("ls", "wls", "sqrt")
+    extrap = (nc and resolve_extrapolate(opts, True)
+              and kind in ("ls", "wls", "sqrt"))
 
     def scan_body(carry, lam):
         s, cache, beta_prev, lam_k, lam_km1 = carry
@@ -519,7 +520,7 @@ def _make_sharded_scaled(opts: IterLassoOptions, mesh: Mesh, axis: str,
             lam_new = lam * sig
             key, k1 = jax.random.split(st.key)
             if cd.warm_start:
-                if nc and cd.extrapolate:
+                if nc and resolve_extrapolate(cd, True):
                     # σ rounds move the penalty along the λ·σ abscissa —
                     # same secant accelerant as the single-device twin
                     st = _sharded_extrapolate_start(
@@ -627,7 +628,7 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
             def do(args):
                 st, cache = args
                 if opts.warm_start:
-                    if nc and opts.extrapolate:
+                    if nc and resolve_extrapolate(opts, False):
                         st = _sharded_extrapolate_start(
                             st, cache, beta_prev, lam_k, lam_km1, lam,
                             axis)

@@ -38,7 +38,7 @@ from ..ops.block_cd import (
     solve_blocked,
 )
 from ..utils.helpers import std_X
-from ..utils.options import CDOptions
+from ..utils.options import CDOptions, resolve_extrapolate
 
 
 class PathCheckpoint(NamedTuple):
@@ -151,7 +151,7 @@ def lasso_path_resumable(X, y, lam_path, checkpoint_file: str,
         prob = build_blocked("ls", options, lamw, X=X, y=y)
         key, k1 = jax.random.split(st.key)
         if options.warm_start:
-            if nc and options.extrapolate:
+            if nc and resolve_extrapolate(options, False):
                 st = _extrapolate_path_start(st, cache, beta_prev_b,
                                              lam_k, lam_km1, lam)
             st, cache = _solve_at_lambda_ws("ls", options, prob, lam,

@@ -96,7 +96,13 @@ class CDOptions:
       compaction working set (the shift's residual update uses only the
       cached columns) except on the z-grid, where the residual is rebuilt
       per point anyway.  Solutions are unchanged — every solve is still
-      certified by the full KKT sweep (new).
+      certified by the full KKT sweep.  ``None`` (default) = auto:
+      per-consumer defaults from on-chip A/B measurement — OFF along
+      dense λ paths (warm starts there are already near-exact and the
+      shift work costs ~30% wall time, PERF.md round 3), ON on the
+      locpolyl1 z-grid (0.62 s vs 0.83 s at the bench config) and the
+      scaled-lasso σ rounds (neutral-to-positive).  ``True``/``False``
+      force (new).
     """
 
     max_iter: int = 2000
@@ -114,10 +120,19 @@ class CDOptions:
     compact_size: int = 1024
     compact_rounds: int = 32
     cache_gram: bool | None = None
-    extrapolate: bool = True
+    extrapolate: bool | None = None
 
     def replace(self, **kw) -> "CDOptions":
         return dataclasses.replace(self, **kw)
+
+
+def resolve_extrapolate(options: "CDOptions", consumer_default: bool) -> bool:
+    """Resolve the tri-state ``extrapolate`` flag: an explicit user
+    ``True``/``False`` wins; ``None`` takes the consumer's measured
+    default (ON for z-grid / σ-round / λ-continuation schedules, OFF for
+    dense λ paths — see the field doc and PERF.md round 3)."""
+    return (consumer_default if options.extrapolate is None
+            else options.extrapolate)
 
 
 @dataclass(frozen=True)

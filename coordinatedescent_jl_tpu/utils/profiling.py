@@ -103,37 +103,58 @@ def debug_nans(enable: bool = True):
 
 
 class EpochTrace(NamedTuple):
-    """Per-epoch convergence history of an instrumented solve."""
+    """Per-epoch convergence history of an instrumented solve.
+
+    ``certificate`` is the loss-appropriate optimality certificate:
+    the Fenchel duality gap for ls/wls (wls via the √w row scaling that
+    maps it to an LS problem), and the KKT residual
+    ``max(|X_j'r|/‖r‖ − λ_j, 0)`` for the sqrt-lasso (whose scale-free
+    stationarity conditions have no finite gap at r → 0).
+    ``duality_gap`` aliases it for backward compatibility."""
 
     max_h: np.ndarray        # max coordinate displacement per epoch
     nnz: np.ndarray          # support size per epoch
-    duality_gap: np.ndarray  # Fenchel gap per epoch (f64 on host)
+    certificate: np.ndarray  # optimality certificate per epoch (see above)
     seconds: np.ndarray      # cumulative wall seconds
+
+    @property
+    def duality_gap(self):
+        return self.certificate
 
 
 def solve_with_trace(X, y, lam, weights=None,
                      options: CDOptions = CDOptions(), *,
+                     loss: str = "ls", w=None,
                      max_epochs: int = 200, seed: int = 0):
-    """Lasso solve instrumented per epoch.
+    """Penalized solve instrumented per epoch (ls / wls / sqrt losses).
 
     Runs the same full-check / active-pass alternation as the engine
     (coordinate_descent.jl:65-92 semantics) but one epoch per jit call so
-    the host can record (maxH, nnz, duality gap, time) after each — the
+    the host can record (maxH, nnz, certificate, time) after each — the
     metrics/observability subsystem the reference lacks (SURVEY.md §5.5).
-    Returns ``(beta, EpochTrace)``.
+    ``loss`` selects the loss kind (reference's loss-generic driver,
+    coordinate_descent.jl:8): ``"ls"``, ``"wls"`` (pass row weights
+    ``w``), or ``"sqrt"``.  Returns ``(beta, EpochTrace)``.
     """
+    if loss not in ("ls", "wls", "sqrt"):
+        raise ValueError("loss must be 'ls' | 'wls' | 'sqrt'")
+    if loss == "wls" and w is None:
+        raise ValueError("loss='wls' needs row weights w")
     X = jnp.asarray(X)
     y = jnp.asarray(y, X.dtype)
     p = X.shape[1]
     lamw = (jnp.ones((p,), X.dtype) if weights is None
             else jnp.asarray(weights, X.dtype))
     lam = jnp.asarray(lam, X.dtype)
-    n_scale = jnp.asarray(X.shape[0], X.dtype)
+    # sqrt-lasso's stationarity is scale-free in r (gradient −X'r/‖r‖,
+    # cd_differentiable_function.jl:234-235): n_scale is 1
+    n_scale = jnp.asarray(1.0 if loss == "sqrt" else X.shape[0], X.dtype)
+    wv = None if w is None else jnp.asarray(w, X.dtype)
 
     @jax.jit
     def prep():
-        prob = build_blocked("ls", options, lamw, X=X, y=y)
-        st = _init_state("ls", prob,
+        prob = build_blocked(loss, options, lamw, X=X, y=y, w=wv)
+        st = _init_state(loss, prob,
                          _to_blocked_beta(jnp.zeros((p,), X.dtype),
                                           options.block_size),
                          jax.random.PRNGKey(seed))
@@ -141,15 +162,31 @@ def solve_with_trace(X, y, lam, weights=None,
 
     @jax.jit
     def full_epoch(prob, st):
-        st, maxh = _full_check("ls", prob, st, lam, n_scale,
+        st, maxh = _full_check(loss, prob, st, lam, n_scale,
                                options.opt_tol)
         return st, maxh
 
     @jax.jit
     def active_epoch(prob, st):
-        st, maxh = _active_pass("ls", prob, st, lam, n_scale,
+        st, maxh = _active_pass(loss, prob, st, lam, n_scale,
                                 options.randomize, options)
         return st, maxh
+
+    @jax.jit
+    def certificate(beta):
+        if loss == "sqrt":
+            r = y - jnp.dot(X, beta, precision=jax.lax.Precision.HIGHEST)
+            rn = jnp.sqrt(jnp.dot(r, r,
+                                  precision=jax.lax.Precision.HIGHEST))
+            c = jnp.abs(jnp.dot(r, X,
+                                precision=jax.lax.Precision.HIGHEST))
+            return jnp.max(jnp.maximum(
+                c / jnp.maximum(rn, 1e-30) - lam * lamw, 0.0))
+        if loss == "wls":
+            sw = jnp.sqrt(wv)
+            return lasso_duality_gap(X * sw[:, None], y * sw, beta, lam,
+                                     lamw)
+        return lasso_duality_gap(X, y, beta, lam, lamw)
 
     prob, st = prep()
     hs, nnzs, gaps, secs = [], [], [], []
@@ -164,7 +201,7 @@ def solve_with_trace(X, y, lam, weights=None,
         beta = st.beta.reshape(-1)[:p]
         hs.append(float(maxh))
         nnzs.append(int(jnp.sum(beta != 0)))
-        gaps.append(float(lasso_duality_gap(X, y, beta, lam, lamw)))
+        gaps.append(float(certificate(beta)))
         secs.append(time.perf_counter() - t0)
         # maxh from _full_check is already noise-floor-masked per
         # coordinate (block_cd.noise_floor_mask), matching the engine
@@ -174,6 +211,189 @@ def solve_with_trace(X, y, lam, weights=None,
         # mirror the engine's f32 stall detector exactly
         # (block_cd._solve_at_lambda_ws): full-check epochs only, reset on
         # ANY improvement of the certified maxh
+        if was_full:
+            stall = 0 if float(maxh) < best else stall + 1
+            best = min(best, float(maxh))
+        if not f64 and stall >= options.stall_patience:
+            break
+        converged_prev = conv
+        was_full = conv
+    return st.beta.reshape(-1)[:p], EpochTrace(
+        np.asarray(hs), np.asarray(nnzs), np.asarray(gaps),
+        np.asarray(secs))
+
+
+class SigmaRoundTrace(NamedTuple):
+    """Per-σ-round history of an instrumented scaled-lasso solve —
+    observability over the outer consensus loop (lasso.jl:131-141), where
+    the interesting convergence behavior of the joint (β, σ) estimate
+    lives."""
+
+    sigma: np.ndarray        # σ estimate entering each round
+    lam_eff: np.ndarray      # effective penalty λ·σ used by the round
+    nnz: np.ndarray          # support size after the round's solve
+    rel_change: np.ndarray   # |σ_new − σ| / σ per round (the stop metric)
+    seconds: np.ndarray      # cumulative wall seconds
+
+
+def scaled_lasso_with_trace(X, y, lam, weights=None,
+                            options=None, *, seed: int = 0):
+    """Scaled-lasso solve instrumented per σ round (reference
+    ``scaledLasso!``, lasso.jl:107-144): one jit call per round so the
+    host records (σ, λ·σ, nnz, relative σ change, time) after each.
+    Returns ``(LassoSolution, SigmaRoundTrace)`` matching
+    :func:`~coordinatedescent_jl_tpu.scaled_lasso` semantics
+    (init_procedure honored; stop when the relative σ change < opt_tol)."""
+    from ..models.lasso import LassoSolution
+    from ..ops.block_cd import (_compact_mode, _empty_ws_cache,
+                                _solve_at_lambda_ws, _unblock,
+                                solve_blocked)
+    from ..ops.prox import ProxL1
+    from ..utils.helpers import find_init_sigma, sample_std
+    from ..utils.options import IterLassoOptions
+
+    if options is None:
+        options = IterLassoOptions()
+    cdo = options.options_cd
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    n, p = X.shape
+    lamw = (jnp.ones((p,), X.dtype) if weights is None
+            else jnp.asarray(weights, X.dtype))
+    lam = jnp.asarray(lam, X.dtype)
+    n_scale = jnp.asarray(n, X.dtype)
+
+    @jax.jit
+    def prep():
+        prob = build_blocked("ls", cdo, lamw, X=X, y=y)
+        st = _init_state("ls", prob,
+                         _to_blocked_beta(jnp.zeros((p,), X.dtype),
+                                          cdo.block_size),
+                         jax.random.PRNGKey(seed))
+        if options.init_procedure == "screening":
+            sig = find_init_sigma(X, y, options.s_init)
+        elif options.init_procedure == "init_std":
+            sig = jnp.asarray(options.sigma_init, X.dtype)
+        elif options.init_procedure == "warm_start":
+            sig = sample_std(st.r)
+        else:
+            raise ValueError("bad init_procedure")
+        return prob, st, sig
+
+    @jax.jit
+    def round_step(prob, st, cache, sig):
+        lam_new = lam * sig
+        key, k1 = jax.random.split(st.key)
+        if cdo.warm_start:
+            st, cache = _solve_at_lambda_ws("ls", cdo, prob, lam_new,
+                                            st._replace(key=k1), n_scale,
+                                            cache)
+        else:
+            st = solve_blocked("ls", cdo, prob, lam_new,
+                               jnp.zeros_like(st.beta), k1)
+        signew = jnp.sqrt(jnp.sum(st.r * st.r) / n)
+        nnz = jnp.sum(st.beta != 0)
+        return st, cache, signew, nnz
+
+    prob, st, sig = prep()
+    nc = _compact_mode("ls", cdo, prob, X.dtype)
+    cache = _empty_ws_cache("ls", prob, nc, cdo) if nc else None
+    sigs, lams_eff, nnzs, rels, secs = [], [], [], [], []
+    t0 = time.perf_counter()
+    sig_f = float(sig)
+    sig_used = sig_f
+    for _ in range(options.max_iter):
+        st, cache, signew, nnz = round_step(prob, st, cache,
+                                            jnp.asarray(sig_f, X.dtype))
+        rel = abs(float(signew) - sig_f) / sig_f
+        sigs.append(sig_f)
+        lams_eff.append(float(lam) * sig_f)
+        nnzs.append(int(nnz))
+        rels.append(rel)
+        secs.append(time.perf_counter() - t0)
+        sig_used = sig_f
+        if rel < options.opt_tol:
+            break
+        sig_f = float(signew)
+    beta = _unblock(st.beta, p)
+    g = ProxL1(lam * jnp.asarray(sig_used, X.dtype), lamw)
+    sol = LassoSolution(beta, st.r, g, sample_std(st.r))
+    return sol, SigmaRoundTrace(
+        np.asarray(sigs), np.asarray(lams_eff), np.asarray(nnzs),
+        np.asarray(rels), np.asarray(secs))
+
+
+def group_solve_with_trace(X, y, lam, group_size: int, weights=None,
+                           options: CDOptions = CDOptions(), *,
+                           max_epochs: int = 200, seed: int = 0):
+    """Group-lasso solve instrumented per epoch (the group engine's
+    full-sweep / active-pass alternation, ops/group_cd.py).  The
+    certificate is the max group-KKT violation
+    ``max_g max(‖X_g'r‖₂/(n·ω_g) − λ, 0)``.
+    Returns ``(beta, EpochTrace)``."""
+    from ..ops.group_cd import (_build_group_problem, _group_active_pass,
+                                _group_full_check, GroupState)
+
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    n, p = X.shape
+    G = int(group_size)
+    ng = -(-p // G)
+    lamw_g = (jnp.ones((ng,), X.dtype) if weights is None
+              else jnp.asarray(weights, X.dtype))
+    lam = jnp.asarray(lam, X.dtype)
+    n_scale = jnp.asarray(n, X.dtype)
+
+    @jax.jit
+    def prep():
+        prob = _build_group_problem(X, y, lamw_g, G)
+        nb, B = prob.valid.shape
+        beta_g = jnp.zeros((nb, B), X.dtype)
+        st = GroupState(beta=beta_g, r=y,
+                        active=jnp.zeros((nb,), bool),
+                        key=jax.random.PRNGKey(seed),
+                        it=jnp.zeros((), jnp.int32),
+                        conv=jnp.ones((), bool),
+                        done=jnp.zeros((), bool))
+        return prob, st
+
+    @jax.jit
+    def full_epoch(prob, st):
+        return _group_full_check(prob, st, lam, n_scale, options.opt_tol)
+
+    @jax.jit
+    def active_epoch(prob, st):
+        return _group_active_pass(prob, st, lam, n_scale,
+                                  options.randomize, options.block_iters)
+
+    @jax.jit
+    def certificate(prob, st):
+        nb, B = prob.valid.shape
+        k = prob.lamw.shape[1]
+        c = jnp.einsum("bnk,n->bk", prob.Xwb, st.r,
+                       precision=jax.lax.Precision.HIGHEST)
+        cg = jnp.where(prob.valid, c, 0.0).reshape(nb, k, G)
+        nrm = jnp.sqrt(jnp.sum(cg * cg, axis=2))
+        return jnp.max(jnp.maximum(
+            nrm / (n_scale * jnp.maximum(prob.lamw, 1e-30)) - lam, 0.0))
+
+    prob, st = prep()
+    hs, nnzs, gaps, secs = [], [], [], []
+    t0 = time.perf_counter()
+    was_full = True
+    converged_prev = False
+    best, stall = float("inf"), 0
+    f64 = jnp.dtype(X.dtype).itemsize >= 8
+    for _ in range(max_epochs):
+        st, maxh = (full_epoch if was_full else active_epoch)(prob, st)
+        jax.block_until_ready(maxh)
+        hs.append(float(maxh))
+        nnzs.append(int(jnp.sum(st.beta != 0)))
+        gaps.append(float(certificate(prob, st)))
+        secs.append(time.perf_counter() - t0)
+        conv = float(maxh) < options.opt_tol
+        if was_full and conv and converged_prev:
+            break
         if was_full:
             stall = 0 if float(maxh) < best else stall + 1
             best = min(best, float(maxh))

@@ -149,7 +149,7 @@ def test_path_extrapolated_warm_start_matches_oracle():
     y = X[:, :s] @ rng.standard_normal(s) + 0.5 * rng.standard_normal(n)
     lam_max = np.abs(X.T @ y / n).max()
     lam_path = lam_max * np.logspace(-0.3, -2, 12)
-    opts = cd.CDOptions(block_size=8, compact=True, compact_size=64,
+    opts = cd.CDOptions(block_size=8, compact=True, compact_size=64, extrapolate=True,
                         opt_tol=1e-9, randomize=False)
     path = cd.lasso_path(X, y, lam_path, options=opts, standardize_X=False)
     from oracle import cd_lasso
@@ -170,7 +170,7 @@ def test_continuation_extrapolated_start_matches_oracle():
     n, p, s = 120, 200, 6
     X = rng.standard_normal((n, p))
     y = X[:, :s] @ rng.standard_normal(s) + 0.4 * rng.standard_normal(n)
-    opts = cd.CDOptions(block_size=8, compact=True, compact_size=64,
+    opts = cd.CDOptions(block_size=8, compact=True, compact_size=64, extrapolate=True,
                         opt_tol=1e-10, randomize=False, warm_start=False,
                         num_steps=25)
 
@@ -192,7 +192,7 @@ def test_scaled_lasso_compact_extrapolated_matches_dense():
     X, y, _ = _gen(150, 256, 8, seed=5)
     lam = float(np.sqrt(2 * np.log(256) / 150))
     o_c = cd.IterLassoOptions(options_cd=cd.CDOptions(
-        block_size=8, compact=True, compact_size=64, opt_tol=1e-10,
+        block_size=8, compact=True, compact_size=64, extrapolate=True, opt_tol=1e-10,
         randomize=False))
     o_d = cd.IterLassoOptions(options_cd=cd.CDOptions(
         block_size=8, compact=False, opt_tol=1e-10, randomize=False))

@@ -232,7 +232,7 @@ def test_sharded_path_extrapolated_compact_matches_single(feature_mesh):
     X, y = _gen(150, 128, 8, seed=21)
     lam_max = float(np.abs(np.asarray(X).T @ np.asarray(y) / 150).max())
     lams = lam_max * np.logspace(-0.2, -1.8, 10)
-    opts = cd.CDOptions(block_size=8, compact=True, compact_size=64,
+    opts = cd.CDOptions(block_size=8, compact=True, compact_size=64, extrapolate=True,
                         opt_tol=1e-10, randomize=False)
     p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
     p8 = lasso_path_sharded(X, y, lams, feature_mesh, options=opts,
@@ -247,7 +247,7 @@ def test_sharded_scaled_compact_extrapolated_matches_single(feature_mesh):
     X, y = _gen(150, 128, 8, seed=25, sigma=0.5)
     lam = np.sqrt(2 * np.log(128) / 150)
     o = cd.IterLassoOptions(options_cd=cd.CDOptions(
-        block_size=8, compact=True, compact_size=64, opt_tol=1e-10,
+        block_size=8, compact=True, compact_size=64, extrapolate=True, opt_tol=1e-10,
         randomize=False))
     s1 = cd.scaled_lasso(X, y, lam, options=o)
     s8 = scaled_lasso_sharded(X, y, lam, feature_mesh, options=o)
