@@ -224,32 +224,42 @@ def main():
         _log(f"bench: locpolyl1(batched) {extra['locpolyl1_batched_s']}s "
              f"finite={ok}")
 
-        # group lasso (AtomIterate surface): G=8 groups, 20 active.
-        # Free the 4 GB path design first (keeps HBM headroom for the
-        # group build's batched Gram einsum)
+        # group lasso (AtomIterate surface) at the BASELINE shape
+        # (VERDICT r2 item 5): G=8 groups, scattered support, λ at
+        # 0.3·group-λmax (sparse-recovery regime).  Free the 4 GB path
+        # design first (keeps HBM headroom for the group build's blocked
+        # layout + batched Gram einsum)
         del X, y, beta_true, path, sol, out
-        ngrp, pgrp, Ggrp = (500, 2000, 8) if small else (5000, 20_000, 8)
+        ngrp, pgrp, Ggrp = (500, 2000, 8) if small else (10_000, 100_000, 8)
+        n_act = 12
         kg = jax.random.split(jax.random.PRNGKey(11), 3)
         Xg = jax.random.normal(kg[0], (ngrp, pgrp), dtype)
         bg = jnp.zeros((pgrp,), dtype)
-        gsup = jax.random.choice(kg[1], pgrp // Ggrp, (20,), replace=False)
+        gsup = jax.random.choice(kg[1], pgrp // Ggrp, (n_act,),
+                                 replace=False)
         for gix in np.asarray(gsup):
             bg = bg.at[gix * Ggrp:(gix + 1) * Ggrp].set(1.0)
         yg = Xg @ bg + 0.3 * jax.random.normal(kg[2], (ngrp,), dtype)
+        cg = jax.jit(lambda A, b: A.T @ b)(Xg, yg)
+        gn = jnp.sqrt(jnp.sum(jnp.reshape(cg, (-1, Ggrp)) ** 2,
+                              axis=1)) / ngrp
+        lam_g = 0.3 * float(jnp.max(gn))
         og = cd.CDOptions(opt_tol=opt_tol, randomize=False)
-        sol = cd.group_lasso(Xg, yg, 0.05, Ggrp, options=og)  # compile
+        sol = cd.group_lasso(Xg, yg, lam_g, Ggrp, options=og)  # compile
         float(jnp.sum(sol.x))
         t_g = float("inf")
         for rep in range(2):
             t0 = time.perf_counter()
-            sol = cd.group_lasso(Xg, yg, 0.05 + 1e-7 * (rep + 1), Ggrp,
-                                 options=og)
+            sol = cd.group_lasso(Xg, yg, lam_g * (1.0 + 1e-7 * (rep + 1)),
+                                 Ggrp, options=og)
             nzg = int(jnp.sum(jnp.any(
                 jnp.reshape(sol.x, (-1, Ggrp)) != 0, axis=1)))
             t_g = min(t_g, time.perf_counter() - t0)
         extra["group_lasso_s"] = round(t_g, 4)
+        extra["group_lasso_shape"] = {"n": ngrp, "p": pgrp, "G": Ggrp,
+                                      "active_groups": n_act}
         _log(f"bench: group-lasso {extra['group_lasso_s']}s "
-             f"nnz_groups={nzg}")
+             f"(n={ngrp}, p={pgrp}) nnz_groups={nzg}")
 
         # feature-sharded solver on a 1-device mesh: exercises the real
         # shard_map + collective composition on the actual backend

@@ -53,9 +53,13 @@ from .models.lasso import (
 from .models.lasso_path import LassoPath, lasso_path, refit_lasso_path
 from .utils.checkpoint import (
     PathCheckpoint,
+    ShardedPathCheckpoint,
     save_checkpoint,
     load_checkpoint,
+    save_sharded_checkpoint,
+    load_sharded_checkpoint,
     lasso_path_resumable,
+    lasso_path_resumable_sharded,
 )
 from .utils.profiling import (
     EpochTrace,
@@ -107,6 +111,8 @@ __all__ = [
     "LassoPath", "lasso_path", "refit_lasso_path",
     # checkpoint / observability
     "PathCheckpoint", "save_checkpoint", "load_checkpoint",
+    "ShardedPathCheckpoint", "save_sharded_checkpoint",
+    "load_sharded_checkpoint", "lasso_path_resumable_sharded",
     "lasso_path_resumable", "EpochTrace", "RooflineReport", "simple_timeit",
     "solve_with_trace", "scaled_lasso_with_trace", "group_solve_with_trace",
     "SigmaRoundTrace", "pass_roofline", "debug_nans",

@@ -16,8 +16,13 @@ from .sharded_cd import (
     lasso_path_sharded,
     solve_blocked_sharded,
 )
+from .sharded_group import (
+    group_coordinate_descent_sharded,
+    group_lasso_sharded,
+)
 from .batch import (
     lasso_lambda_batch,
+    lasso_grid_sharded,
     locpoly_batch,
     lvocv_locpoly_batch,
 )
@@ -38,7 +43,10 @@ __all__ = [
     "scaled_lasso_sharded",
     "lasso_path_sharded",
     "solve_blocked_sharded",
+    "group_coordinate_descent_sharded",
+    "group_lasso_sharded",
     "lasso_lambda_batch",
+    "lasso_grid_sharded",
     "locpoly_batch",
     "lvocv_locpoly_batch",
     "initialize_distributed",

@@ -89,6 +89,79 @@ def lasso_lambda_batch(X, y, lams, mesh: Mesh,
 
 
 @functools.lru_cache(maxsize=None)
+def _make_lambda_grid(opts: CDOptions, mesh: Mesh, baxis: str, faxis: str,
+                      df: int):
+    from .sharded_cd import solve_blocked_sharded
+
+    def local_fn(Xl, y, lamwl, lams_local, key):
+        prob = build_blocked("ls", opts, lamwl, X=Xl, y=y)
+        p_local = Xl.shape[1]
+        beta_b0 = _to_blocked_beta(jnp.zeros((p_local,), Xl.dtype),
+                                   opts.block_size)
+
+        def one(lam):
+            st = solve_blocked_sharded("ls", opts, prob, lam, beta_b0, key,
+                                       faxis, df)
+            return st.beta.reshape(-1)[:p_local]
+
+        return lax.map(one, lams_local)
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, faxis), P(), P(faxis), P(baxis), P()),
+        out_specs=P(baxis, faxis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def lasso_grid_sharded(X, y, lams, mesh: Mesh,
+                       options: CDOptions = CDOptions(), *, weights=None,
+                       standardize_X: bool = True,
+                       batch_axis: str = "batch",
+                       feature_axis: str = "feature", seed: int = 0):
+    """Independent Lasso solves over a λ grid on a 2-D
+    ``(batch, feature)`` mesh: the λ scenarios are sharded over
+    ``mesh[batch_axis]`` while *within* each scenario the columns of ``X``
+    are sharded over ``mesh[feature_axis]`` with psum residual merging
+    (``parallel.grid_mesh`` builds the right mesh).  This composes the two
+    axes the reference loops serially (the λ loop, lasso.jl:250-257, and
+    the per-coordinate sweep over all of p) into one pod-shaped program:
+    scenario parallelism on the outer mesh axis, long-axis feature
+    scaling on the ICI-contiguous inner axis (SURVEY.md §5.7-5.8).
+
+    Scenarios are cold solves (independent — order-free, unlike the
+    warm-started ``lasso_path_sharded`` scan); per the reference's own
+    config-invariance semantics warm starts change only speed, never the
+    converged solution.  Returns ``(len(lams), p)`` coefficients.
+    """
+    from .sharded_cd import _pad_cols_to, _pad_vec_to
+    from ..utils.helpers import std_X
+
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    lams = jnp.asarray(lams, X.dtype)
+    n, p = X.shape
+    db = mesh.shape[batch_axis]
+    df = mesh.shape[feature_axis]
+    chunk = -(-p // df)
+    chunk = -(-chunk // options.block_size) * options.block_size
+    P_tot = chunk * df
+    if standardize_X:
+        lamw = std_X(X)
+    else:
+        lamw = (jnp.ones((p,), X.dtype) if weights is None
+                else jnp.asarray(weights, X.dtype))
+    lams_p, L = _pad_batch(lams, db)
+    opts = options.replace(warm_start=True)  # independent direct solves
+    solver = _make_lambda_grid(opts, mesh, batch_axis, feature_axis, df)
+    betas = solver(_pad_cols_to(X, P_tot), y, _pad_vec_to(lamw, P_tot, 1.0),
+                   lams_p, jax.random.PRNGKey(seed))
+    return betas[:L, :p]
+
+
+@functools.lru_cache(maxsize=None)
 def _make_locpoly_batch(degree: int, kernel_type, mesh: Mesh, axis: str):
     from ..models.varying_coefficient import _locpoly_point
 

@@ -41,6 +41,64 @@ from ..utils.helpers import std_X
 from ..utils.options import CDOptions, resolve_extrapolate
 
 
+class ShardedPathCheckpoint(NamedTuple):
+    """Resumable state of a *feature-sharded* λ-path solve (SURVEY.md §5.4
+    at pod scale).  The solver state is gathered to host as global arrays
+    (β, residuals, the cached KKT gradient ``c``/``drift``, the active
+    mask) plus the **per-shard** compaction working sets — ``ws_idx`` holds
+    each shard's shard-local column indices, so a resume is tied to the
+    same mesh shape (``n_shards``); the dense gathered columns are a
+    deterministic re-gather exactly as in the single-device checkpoint."""
+
+    lam_path: np.ndarray     # full λ grid (identifies the run)
+    next_index: int          # first unsolved path point
+    beta_path: np.ndarray    # (num_solved, p) solved coefficients
+    beta_warm: np.ndarray    # (p,) warm-start iterate for next_index
+    residuals: np.ndarray    # (n,) replicated residuals at beta_warm
+    key: np.ndarray          # replicated PRNG key
+    c: np.ndarray            # (nb_total, B) cached KKT gradient, all shards
+    drift: np.ndarray        # (nb_total,) staleness bounds
+    active: np.ndarray       # (nb_total,) active-block mask
+    ws_idx: np.ndarray       # (n_shards, C) shard-LOCAL working-set indices
+    ws_ok: np.ndarray        # (n_shards,) per-shard gather validity
+    beta_prev: np.ndarray    # (p,) previous point (secant support point)
+    lam_k: float
+    lam_km1: float
+    n_shards: int            # mesh size the state was captured under
+
+
+def save_sharded_checkpoint(path: str, ck: ShardedPathCheckpoint) -> None:
+    """Atomic write (tmp + rename) of the sharded checkpoint."""
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **{f: np.asarray(v) for f, v in ck._asdict().items()})
+    os.replace(tmp, path)
+
+
+def load_sharded_checkpoint(path: str) -> Optional[ShardedPathCheckpoint]:
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        if any(f not in z.files for f in ShardedPathCheckpoint._fields):
+            return None
+        return ShardedPathCheckpoint(
+            lam_path=z["lam_path"],
+            next_index=int(z["next_index"]),
+            beta_path=z["beta_path"],
+            beta_warm=z["beta_warm"],
+            residuals=z["residuals"],
+            key=z["key"],
+            c=z["c"],
+            drift=z["drift"],
+            active=z["active"],
+            ws_idx=z["ws_idx"],
+            ws_ok=z["ws_ok"],
+            beta_prev=z["beta_prev"],
+            lam_k=float(z["lam_k"]),
+            lam_km1=float(z["lam_km1"]),
+            n_shards=int(z["n_shards"]),
+        )
+
+
 class PathCheckpoint(NamedTuple):
     """Resumable warm-start state of a λ-path solve (SURVEY.md §5.4).
 
@@ -225,6 +283,178 @@ def lasso_path_resumable(X, y, lam_path, checkpoint_file: str,
                 beta_prev=np.asarray(beta_prev_b.reshape(-1)[:p]),
                 lam_k=float(lam_k),
                 lam_km1=float(lam_km1),
+            ))
+
+    return LassoPath(jnp.asarray(lam_np), jnp.asarray(np.stack(betas)))
+
+
+def lasso_path_resumable_sharded(X, y, lam_path, checkpoint_file: str,
+                                 mesh, options: CDOptions = CDOptions(), *,
+                                 standardize_X: bool = True,
+                                 axis: str = "feature", seed: int = 0,
+                                 checkpoint_every: int = 1) -> LassoPath:
+    """Feature-sharded warm-started Lasso path with per-point
+    checkpointing — the pod-scale restart story (SURVEY.md §5.4 applied to
+    §5.7's long-axis scaling; the reference's serial loop is
+    lasso.jl:250-252).  Point for point this mirrors
+    ``parallel.lasso_path_sharded``'s scan body (same secant warm-start
+    policy, same per-shard compaction cache carried across points — the
+    cache's dense columns live on device between calls and only
+    ``ws_idx``/``ws_ok`` are persisted), so an interrupted run resumed
+    from the checkpoint follows the identical trajectory, including with
+    ``randomize=True``.  Resume requires the same mesh shape
+    (``ShardedPathCheckpoint.n_shards``); a mismatch restarts cleanly.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.block_cd import CDState, _gram_mode
+    from ..parallel.sharded_cd import (
+        _pad_cols_to,
+        _pad_vec_to,
+        _sharded_extrapolate_start,
+        _sharded_init_state,
+        _sharded_solve_at_lambda,
+        solve_blocked_sharded,
+    )
+
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    n, p = X.shape
+    D = mesh.shape[axis]
+    B = options.block_size
+    chunk = -(-p // D)
+    chunk = -(-chunk // B) * B
+    P_tot = chunk * D
+    nb_local = chunk // B
+    nc = _compact_nc("ls", options, nb_local, B, X.dtype)
+    C = nc * B
+    lam_np = np.asarray(lam_path, dtype=np.dtype(X.dtype))
+    lamw = std_X(X) if standardize_X else jnp.ones((p,), X.dtype)
+    Xp = _pad_cols_to(X, P_tot)
+    lamwp = _pad_vec_to(lamw, P_tot, 1.0)
+    n_scale = jnp.asarray(n, X.dtype)
+
+    # pytree-of-specs for the globally-stacked solver state: block-indexed
+    # leaves shard over the feature axis, scalars/vectors replicate
+    state_spec = CDState(beta=P(axis), r=P(), rsqr=P(), active=P(axis),
+                         key=P(), it=P(), conv=P(), done=P(),
+                         c=P(axis), drift=P(axis))
+    # the per-shard WsCache stacks every leaf on a leading shard axis
+    # (scalar `ok` is carried as shape (1,) locally), so one P(axis)
+    # prefix shards the whole subtree; None when compaction is off
+    cache_spec = P(axis) if nc else None
+
+    def _wrap_cache(cache):
+        return cache._replace(ok=cache.ok[None]) if nc else None
+
+    def _unwrap_cache(g):
+        return g._replace(ok=g.ok[0]) if nc else None
+
+    def _init_local(Xl, yv, lamwl, key):
+        prob = build_blocked("ls", options, lamwl, X=Xl, y=yv)
+        beta_b0 = _to_blocked_beta(jnp.zeros((Xl.shape[1],), Xl.dtype), B)
+        st = _sharded_init_state("ls", prob, beta_b0, key, axis)
+        cache = _empty_ws_cache("ls", prob, nc, options) if nc else None
+        return st, _wrap_cache(cache)
+
+    def _rebuild_local(Xl, yv, lamwl, idx, ok):
+        prob = build_blocked("ls", options, lamwl, X=Xl, y=yv)
+        return _wrap_cache(
+            _ws_cache_from_idx("ls", prob, nc, options, idx, ok[0]))
+
+    def _solve_local(Xl, yv, lamwl, lam, st, g_cache, beta_prev_b,
+                     lam_k, lam_km1):
+        # mirror parallel.sharded_cd._make_sharded_path.scan_body exactly
+        prob = build_blocked("ls", options, lamwl, X=Xl, y=yv)
+        cache = _unwrap_cache(g_cache)
+        key, k1 = jax.random.split(st.key)
+        st = st._replace(key=key)
+        if options.warm_start:
+            if nc and resolve_extrapolate(options, False):
+                st = _sharded_extrapolate_start(st, cache, beta_prev_b,
+                                                lam_k, lam_km1, lam, axis)
+            st, cache = _sharded_solve_at_lambda(
+                "ls", options, prob, lam, st._replace(key=k1), n_scale,
+                axis, D, cache=cache)
+        else:
+            st = solve_blocked_sharded("ls", options, prob, lam,
+                                       jnp.zeros_like(st.beta), k1, axis, D)
+        return st, _wrap_cache(cache)
+
+    data_spec = (P(None, axis), P(), P(axis))
+    init_all = jax.jit(jax.shard_map(
+        _init_local, mesh=mesh, in_specs=data_spec + (P(),),
+        out_specs=(state_spec, cache_spec), check_vma=False))
+    rebuild_all = jax.jit(jax.shard_map(
+        _rebuild_local, mesh=mesh, in_specs=data_spec + (P(axis), P(axis)),
+        out_specs=cache_spec, check_vma=False))
+    solve_one = jax.jit(jax.shard_map(
+        _solve_local, mesh=mesh,
+        in_specs=data_spec + (P(), state_spec, cache_spec, P(axis),
+                              P(), P()),
+        out_specs=(state_spec, cache_spec), check_vma=False))
+
+    ck = load_sharded_checkpoint(checkpoint_file)
+    if (ck is not None and ck.n_shards == D
+            and ck.lam_path.shape == lam_np.shape
+            and np.allclose(ck.lam_path, lam_np)):
+        start = ck.next_index
+        betas = [b for b in ck.beta_path]
+        st, cache_g = init_all(Xp, y, lamwp, jnp.asarray(ck.key))
+        if nc and ck.ws_idx.shape == (D, C):
+            cache_g = rebuild_all(Xp, y, lamwp,
+                                  jnp.asarray(ck.ws_idx,
+                                              jnp.int32).reshape(-1),
+                                  jnp.asarray(ck.ws_ok, bool))
+        st = st._replace(
+            beta=jnp.pad(jnp.asarray(ck.beta_warm, X.dtype),
+                         (0, P_tot - p)).reshape(-1, B),
+            r=jnp.asarray(ck.residuals, X.dtype),
+            key=jnp.asarray(ck.key),
+            c=jnp.asarray(ck.c, X.dtype),
+            drift=jnp.asarray(ck.drift, X.dtype),
+            active=jnp.asarray(ck.active, bool),
+        )
+        beta_prev_b = jnp.pad(jnp.asarray(ck.beta_prev, X.dtype),
+                              (0, P_tot - p)).reshape(-1, B)
+        lam_k, lam_km1 = ck.lam_k, ck.lam_km1
+    else:
+        start = 0
+        betas = []
+        st, cache_g = init_all(Xp, y, lamwp, jax.random.PRNGKey(seed))
+        beta_prev_b = st.beta
+        lam_k = lam_km1 = float(lam_np[0])
+
+    for i in range(start, lam_np.shape[0]):
+        beta_k_b = st.beta
+        st, cache_g = solve_one(Xp, y, lamwp,
+                                jnp.asarray(lam_np[i], X.dtype), st,
+                                cache_g, beta_prev_b,
+                                jnp.asarray(lam_k, X.dtype),
+                                jnp.asarray(lam_km1, X.dtype))
+        beta_prev_b, lam_km1, lam_k = beta_k_b, lam_k, float(lam_np[i])
+        beta_i = np.asarray(st.beta.reshape(-1)[:p])
+        betas.append(beta_i)
+        if (i + 1) % checkpoint_every == 0 or i == lam_np.shape[0] - 1:
+            save_sharded_checkpoint(checkpoint_file, ShardedPathCheckpoint(
+                lam_path=lam_np,
+                next_index=i + 1,
+                beta_path=np.stack(betas) if betas else
+                np.zeros((0, p), lam_np.dtype),
+                beta_warm=beta_i,
+                residuals=np.asarray(st.r),
+                key=np.asarray(st.key),
+                c=np.asarray(st.c),
+                drift=np.asarray(st.drift),
+                active=np.asarray(st.active),
+                ws_idx=(np.asarray(cache_g.idx).reshape(D, C) if nc
+                        else np.zeros((D, 0), np.int32)),
+                ws_ok=(np.asarray(cache_g.ok) if nc
+                       else np.zeros((D,), bool)),
+                beta_prev=np.asarray(beta_prev_b.reshape(-1)[:p]),
+                lam_k=float(lam_k),
+                lam_km1=float(lam_km1),
+                n_shards=D,
             ))
 
     return LassoPath(jnp.asarray(lam_np), jnp.asarray(np.stack(betas)))
