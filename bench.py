@@ -100,8 +100,9 @@ def main():
 
     # batched-path execution (coarse scan + batched certify/refine over a
     # union working set): one R@X GEMM certifies a whole chunk of λ points
-    # per X read.  Config (batch=128 → one chunk, stride=33) is the
-    # on-chip A/B winner (PERF.md round 3: 0.34s vs 1.41s scan).  A lane
+    # per X read.  Config (batch=128 → one chunk, stride=99 = anchors at the
+    # endpoints only) is the on-chip A/B winner (PERF.md round 3:
+    # 0.25s vs 1.41s scan).  A lane
     # that fails the certify sweep falls back to the scan — that run is
     # recorded as NOT certified and its time is NOT used anywhere.
     import warnings as _warnings
@@ -109,12 +110,13 @@ def main():
     t_pb = float("inf")
     pb_cert = False
     pb_diff = float("nan")
+    pstride = min(99, L - 1)  # endpoints-only anchors at any grid length
     try:
         with _warnings.catch_warnings(record=True) as _wl:
             _warnings.simplefilter("always")
             pb = cd.lasso_path(X, y, lams, options=opts,
                                standardize_X=False, path_batch=128,
-                               coarse_stride=33)  # compile
+                               coarse_stride=pstride)  # compile
             float(jnp.sum(pb.beta_path))
             pb_cert = not any("did not certify" in str(w.message)
                               for w in _wl)
@@ -126,7 +128,8 @@ def main():
                     pb = cd.lasso_path(X, y, [l * (1.0 + 1e-7 * (rep + 1))
                                               for l in lams],
                                        options=opts, standardize_X=False,
-                                       path_batch=128, coarse_stride=33)
+                                       path_batch=128,
+                                       coarse_stride=pstride)
                     float(jnp.sum(pb.beta_path))
                     pb_cert = pb_cert and not any(
                         "did not certify" in str(w.message) for w in _wl)
@@ -207,22 +210,6 @@ def main():
             t_vc = min(t_vc, time.perf_counter() - t0)
         extra["locpolyl1_s"] = round(t_vc, 4)
         _log(f"bench: locpolyl1 {extra['locpolyl1_s']}s finite={ok}")
-
-        # batched-grid execution: coarse scan + chunked-vmap refinement —
-        # the TPU-first alternative to the reference's serial grid loop
-        out, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern, 0.05,
-                              grid_batch=128)  # compile
-        float(jnp.sum(out))
-        t_vb = float("inf")
-        for rep in range(2):
-            t0 = time.perf_counter()
-            out, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern,
-                                  0.05 + 1e-7 * (rep + 1), grid_batch=128)
-            ok = bool(jnp.all(jnp.isfinite(out)))
-            t_vb = min(t_vb, time.perf_counter() - t0)
-        extra["locpolyl1_batched_s"] = round(t_vb, 4)
-        _log(f"bench: locpolyl1(batched) {extra['locpolyl1_batched_s']}s "
-             f"finite={ok}")
 
         # group lasso (AtomIterate surface) at the BASELINE shape
         # (VERDICT r2 item 5): G=8 groups, scattered support, λ at

@@ -348,6 +348,10 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
     lanes, amortizing each certifying X sweep across the whole chunk —
     same certified solutions, a fraction of the serial chain.  Grids no
     longer than ``max(2, coarse_stride)`` fall back to the scan.
+    Measured on a TPU v5e at n=10K/p=100K/100 points (PERF.md round 3):
+    coarser anchors keep winning as long as certification holds —
+    ``coarse_stride = len(lam_path) - 1`` (anchors at the endpoints only)
+    with ``path_batch = 128`` gives 0.25 s vs the 1.41 s scan (5.6×).
     """
     if coarse_stride < 1:
         raise ValueError("coarse_stride must be >= 1")

@@ -225,91 +225,9 @@ def _locpolyl1_core(X, z, y, zgrid, h, lam0, key, degree: int,
     return out.T, out_r.T
 
 
-@functools.partial(jax.jit, static_argnames=("degree", "opts", "refit",
-                                             "kernel_type", "stride",
-                                             "grid_batch"))
-def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
-                            kernel_type, opts: CDOptions, refit: bool,
-                            stride: int, grid_batch: int):
-    """Batched-grid locpolyl1: TPU-first alternative to the sequential
-    grid scan.
-
-    The reference's grid loop is inherently serial (warm start across
-    points, :39-42) — on TPU that leaves the MXU idle between many small
-    solves.  Two phases recover the parallelism without losing the warm
-    starts:
-
-    1. the ordinary sequential scan on a coarse subgrid (every
-       ``stride``-th point, endpoints included) — cheap, keeps the
-       reference's warm-start quality along the grid, and its solutions
-       (+ refits) are taken as-is;
-    2. the REMAINING points solved independently (``lax.map`` with
-       ``batch_size=grid_batch`` ⇒ chunked vmap), warm-started from the
-       linear interpolation of the two bracketing coarse solutions.
-
-    Solutions are identical up to solver tolerance: each point's solve is
-    certified by the same full-KKT convergence rule regardless of its
-    start (the warm start is an accelerant, never a semantics change).
-    Assumes ``zgrid`` sorted ascending (the reference's interpolation
-    utilities assume the same, :459-476)."""
-    n, p = X.shape
-    ep = p * (degree + 1)
-    kernel = kernel_type(h)
-    g = zgrid.shape[0]
-
-    cidx = np.arange(0, g, stride)
-    if cidx[-1] != g - 1:
-        cidx = np.append(cidx, g - 1)
-    rest = np.setdiff1d(np.arange(g), cidx)
-    zg_c = zgrid[jnp.asarray(cidx)]
-    key, kc = jax.random.split(key)
-    out_c, out_rc = _locpolyl1_core(X, z, y, zg_c, h, lam0, kc, degree,
-                                    kernel_type, opts, refit)
-    if rest.size == 0:
-        return out_c, out_rc
-
-    # warm starts for the remaining points: linear interpolation between
-    # the bracketing coarse solutions (dense start is fine — the solver
-    # prunes)
-    zr = zgrid[jnp.asarray(rest)]
-    seg = jnp.clip(jnp.searchsorted(zg_c, zr, side="right") - 1,
-                   0, len(cidx) - 2)
-    z_lo, z_hi = zg_c[seg], zg_c[seg + 1]
-    a = jnp.where(z_hi > z_lo, (zr - z_lo)
-                  / jnp.where(z_hi > z_lo, z_hi - z_lo, 1.0), 0.0)
-    starts = ((1.0 - a)[None, :] * out_c[:, seg]
-              + a[None, :] * out_c[:, seg + 1])        # (ep, |rest|)
-
-    def point_solve(args):
-        z0, beta0_e, k = args
-        w = evaluate(kernel, z, z0)
-        eX = expand_X(X, z, z0, degree)
-        stdX = std_X(eX, w)
-        prob = build_blocked("wls", opts, stdX, X=eX, y=y, w=w)
-        st = solve_blocked("wls", opts, prob, lam0,
-                           _to_blocked_beta(beta0_e, opts.block_size), k)
-        beta = st.beta.reshape(-1)[:ep]
-        if refit:
-            mask = _group_mask_expanded(beta, p, degree)
-            br = _masked_weighted_refit(eX, w, y, mask)
-        else:
-            br = jnp.zeros((ep,), X.dtype)
-        return beta, br
-
-    keys = jax.random.split(key, rest.size)
-    out_rest, r_rest = jax.lax.map(
-        point_solve, (zr, starts.T, keys),
-        batch_size=min(grid_batch, int(rest.size)))
-    out = (jnp.zeros((g, ep), X.dtype).at[jnp.asarray(cidx)].set(out_c.T)
-           .at[jnp.asarray(rest)].set(out_rest))
-    out_r = (jnp.zeros((g, ep), X.dtype).at[jnp.asarray(cidx)]
-             .set(out_rc.T).at[jnp.asarray(rest)].set(r_rest))
-    return out.T, out_r.T
-
-
 def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
               refit: bool = True, options: CDOptions = CDOptions(), *,
-              grid_batch: int = 0, coarse_stride: int = 8, seed: int = 0):
+              seed: int = 0):
     """Varying-coefficient lasso on a grid of evaluation points.
 
     Reference ``locpolyl1`` (:30-79): at each z0, kernel weights + expanded
@@ -317,30 +235,23 @@ def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
     with β warm-started across grid points (warm start forced, :39-42).
     Returns ``(out, out_refit)``, both ``(p(degree+1), len(zgrid))``.
 
-    ``grid_batch > 0`` switches to the batched-grid execution
-    (_locpolyl1_batched_core): a coarse sequential scan on every
-    ``coarse_stride``-th point, then the remaining points solved in
-    vmapped chunks of ``grid_batch`` from interpolated warm starts — same
-    certified solutions, MXU-parallel instead of serial on TPU.  Requires
-    ``zgrid`` sorted ascending.  Grids no longer than
-    ``max(2, coarse_stride)`` fall back to the sequential scan (there is
-    nothing to batch between coarse points).
+    Execution is the sequential warm-started scan with secant start
+    extrapolation (on by default here — measured 0.62 s vs 0.83 s on-chip
+    at the bench grid, PERF.md round 3).  A batched-grid variant (coarse
+    scan + chunked-vmap refinement) was built and measured in round 2/3
+    and REMOVED: under ``vmap`` every chunk pays the max-lane epoch count,
+    and no (stride, batch) configuration beat the scan on the TPU
+    (best 1.21 s vs scan 1.02 s at the bench grid) — unlike the λ-path,
+    the per-point designs (kernel weights + expansion) share no Gram, so
+    the one-GEMM chunk certification that makes ``lasso_path(path_batch=…)``
+    win 5× has no analogue here.
     """
-    if coarse_stride < 1:
-        raise ValueError("coarse_stride must be >= 1")
-    if grid_batch < 0:
-        raise ValueError("grid_batch must be >= 0")
     X = jnp.asarray(X)
     z = jnp.asarray(z, X.dtype)
     y = jnp.asarray(y, X.dtype)
     zgrid = jnp.asarray(zgrid, X.dtype)
     opts = options.replace(warm_start=True)
     key = jax.random.PRNGKey(seed)
-    if grid_batch and zgrid.shape[0] > max(2, coarse_stride):
-        return _locpolyl1_batched_core(
-            X, z, y, zgrid, jnp.asarray(kernel.h, X.dtype),
-            jnp.asarray(lam0, X.dtype), key, degree, type(kernel), opts,
-            refit, int(coarse_stride), int(grid_batch))
     return _locpolyl1_core(X, z, y, zgrid,
                            jnp.asarray(kernel.h, X.dtype),
                            jnp.asarray(lam0, X.dtype), key, degree,

@@ -377,21 +377,3 @@ def test_sparse_coefficients_roundtrip():
     np.testing.assert_array_equal(np.asarray(sp2.todense()), dense)
 
 
-def test_locpolyl1_batched_grid_matches_scan():
-    """grid_batch>0 (coarse scan + chunked-vmap refinement from
-    interpolated starts) must reproduce the sequential scan's certified
-    solutions and refits."""
-    rng = np.random.default_rng(41)
-    n, p = 250, 15
-    z = np.sort(rng.uniform(0, 1, n))
-    X = rng.standard_normal((n, p))
-    y = np.sin(2 * np.pi * z) * X[:, 0] + 0.3 * rng.standard_normal(n)
-    zg = np.linspace(0.05, 0.95, 40)
-    import coordinatedescent_jl_tpu as cd
-    kern = cd.GaussianKernel(0.1)
-    opts = cd.CDOptions(opt_tol=1e-10, randomize=False)
-    o1, r1 = cd.locpolyl1(X, z, y, zg, 1, kern, 0.05, options=opts)
-    o2, r2 = cd.locpolyl1(X, z, y, zg, 1, kern, 0.05, options=opts,
-                          grid_batch=8, coarse_stride=6)
-    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-8)
-    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=1e-8)
