@@ -85,7 +85,11 @@ def main():
 
     # first call compiles; second call times the cached executable
     t0 = time.perf_counter()
-    path = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    # path_batch=0 pins the sequential scan: with the auto default the
+    # library itself would pick the batched mode here — the bench records
+    # BOTH executions (scan for continuity, batched for the headline)
+    path = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                         path_batch=0)
     jax.block_until_ready(path.beta_path)
     t_with_compile = time.perf_counter() - t0
     _log(f"bench: path compile+run {t_with_compile:.1f}s")
@@ -93,7 +97,8 @@ def main():
     t_path = float("inf")
     for _ in range(2):  # min-of-2: tunnel throughput varies run-to-run
         t0 = time.perf_counter()
-        path = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+        path = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                             path_batch=0)
         jax.block_until_ready(path.beta_path)
         t_path = min(t_path, time.perf_counter() - t0)
     _log(f"bench: path run {t_path:.2f}s")

@@ -332,7 +332,8 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
 
 def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
                max_hat_s: float = np.inf, standardize_X: bool = True,
-               path_batch: int = 0, coarse_stride: int = 8,
+               path_batch: int | None = None,
+               coarse_stride: int | None = None,
                seed: int = 0) -> LassoPath:
     """Solve the Lasso along a **decreasing** λ grid with warm starts.
 
@@ -352,14 +353,32 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
     coarser anchors keep winning as long as certification holds —
     ``coarse_stride = len(lam_path) - 1`` (anchors at the endpoints only)
     with ``path_batch = 128`` gives 0.25 s vs the 1.41 s scan (5.6×).
+
+    Defaults are auto-resolved from that measurement: ``path_batch=None``
+    enables the batched execution (128 lanes) for sub-f64 dtypes off-CPU
+    — the TPU production case — on grids of ≥ 16 points, and the
+    sequential scan otherwise (f64 runs keep exact-CD scan trajectories;
+    on CPU the batched trade — more FLOPs for a shorter serial chain —
+    loses).  ``coarse_stride=None`` resolves to ``len(lam_path) − 1``.
+    Pass ``path_batch=0`` to force the scan.  A batched run that fails
+    its certify sweep falls back to the scan automatically (warning), so
+    the auto mode never changes semantics — every returned point is
+    certified by the same order-independent full-KKT rule either way.
     """
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    lam_path = jnp.asarray(lam_path, X.dtype)
+    L = int(lam_path.shape[0])
+    if path_batch is None:
+        f32ish = jnp.dtype(X.dtype).itemsize < 8
+        path_batch = (128 if (f32ish and jax.default_backend() != "cpu"
+                              and L >= 16) else 0)
+    if coarse_stride is None:
+        coarse_stride = max(1, L - 1)
     if coarse_stride < 1:
         raise ValueError("coarse_stride must be >= 1")
     if path_batch < 0:
         raise ValueError("path_batch must be >= 0")
-    X = jnp.asarray(X)
-    y = jnp.asarray(y, X.dtype)
-    lam_path = jnp.asarray(lam_path, X.dtype)
     lamw = std_X(X) if standardize_X else jnp.ones((X.shape[1],), X.dtype)
     key = jax.random.PRNGKey(seed)
     batched_ok = False
