@@ -125,6 +125,14 @@ def main():
             float(jnp.sum(pb.beta_path))
             pb_cert = not any("did not certify" in str(w.message)
                               for w in _wl)
+        # agreement is taken from the compile call: batched and scan both
+        # solved the UNPERTURBED grid there — diffing a perturbed-λ timed
+        # rep against the unperturbed scan would conflate the λ
+        # perturbation with batched-vs-scan divergence (same rationale as
+        # the sharded section's same-λ comparison)
+        if pb_cert and pb.beta_path.shape == path.beta_path.shape:
+            pb_diff = float(jnp.max(jnp.abs(pb.beta_path
+                                            - path.beta_path)))
         if pb_cert:
             for rep in range(2):
                 t0 = time.perf_counter()
@@ -139,9 +147,6 @@ def main():
                     pb_cert = pb_cert and not any(
                         "did not certify" in str(w.message) for w in _wl)
                 t_pb = min(t_pb, time.perf_counter() - t0)
-        if pb_cert and pb.beta_path.shape == path.beta_path.shape:
-            pb_diff = float(jnp.max(jnp.abs(pb.beta_path
-                                            - path.beta_path)))
         _log(f"bench: path(batched) run {t_pb:.2f}s certified={pb_cert} "
              f"max|diff vs scan|={pb_diff:.2e}")
     except Exception as e:  # pragma: no cover - backend-specific
@@ -232,7 +237,8 @@ def main():
         for gix in np.asarray(gsup):
             bg = bg.at[gix * Ggrp:(gix + 1) * Ggrp].set(1.0)
         yg = Xg @ bg + 0.3 * jax.random.normal(kg[2], (ngrp,), dtype)
-        cg = jax.jit(lambda A, b: A.T @ b)(Xg, yg)
+        cg = jax.jit(lambda A, b: jnp.dot(
+            A.T, b, precision=jax.lax.Precision.HIGHEST))(Xg, yg)
         gn = jnp.sqrt(jnp.sum(jnp.reshape(cg, (-1, Ggrp)) ** 2,
                               axis=1)) / ngrp
         lam_g = 0.3 * float(jnp.max(gn))

@@ -136,7 +136,7 @@ def lasso_grid_sharded(X, y, lams, mesh: Mesh,
     config-invariance semantics warm starts change only speed, never the
     converged solution.  Returns ``(len(lams), p)`` coefficients.
     """
-    from .sharded_cd import _pad_cols_to, _pad_vec_to
+    from .sharded_cd import _pad_cols_to, _pad_vec_to, _shard_chunk
     from ..utils.helpers import std_X
 
     X = jnp.asarray(X)
@@ -145,14 +145,16 @@ def lasso_grid_sharded(X, y, lams, mesh: Mesh,
     n, p = X.shape
     db = mesh.shape[batch_axis]
     df = mesh.shape[feature_axis]
-    chunk = -(-p // df)
-    chunk = -(-chunk // options.block_size) * options.block_size
-    P_tot = chunk * df
-    if standardize_X:
+    _, P_tot = _shard_chunk(p, df, options.block_size)
+    # explicit weights win over standardization (same precedence as
+    # models/lasso.py and lasso_sharded: standardize_X only fills the
+    # default when no weights were given)
+    if weights is not None:
+        lamw = jnp.asarray(weights, X.dtype)
+    elif standardize_X:
         lamw = std_X(X)
     else:
-        lamw = (jnp.ones((p,), X.dtype) if weights is None
-                else jnp.asarray(weights, X.dtype))
+        lamw = jnp.ones((p,), X.dtype)
     lams_p, L = _pad_batch(lams, db)
     opts = options.replace(warm_start=True)  # independent direct solves
     solver = _make_lambda_grid(opts, mesh, batch_axis, feature_axis, df)

@@ -364,6 +364,17 @@ def solve_blocked_sharded(kind: str, opts: CDOptions, prob, lam0, beta0_b,
 # ---------------------------------------------------------------------------
 
 
+def _shard_chunk(p: int, D: int, B: int):
+    """Per-shard column-chunk arithmetic, the single source of truth for
+    every sharded driver (and the sharded checkpoint's ws_idx sizing):
+    each of the ``D`` shards owns ``chunk`` columns — the ceil-even split
+    of ``p`` rounded up to whole ``B``-wide blocks — and the design is
+    padded to ``P_tot = chunk · D``.  Returns ``(chunk, P_tot)``."""
+    chunk = -(-p // D)
+    chunk = -(-chunk // B) * B
+    return chunk, chunk * D
+
+
 def _pad_cols_to(X, p_target):
     p = X.shape[1]
     if p_target != p:
@@ -429,9 +440,7 @@ def coordinate_descent_sharded(beta0, loss, penalty, mesh: Mesh,
     n, p = X.shape
     D = mesh.shape[axis]
     # pad p so every shard owns the same number of whole blocks
-    chunk = -(-p // D)
-    chunk = -(-chunk // options.block_size) * options.block_size
-    P_tot = chunk * D
+    chunk, P_tot = _shard_chunk(p, D, options.block_size)
 
     lam0, lamw = as_l1(penalty, p, dtype)
     if isinstance(penalty, ProxZero):
@@ -573,9 +582,7 @@ def scaled_lasso_sharded(X, y, lam, mesh: Mesh, weights=None,
     n, p = X.shape
     D = mesh.shape[axis]
     cd = options.options_cd
-    chunk = -(-p // D)
-    chunk = -(-chunk // cd.block_size) * cd.block_size
-    P_tot = chunk * D
+    chunk, P_tot = _shard_chunk(p, D, cd.block_size)
 
     lamw = (jnp.ones((p,), X.dtype) if weights is None
             else jnp.asarray(weights, X.dtype))
@@ -682,9 +689,7 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
     y = jnp.asarray(y, X.dtype)
     n, p = X.shape
     D = mesh.shape[axis]
-    chunk = -(-p // D)
-    chunk = -(-chunk // options.block_size) * options.block_size
-    P_tot = chunk * D
+    chunk, P_tot = _shard_chunk(p, D, options.block_size)
     lamw = std_X(X) if standardize_X else jnp.ones((p,), X.dtype)
 
     solver = _make_sharded_path(options, mesh, axis)

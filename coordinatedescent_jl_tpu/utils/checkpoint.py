@@ -307,10 +307,11 @@ def lasso_path_resumable_sharded(X, y, lam_path, checkpoint_file: str,
     """
     from jax.sharding import PartitionSpec as P
 
-    from ..ops.block_cd import CDState, _gram_mode
+    from ..ops.block_cd import CDState
     from ..parallel.sharded_cd import (
         _pad_cols_to,
         _pad_vec_to,
+        _shard_chunk,
         _sharded_extrapolate_start,
         _sharded_init_state,
         _sharded_solve_at_lambda,
@@ -322,9 +323,7 @@ def lasso_path_resumable_sharded(X, y, lam_path, checkpoint_file: str,
     n, p = X.shape
     D = mesh.shape[axis]
     B = options.block_size
-    chunk = -(-p // D)
-    chunk = -(-chunk // B) * B
-    P_tot = chunk * D
+    chunk, P_tot = _shard_chunk(p, D, B)
     nb_local = chunk // B
     nc = _compact_nc("ls", options, nb_local, B, X.dtype)
     C = nc * B

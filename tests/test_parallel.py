@@ -179,9 +179,16 @@ def test_sharded_path_resumable_trajectory(feature_mesh, tmp_path):
                                 standardize_X=False, seed=3)
     np.testing.assert_allclose(np.asarray(p_scan.beta_path),
                                np.asarray(p_full.beta_path), atol=1e-9)
-    # a mesh-shape mismatch must restart cleanly, not resume
-    ck8 = cd.load_sharded_checkpoint(f1)
-    assert ck8.n_shards == 8
+    # a mesh-shape mismatch must restart cleanly (never mis-shard the
+    # 8-shard ws_idx/c/drift state into 4 shards): resuming f1's 8-shard
+    # checkpoint on a 4-device mesh re-solves from scratch and still
+    # converges to the same certified path
+    mesh4 = Mesh(np.array(jax.devices()[:4]), ("feature",))
+    p4 = cd.lasso_path_resumable_sharded(
+        X, y, lams, f1, mesh4, options=opts, standardize_X=False, seed=3)
+    np.testing.assert_allclose(np.asarray(p4.beta_path),
+                               np.asarray(p_full.beta_path), atol=1e-5)
+    assert cd.load_sharded_checkpoint(f1).n_shards == 4
 
 
 def _gen_group(n, ng, G, s_groups, seed=0, sigma=0.3):
@@ -271,6 +278,16 @@ def test_lambda_grid_2d_mesh_matches_individual_solves():
     for i, lam in enumerate(lams):
         sol = cd.lasso(X, y, lam, options=OPTS)
         np.testing.assert_allclose(betas[i], sol.x, atol=1e-5)
+    # explicit penalty weights win over the standardize_X default (same
+    # precedence as the single-device API)
+    rng = np.random.default_rng(23)
+    lamw = jnp.asarray(0.5 + rng.random(70))
+    bw = lasso_grid_sharded(X, y, lams[:2], mesh, options=OPTS,
+                            weights=lamw)
+    g = cd.ProxL1(float(lams[0]), lamw)
+    b1, _ = cd.coordinate_descent(jnp.zeros(70),
+                                  cd.LeastSquaresLoss(y, X), g, OPTS)
+    np.testing.assert_allclose(bw[0], b1, atol=1e-5)
 
 
 def test_locpoly_batch_matches_serial(batch_mesh):
