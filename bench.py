@@ -297,6 +297,30 @@ def main():
             extra["sharded_vs_single_max_abs_diff"] = agree_sh
             _log(f"bench: sharded(1-dev mesh) {extra['sharded_1dev_s']}s "
                  f"nnz={nnz_sh} vs-single {agree_sh:.2e}")
+
+            # sharded GROUP engine on the same 1-device mesh (round-3
+            # surface: whole groups per shard + safeguarded merge)
+            bg_s = jnp.zeros((Xs.shape[1],), dtype).at[:8].set(1.0)
+            ys_g = Xs @ bg_s + 0.3 * jax.random.normal(ks[2], (ns,), dtype)
+            sol_g = cd.parallel.group_lasso_sharded(Xs, ys_g, 0.1, 4,
+                                                    mesh1, options=os_)
+            float(jnp.sum(sol_g.x))
+            t_gs = float("inf")
+            lam_rep = 0.1
+            for rep in range(2):
+                lam_rep = 0.1 * (1.0 + 1e-7 * (rep + 1))
+                t0 = time.perf_counter()
+                sol_g = cd.parallel.group_lasso_sharded(
+                    Xs, ys_g, lam_rep, 4, mesh1, options=os_)
+                float(jnp.sum(sol_g.x))
+                t_gs = min(t_gs, time.perf_counter() - t0)
+            ref_g = cd.group_lasso(Xs, ys_g, lam_rep, 4, options=os_)
+            agree_g = float(jnp.max(jnp.abs(sol_g.x - ref_g.x)))
+            extra["group_sharded_1dev_s"] = round(t_gs, 4)
+            extra["group_sharded_vs_single_max_abs_diff"] = agree_g
+            _log(f"bench: group-sharded(1-dev mesh) "
+                 f"{extra['group_sharded_1dev_s']}s vs-single "
+                 f"{agree_g:.2e}")
         except Exception as e:  # pragma: no cover - backend-specific
             extra["sharded_1dev_error"] = f"{type(e).__name__}: {e}"[:200]
             _log(f"bench: sharded(1-dev mesh) failed: {e}")

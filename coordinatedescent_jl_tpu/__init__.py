@@ -67,6 +67,7 @@ from .utils.profiling import (
     SigmaRoundTrace,
     simple_timeit,
     solve_with_trace,
+    lasso_sharded_with_trace,
     scaled_lasso_with_trace,
     group_solve_with_trace,
     pass_roofline,
@@ -114,7 +115,8 @@ __all__ = [
     "ShardedPathCheckpoint", "save_sharded_checkpoint",
     "load_sharded_checkpoint", "lasso_path_resumable_sharded",
     "lasso_path_resumable", "EpochTrace", "RooflineReport", "simple_timeit",
-    "solve_with_trace", "scaled_lasso_with_trace", "group_solve_with_trace",
+    "solve_with_trace", "lasso_sharded_with_trace",
+    "scaled_lasso_with_trace", "group_solve_with_trace",
     "SigmaRoundTrace", "pass_roofline", "debug_nans",
     # helpers
     "std_X", "get_loadings", "get_sigma", "sample_std",

@@ -10,6 +10,7 @@ batch-axis sharding of the embarrassingly-parallel scenario loops.
 
 from .sharded_cd import (
     coordinate_descent_sharded,
+    symmetric_coordinate_descent_sharded,
     lasso_sharded,
     sqrt_lasso_sharded,
     scaled_lasso_sharded,
@@ -38,6 +39,7 @@ from .distributed import (
 
 __all__ = [
     "coordinate_descent_sharded",
+    "symmetric_coordinate_descent_sharded",
     "lasso_sharded",
     "sqrt_lasso_sharded",
     "scaled_lasso_sharded",

@@ -701,3 +701,24 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
     k = int(valids.sum())
     lam_path = jnp.asarray(lam_path, X.dtype)
     return LassoPath(lam_path[:k], betas[:k, :p])
+
+
+def symmetric_coordinate_descent_sharded(M0, loss, penalty, mesh: Mesh,
+                                         options: CDOptions = CDOptions(),
+                                         *, axis: str = "feature",
+                                         seed: int = 0, key=None):
+    """Feature-sharded CD over a symmetric-matrix iterate — the reference
+    driver called with a ``SymmetricSparseIterate``
+    (coordinate_descent.jl:8) at pod scale.  Exactly like the
+    single-device twin (ops/symmetric.py) the iterate is the dense packed
+    lower-triangle vector, so sharding it is ordinary column sharding of
+    the packed design: the ``q = p(p+1)/2`` packed coordinates are
+    partitioned over ``mesh[axis]``.  Returns ``(M, residuals)`` with
+    ``M`` the full symmetric solution."""
+    from ..ops.symmetric import sym_pack, sym_unpack
+
+    p = M0.shape[0]
+    v0 = sym_pack(jnp.asarray(M0))
+    v, r = coordinate_descent_sharded(v0, loss, penalty, mesh, options,
+                                      axis=axis, seed=seed, key=key)
+    return sym_unpack(v, p), r

@@ -406,6 +406,106 @@ def group_solve_with_trace(X, y, lam, group_size: int, weights=None,
         np.asarray(secs))
 
 
+def lasso_sharded_with_trace(X, y, lam, mesh, weights=None,
+                             options=None, *, axis: str = "feature",
+                             seed: int = 0, max_epochs: int = 200):
+    """Per-epoch trace of a *feature-sharded* Lasso solve — §5.5
+    observability extended to the multi-chip tier.  Runs the sharded
+    engine's full-check / concurrent-active-pass alternation
+    (parallel/sharded_cd.py) one epoch per jit call so the host records
+    (pmax'd maxH, global nnz, duality gap, seconds) after each; the
+    certificate is the single-device diagnostic evaluated on the gathered
+    global iterate, so a converged sharded trace certifies exactly what a
+    single-device solve would.  Returns ``(beta, EpochTrace)``."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.block_cd import CDState
+    from ..parallel.sharded_cd import (
+        _pad_cols_to,
+        _pad_vec_to,
+        _shard_chunk,
+        _sharded_active_pass,
+        _sharded_full_check,
+        _sharded_init_state,
+    )
+
+    if options is None:
+        options = CDOptions()
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    n, p = X.shape
+    D = mesh.shape[axis]
+    _, P_tot = _shard_chunk(p, D, options.block_size)
+    lamw = (jnp.ones((p,), X.dtype) if weights is None
+            else jnp.asarray(weights, X.dtype))
+    Xp = _pad_cols_to(X, P_tot)
+    lamwp = _pad_vec_to(lamw, P_tot, 1.0)
+    lam = jnp.asarray(lam, X.dtype)
+    n_scale = jnp.asarray(n, X.dtype)
+
+    state_spec = CDState(beta=P(axis), r=P(), rsqr=P(), active=P(axis),
+                         key=P(), it=P(), conv=P(), done=P(),
+                         c=P(axis), drift=P(axis))
+    data_spec = (P(None, axis), P(), P(axis))
+
+    def _init_local(Xl, yv, lamwl, key):
+        prob = build_blocked("ls", options, lamwl, X=Xl, y=yv)
+        beta0 = _to_blocked_beta(jnp.zeros((Xl.shape[1],), Xl.dtype),
+                                 options.block_size)
+        return _sharded_init_state("ls", prob, beta0, key, axis)
+
+    def _full_local(Xl, yv, lamwl, st):
+        prob = build_blocked("ls", options, lamwl, X=Xl, y=yv)
+        return _sharded_full_check("ls", prob, st, lam, n_scale,
+                                   options.opt_tol, axis)
+
+    def _active_local(Xl, yv, lamwl, st):
+        prob = build_blocked("ls", options, lamwl, X=Xl, y=yv)
+        st, maxh, _ = _sharded_active_pass(
+            "ls", prob, st, lam, n_scale, options.randomize, axis, D,
+            None, options)
+        return st, maxh
+
+    init_all = jax.jit(jax.shard_map(
+        _init_local, mesh=mesh, in_specs=data_spec + (P(),),
+        out_specs=state_spec, check_vma=False))
+    full_all = jax.jit(jax.shard_map(
+        _full_local, mesh=mesh, in_specs=data_spec + (state_spec,),
+        out_specs=(state_spec, P()), check_vma=False))
+    active_all = jax.jit(jax.shard_map(
+        _active_local, mesh=mesh, in_specs=data_spec + (state_spec,),
+        out_specs=(state_spec, P()), check_vma=False))
+
+    st = init_all(Xp, y, lamwp, jax.random.PRNGKey(seed))
+    hs, nnzs, gaps, secs = [], [], [], []
+    t0 = time.perf_counter()
+    was_full = True
+    converged_prev = False
+    best, stall = float("inf"), 0
+    f64 = jnp.dtype(X.dtype).itemsize >= 8
+    for _ in range(max_epochs):
+        st, maxh = (full_all if was_full else active_all)(Xp, y, lamwp, st)
+        jax.block_until_ready(maxh)
+        beta = st.beta.reshape(-1)[:p]
+        hs.append(float(maxh))
+        nnzs.append(int(jnp.sum(beta != 0)))
+        gaps.append(float(lasso_duality_gap(X, y, beta, lam, lamw)))
+        secs.append(time.perf_counter() - t0)
+        conv = float(maxh) < options.opt_tol
+        if was_full and conv and converged_prev:
+            break
+        if was_full:
+            stall = 0 if float(maxh) < best else stall + 1
+            best = min(best, float(maxh))
+        if not f64 and stall >= options.stall_patience:
+            break
+        converged_prev = conv
+        was_full = conv
+    return st.beta.reshape(-1)[:p], EpochTrace(
+        np.asarray(hs), np.asarray(nnzs), np.asarray(gaps),
+        np.asarray(secs))
+
+
 class RooflineReport(NamedTuple):
     seconds_per_pass: float
     bytes_per_pass: int

@@ -262,6 +262,37 @@ def test_batched_path_saturated_working_set_falls_back():
                                   np.asarray(p1.beta_path))
 
 
+def test_batched_path_correlated_design():
+    """AR(1)-correlated design (ρ=0.9): interpolated starts are poor and
+    cross-coordinate coupling is strong — whether the refinement certifies
+    or falls back, the returned path must equal the scan's.  This guards
+    the auto-default (lasso_path now picks the batched mode on
+    accelerators) in the hardest benign regime."""
+    import warnings
+
+    rng = np.random.default_rng(29)
+    n, p, s = 250, 800, 8
+    rho = 0.9
+    Z = rng.standard_normal((n, p))
+    X = np.empty_like(Z)
+    X[:, 0] = Z[:, 0]
+    for j in range(1, p):
+        X[:, j] = rho * X[:, j - 1] + np.sqrt(1 - rho * rho) * Z[:, j]
+    b = np.zeros(p)
+    b[rng.choice(p, s, replace=False)] = rng.standard_normal(s)
+    y = X @ b + 0.3 * rng.standard_normal(n)
+    lam_max = float(np.abs(X.T @ y / n).max())
+    lams = lam_max * np.logspace(-0.1, -2, 30)
+    opts = cd.CDOptions(opt_tol=1e-10, randomize=False)
+    p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        p2 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                           path_batch=8, coarse_stride=29)
+    np.testing.assert_allclose(np.asarray(p2.beta_path),
+                               np.asarray(p1.beta_path), atol=1e-7)
+
+
 def test_batched_path_early_stop_kept_points_uncorrupted():
     """Mid-path max_hat_s truncation: post-stop lanes are frozen so they
     cannot crowd kept lanes out of the chunk's shared working set — kept

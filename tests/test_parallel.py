@@ -250,6 +250,49 @@ def test_sharded_group_weighted_ls(feature_mesh):
     np.testing.assert_allclose(b8, b1, atol=1e-5)
 
 
+def test_lasso_sharded_with_trace(feature_mesh):
+    """Sharded per-epoch trace (§5.5 at the multi-chip tier): the traced
+    solve must match lasso_sharded and its recorded certificate must hit
+    the duality-gap convergence the single-device trace certifies."""
+    X, y = _gen(110, 96, 8, seed=61)
+    lam = 0.12
+    beta, tr = cd.lasso_sharded_with_trace(X, y, lam, feature_mesh,
+                                           options=OPTS)
+    ref = lasso_sharded(X, y, lam, feature_mesh, options=OPTS)
+    np.testing.assert_allclose(np.asarray(beta), np.asarray(ref.x),
+                               atol=1e-6)
+    assert tr.max_h[-1] < OPTS.opt_tol
+    assert tr.duality_gap[-1] < 1e-7
+    assert tr.max_h.shape == tr.nnz.shape == tr.duality_gap.shape
+    assert np.all(np.diff(tr.seconds) >= 0)
+
+
+def test_sharded_symmetric_matches_single_device(feature_mesh):
+    """SymmetricSparseIterate at pod scale: the packed lower-triangle
+    vector is ordinary column sharding of the packed design, so the
+    sharded symmetric driver must reproduce the single-device one."""
+    from coordinatedescent_jl_tpu.parallel import (
+        symmetric_coordinate_descent_sharded,
+    )
+
+    p = 12
+    q = cd.sym_num_coordinates(p)  # 78: uneven across 8 shards
+    rng = np.random.default_rng(59)
+    X = jnp.asarray(rng.standard_normal((90, q)))
+    v = np.zeros(q)
+    v[rng.choice(q, 7, replace=False)] = rng.standard_normal(7)
+    y = jnp.asarray(np.asarray(X) @ v + 0.2 * rng.standard_normal(90))
+    loss = cd.LeastSquaresLoss(y, X)
+    pen = cd.ProxL1(0.1)
+    M1, r1 = cd.symmetric_coordinate_descent(jnp.zeros((p, p)), loss, pen,
+                                             OPTS)
+    M8, r8 = symmetric_coordinate_descent_sharded(
+        jnp.zeros((p, p)), loss, pen, feature_mesh, OPTS)
+    np.testing.assert_allclose(np.asarray(M8), np.asarray(M1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r8), np.asarray(r1), atol=1e-5)
+    assert np.array_equal(np.asarray(M8), np.asarray(M8).T)
+
+
 def test_sharded_group_continuation(feature_mesh):
     """warm_start=False λ-continuation with the pmax'd group λmax."""
     from coordinatedescent_jl_tpu.parallel import group_lasso_sharded
