@@ -14,6 +14,7 @@ from .sharded_cd import (
     lasso_sharded,
     sqrt_lasso_sharded,
     scaled_lasso_sharded,
+    feasible_lasso_sharded,
     lasso_path_sharded,
     solve_blocked_sharded,
 )
@@ -26,6 +27,7 @@ from .batch import (
     lasso_grid_sharded,
     locpoly_batch,
     lvocv_locpoly_batch,
+    lvocv_locpolyl1_batch,
 )
 from .distributed import (
     initialize_distributed,
@@ -43,6 +45,7 @@ __all__ = [
     "lasso_sharded",
     "sqrt_lasso_sharded",
     "scaled_lasso_sharded",
+    "feasible_lasso_sharded",
     "lasso_path_sharded",
     "solve_blocked_sharded",
     "group_coordinate_descent_sharded",
@@ -51,6 +54,7 @@ __all__ = [
     "lasso_grid_sharded",
     "locpoly_batch",
     "lvocv_locpoly_batch",
+    "lvocv_locpolyl1_batch",
     "initialize_distributed",
     "feature_mesh",
     "grid_mesh",

@@ -228,3 +228,43 @@ def lvocv_locpoly_batch(X, z, y, degree, h_arr, kernel_type, mesh: Mesh, *,
     hs, L = _pad_batch(h_arr, D)
     solver = _make_lvocv_batch(degree, kernel_type, mesh, batch_axis)
     return solver(X, z, y, hs)[:L]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_lvocv_l1_batch(degree: int, kernel_type, opts: CDOptions,
+                         mesh: Mesh, axis: str):
+    from ..models.varying_coefficient import _lvocv_locpolyl1_one_h
+
+    def local_fn(X, z, y, lam0, key, hs_local):
+        return lax.map(
+            lambda h: _lvocv_locpolyl1_one_h(X, z, y, h, lam0, key,
+                                             degree, kernel_type, opts),
+            hs_local)
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(axis)),
+        out_specs=P(axis), check_vma=False)
+    return jax.jit(fn)
+
+
+def lvocv_locpolyl1_batch(X, z, y, degree, h_arr, kernel_type, lam0,
+                          mesh: Mesh, options: CDOptions = CDOptions(), *,
+                          batch_axis: str = "batch", seed: int = 0):
+    """Penalized-fit bandwidth LOO-CV (reference ``lvocv_locpolyl1``'s
+    serial ``hArr`` loop, :82-137) with the bandwidth sweep sharded over
+    the batch axis — the most expensive CV surface (each bandwidth is n
+    held-out weighted-lasso fits), so this is where scenario sharding
+    pays most.  Returns the MSE per bandwidth, identical to
+    ``lvocv_locpolyl1``."""
+    X = jnp.asarray(X)
+    z = jnp.asarray(z, X.dtype)
+    y = jnp.asarray(y, X.dtype)
+    h_arr = jnp.asarray(h_arr, X.dtype)
+    D = mesh.shape[batch_axis]
+    hs, L = _pad_batch(h_arr, D)
+    opts = options.replace(warm_start=True)
+    solver = _make_lvocv_l1_batch(degree, kernel_type, opts, mesh,
+                                  batch_axis)
+    return solver(X, z, y, jnp.asarray(lam0, X.dtype),
+                  jax.random.PRNGKey(seed), hs)[:L]

@@ -607,6 +607,132 @@ def scaled_lasso_sharded(X, y, lam, mesh: Mesh, weights=None,
     return LassoSolution(beta[:p], r, g, sample_std(r))
 
 
+@functools.lru_cache(maxsize=None)
+def _make_sharded_feasible(opts: IterLassoOptions, mesh: Mesh, axis: str,
+                           init_procedure: str):
+    from ..models.lasso import _blocked_weights
+    from ..utils.helpers import get_loadings
+
+    cd = opts.options_cd
+    D = mesh.shape[axis]
+    B = cd.block_size
+
+    def local_fn(Xl, y, gam0l, validl, beta0l, lam0, r_init, key):
+        prob = build_blocked("ls", cd, jnp.ones((Xl.shape[1],), Xl.dtype),
+                             X=Xl, y=y)
+        beta_b = _to_blocked_beta(beta0l, B)
+        n_scale = jnp.asarray(y.shape[0], Xl.dtype)
+
+        if init_procedure == "init_std":
+            key, k0 = jax.random.split(key)
+            st0 = solve_blocked_sharded(
+                "ls", cd, prob._replace(lamw=_blocked_weights(gam0l, B)),
+                lam0 * opts.sigma_init, beta_b, k0, axis, D)
+            beta_b, r = st0.beta, st0.r
+        else:
+            # screening / warm_start residuals are host-supplied
+            # (find_init_residuals is a global top-k; cheap on host)
+            r = r_init
+        # padded (zero) columns get loading 1.0 — their coefficients are
+        # structurally zero either way, but a 0 loading would zero the
+        # threshold on a zero-norm column
+        gam = jnp.where(validl, get_loadings(Xl, r), 1.0)
+
+        key, k0 = jax.random.split(key)
+        st0 = _sharded_init_state("ls", prob, beta_b, k0, axis)
+        nc = _compact_mode("ls", cd, prob, Xl.dtype)
+        cache0 = _empty_ws_cache("ls", prob, nc, cd) if nc else None
+
+        def cond(c):
+            it, done = c[3], c[4]
+            return jnp.logical_and(~done, it < opts.max_iter)
+
+        def body(c):
+            st, cache, gam, it, done = c
+            key, k1 = jax.random.split(st.key)
+            # cached KKT gradient is penalty-weight-independent → survives
+            # the loading update (same property the single-device core
+            # exploits, models/lasso.py::_feasible_lasso_core)
+            prob_g = prob._replace(lamw=_blocked_weights(gam, B))
+            if cd.warm_start:
+                st, cache = _sharded_solve_at_lambda(
+                    "ls", cd, prob_g, lam0, st._replace(key=k1), n_scale,
+                    axis, D, cache=cache)
+            else:
+                st = solve_blocked_sharded("ls", cd, prob_g, lam0,
+                                           jnp.zeros_like(st.beta), k1,
+                                           axis, D)
+            gam_new = jnp.where(validl, get_loadings(Xl, st.r), 1.0)
+            # the stop criterion's maxes are GLOBAL (reference
+            # lasso.jl:186-192 computes them over all p): gather both
+            num = _pmax_scalar(jnp.max(jnp.abs(gam - gam_new)), axis)
+            den = _pmax_scalar(jnp.max(gam_new), axis)
+            done = num / den < opts.opt_tol
+            return (st, cache, gam_new, it + 1, done)
+
+        init = (st0, cache0, gam, jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool))
+        st, _, gam, _, _ = lax.while_loop(cond, body, init)
+        return st.beta.reshape(-1)[: beta0l.shape[0]], st.r, gam
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(), P(axis), P(axis), P(axis), P(),
+                  P(), P()),
+        out_specs=(P(axis), P(), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def feasible_lasso_sharded(X, y, lam0, mesh: Mesh,
+                           options: IterLassoOptions = IterLassoOptions(),
+                           *, beta0=None, axis: str = "feature",
+                           seed: int = 0):
+    """Feature-sharded feasible (Belloni-style heteroscedastic) Lasso
+    (reference ``feasibleLasso!``, lasso.jl:154-194): the loadings
+    ``Γ_j = sqrt(mean((X_ij ε_i)²))`` are shard-local (each shard owns its
+    columns; the residual is replicated post-psum) and the stop criterion's
+    global maxes are gathered — the loadings outer loop runs replicated
+    like the σ loop of ``scaled_lasso_sharded``."""
+    from ..models.lasso import LassoSolution
+    from ..utils.helpers import find_init_residuals
+
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    n, p = X.shape
+    D = mesh.shape[axis]
+    cd = options.options_cd
+    chunk, P_tot = _shard_chunk(p, D, cd.block_size)
+    if beta0 is None:
+        beta0 = jnp.zeros((p,), X.dtype)
+    beta0 = jnp.asarray(beta0, X.dtype)
+
+    if options.init_procedure == "screening":
+        r_init = find_init_residuals(X, y, options.s_init)
+    elif options.init_procedure == "warm_start":
+        r_init = y - jnp.dot(X, beta0, precision=_PREC)
+    elif options.init_procedure == "init_std":
+        r_init = y  # unused: the pre-solve computes its own residual
+    else:
+        raise ValueError("init_procedure must be one of "
+                         "'screening' | 'init_std' | 'warm_start'")
+    from ..utils.helpers import std_X
+
+    gam0 = std_X(X)
+    valid = jnp.arange(P_tot) < p
+
+    solver = _make_sharded_feasible(options, mesh, axis,
+                                    options.init_procedure)
+    beta, r, gam = solver(
+        _pad_cols_to(X, P_tot), y, _pad_vec_to(gam0, P_tot, 1.0), valid,
+        _pad_vec_to(beta0, P_tot, 0.0), jnp.asarray(lam0, X.dtype),
+        r_init, jax.random.PRNGKey(seed))
+    g = ProxL1(jnp.asarray(lam0, X.dtype), gam[:p])
+    return LassoSolution(beta[:p], r, g, sample_std(r))
+
+
 # ---------------------------------------------------------------------------
 # Sharded warm-started λ-path
 # ---------------------------------------------------------------------------

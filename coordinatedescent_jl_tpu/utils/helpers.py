@@ -43,7 +43,10 @@ def get_loadings(X, e):
     (Belloni-style) Lasso.
     """
     n = X.shape[0]
-    return jnp.sqrt(jnp.einsum("i,ij->j", e * e, X * X) / n)
+    # HIGHEST-pinned: the loadings become penalty weights, and the TPU
+    # default bf16 matmul precision would perturb them at ~1e-3 relative
+    return jnp.sqrt(jnp.einsum("i,ij->j", e * e, X * X,
+                               precision=jax.lax.Precision.HIGHEST) / n)
 
 
 def get_sigma(w, r):

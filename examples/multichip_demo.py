@@ -60,6 +60,37 @@ def main():
     betas = lasso_lambda_batch(X, y, lams, bmesh)
     print(f"batch-sharded independent λ grid: {betas.shape}")
 
+    # 2-D composition: λ scenarios over 'batch' × columns over 'feature'
+    from coordinatedescent_jl_tpu.parallel import lasso_grid_sharded
+
+    gmesh = grid_mesh(batch=2)
+    bg = lasso_grid_sharded(X, y, lams[:4], gmesh)
+    print(f"2-D (batch×feature) λ grid on {dict(gmesh.shape)}: {bg.shape}")
+
+    # group atoms at the sharded tier (whole groups per shard)
+    from coordinatedescent_jl_tpu.parallel import group_lasso_sharded
+
+    gsol = group_lasso_sharded(X, y, 0.15, 4, mesh)
+    nzg = int(np.sum(np.any(
+        np.asarray(gsol.x).reshape(-1, 4) != 0, axis=1)))
+    print(f"sharded group lasso: {nzg} active groups")
+
+    # heteroscedastic (feasible) lasso with shard-local loadings
+    from coordinatedescent_jl_tpu.parallel import feasible_lasso_sharded
+
+    fs = feasible_lasso_sharded(X, y, 0.1, mesh)
+    print(f"sharded feasible lasso: nnz="
+          f"{int(np.sum(np.asarray(fs.x) != 0))}")
+
+    # pod-scale checkpoint/resume of a warm path (trajectory-identical)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = os.path.join(td, "path.npz")
+        pr = cd.lasso_path_resumable_sharded(X, y, lams, ckpt, mesh)
+        print(f"sharded resumable path: {pr.beta_path.shape} "
+              f"(checkpoint at {os.path.basename(ckpt)})")
+
 
 if __name__ == "__main__":
     main()

@@ -250,6 +250,51 @@ def test_sharded_group_weighted_ls(feature_mesh):
     np.testing.assert_allclose(b8, b1, atol=1e-5)
 
 
+def test_sharded_feasible_lasso_matches_single(feature_mesh):
+    """Feasible-lasso loadings loop at the sharded tier: shard-local
+    loadings + gathered global stop maxes ≡ the single-device core, for
+    every init procedure."""
+    from coordinatedescent_jl_tpu.parallel import feasible_lasso_sharded
+
+    rng = np.random.default_rng(67)
+    n, p, s = 150, 96, 6
+    X = rng.standard_normal((n, p))
+    # heteroscedastic noise — the estimator's target regime
+    het = 0.2 + np.abs(X[:, 0])
+    beta = np.zeros(p)
+    beta[:s] = rng.standard_normal(s)
+    y = X @ beta + het * rng.standard_normal(n)
+    X, y = jnp.asarray(X), jnp.asarray(y)
+    lam = 0.1
+    for proc in ("screening", "init_std", "warm_start"):
+        o = cd.IterLassoOptions(options_cd=OPTS, init_procedure=proc)
+        s1 = cd.feasible_lasso(X, y, lam, options=o)
+        s8 = feasible_lasso_sharded(X, y, lam, feature_mesh, options=o)
+        np.testing.assert_allclose(np.asarray(s8.x), np.asarray(s1.x),
+                                   atol=1e-5, err_msg=proc)
+        np.testing.assert_allclose(np.asarray(s8.penalty.weights),
+                                   np.asarray(s1.penalty.weights),
+                                   atol=1e-6, err_msg=proc)
+
+
+def test_lvocv_locpolyl1_batch_matches_serial(batch_mesh):
+    """Bandwidth-sharded penalized LOO-CV ≡ the serial lvocv_locpolyl1."""
+    from coordinatedescent_jl_tpu.parallel import lvocv_locpolyl1_batch
+
+    rng = np.random.default_rng(71)
+    n, p = 60, 4
+    z = np.sort(rng.uniform(0, 1, n))
+    X = rng.standard_normal((n, p))
+    y = np.sin(2 * np.pi * z) * X[:, 0] + 0.3 * rng.standard_normal(n)
+    hs = np.asarray([0.08, 0.12, 0.2])  # 3 % 8 != 0: padding path
+    opts = cd.CDOptions(block_size=8, opt_tol=1e-9, randomize=False)
+    m1 = cd.lvocv_locpolyl1(X, z, y, 1, hs, cd.GaussianKernel, 0.05,
+                            options=opts)
+    m8 = lvocv_locpolyl1_batch(X, z, y, 1, hs, cd.GaussianKernel, 0.05,
+                               batch_mesh, options=opts)
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), rtol=1e-7)
+
+
 def test_lasso_sharded_with_trace(feature_mesh):
     """Sharded per-epoch trace (§5.5 at the multi-chip tier): the traced
     solve must match lasso_sharded and its recorded certificate must hit
