@@ -664,9 +664,13 @@ def _make_sharded_feasible(opts: IterLassoOptions, mesh: Mesh, axis: str,
                                            axis, D)
             gam_new = jnp.where(validl, get_loadings(Xl, st.r), 1.0)
             # the stop criterion's maxes are GLOBAL (reference
-            # lasso.jl:186-192 computes them over all p): gather both
+            # lasso.jl:186-192 computes them over all p) — and over REAL
+            # columns only: the padded 1.0 loadings would dominate the
+            # denominator whenever every true loading is < 1 and stop the
+            # loop early (numerator is safe: pads are constant, diff 0)
             num = _pmax_scalar(jnp.max(jnp.abs(gam - gam_new)), axis)
-            den = _pmax_scalar(jnp.max(gam_new), axis)
+            den = _pmax_scalar(jnp.max(jnp.where(validl, gam_new, 0.0)),
+                               axis)
             done = num / den < opts.opt_tol
             return (st, cache, gam_new, it + 1, done)
 
@@ -720,7 +724,11 @@ def feasible_lasso_sharded(X, y, lam0, mesh: Mesh,
                          "'screening' | 'init_std' | 'warm_start'")
     from ..utils.helpers import std_X
 
-    gam0 = std_X(X)
+    # gam0 feeds only the init_std pre-solve; for the other procedures a
+    # ones-fill avoids dispatching an eager full-X sweep through the
+    # tunnel (eager big-ops are pathologically slow there, CLAUDE.md)
+    gam0 = (std_X(X) if options.init_procedure == "init_std"
+            else jnp.ones((p,), X.dtype))
     valid = jnp.arange(P_tot) < p
 
     solver = _make_sharded_feasible(options, mesh, axis,

@@ -419,7 +419,7 @@ def lasso_sharded_with_trace(X, y, lam, mesh, weights=None,
     single-device solve would.  Returns ``(beta, EpochTrace)``."""
     from jax.sharding import PartitionSpec as P
 
-    from ..ops.block_cd import CDState
+    from ..ops.block_cd import CDState, _compact_nc, _empty_ws_cache
     from ..parallel.sharded_cd import (
         _pad_cols_to,
         _pad_vec_to,
@@ -435,48 +435,63 @@ def lasso_sharded_with_trace(X, y, lam, mesh, weights=None,
     y = jnp.asarray(y, X.dtype)
     n, p = X.shape
     D = mesh.shape[axis]
-    _, P_tot = _shard_chunk(p, D, options.block_size)
+    chunk, P_tot = _shard_chunk(p, D, options.block_size)
     lamw = (jnp.ones((p,), X.dtype) if weights is None
             else jnp.asarray(weights, X.dtype))
     Xp = _pad_cols_to(X, P_tot)
     lamwp = _pad_vec_to(lamw, P_tot, 1.0)
     lam = jnp.asarray(lam, X.dtype)
     n_scale = jnp.asarray(n, X.dtype)
+    # compaction engages exactly as in the engine being traced (the
+    # per-shard working-set cache is threaded across the host-stepped
+    # epochs like the sharded checkpoint does, ok carried as shape (1,))
+    nc = _compact_nc("ls", options, chunk // options.block_size,
+                     options.block_size, X.dtype)
 
     state_spec = CDState(beta=P(axis), r=P(), rsqr=P(), active=P(axis),
                          key=P(), it=P(), conv=P(), done=P(),
                          c=P(axis), drift=P(axis))
+    cache_spec = P(axis) if nc else None
     data_spec = (P(None, axis), P(), P(axis))
+
+    def _wrap_cache(cache):
+        return cache._replace(ok=cache.ok[None]) if nc else None
+
+    def _unwrap_cache(g):
+        return g._replace(ok=g.ok[0]) if nc else None
 
     def _init_local(Xl, yv, lamwl, key):
         prob = build_blocked("ls", options, lamwl, X=Xl, y=yv)
         beta0 = _to_blocked_beta(jnp.zeros((Xl.shape[1],), Xl.dtype),
                                  options.block_size)
-        return _sharded_init_state("ls", prob, beta0, key, axis)
+        cache = (_empty_ws_cache("ls", prob, nc, options) if nc else None)
+        return (_sharded_init_state("ls", prob, beta0, key, axis),
+                _wrap_cache(cache))
 
     def _full_local(Xl, yv, lamwl, st):
         prob = build_blocked("ls", options, lamwl, X=Xl, y=yv)
         return _sharded_full_check("ls", prob, st, lam, n_scale,
                                    options.opt_tol, axis)
 
-    def _active_local(Xl, yv, lamwl, st):
+    def _active_local(Xl, yv, lamwl, st, g_cache):
         prob = build_blocked("ls", options, lamwl, X=Xl, y=yv)
-        st, maxh, _ = _sharded_active_pass(
+        st, maxh, cache = _sharded_active_pass(
             "ls", prob, st, lam, n_scale, options.randomize, axis, D,
-            None, options)
-        return st, maxh
+            None, options, nc, _unwrap_cache(g_cache))
+        return st, maxh, _wrap_cache(cache)
 
     init_all = jax.jit(jax.shard_map(
         _init_local, mesh=mesh, in_specs=data_spec + (P(),),
-        out_specs=state_spec, check_vma=False))
+        out_specs=(state_spec, cache_spec), check_vma=False))
     full_all = jax.jit(jax.shard_map(
         _full_local, mesh=mesh, in_specs=data_spec + (state_spec,),
         out_specs=(state_spec, P()), check_vma=False))
     active_all = jax.jit(jax.shard_map(
-        _active_local, mesh=mesh, in_specs=data_spec + (state_spec,),
-        out_specs=(state_spec, P()), check_vma=False))
+        _active_local, mesh=mesh,
+        in_specs=data_spec + (state_spec, cache_spec),
+        out_specs=(state_spec, P(), cache_spec), check_vma=False))
 
-    st = init_all(Xp, y, lamwp, jax.random.PRNGKey(seed))
+    st, cache_g = init_all(Xp, y, lamwp, jax.random.PRNGKey(seed))
     hs, nnzs, gaps, secs = [], [], [], []
     t0 = time.perf_counter()
     was_full = True
@@ -484,7 +499,10 @@ def lasso_sharded_with_trace(X, y, lam, mesh, weights=None,
     best, stall = float("inf"), 0
     f64 = jnp.dtype(X.dtype).itemsize >= 8
     for _ in range(max_epochs):
-        st, maxh = (full_all if was_full else active_all)(Xp, y, lamwp, st)
+        if was_full:
+            st, maxh = full_all(Xp, y, lamwp, st)
+        else:
+            st, maxh, cache_g = active_all(Xp, y, lamwp, st, cache_g)
         jax.block_until_ready(maxh)
         beta = st.beta.reshape(-1)[:p]
         hs.append(float(maxh))

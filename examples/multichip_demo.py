@@ -63,7 +63,8 @@ def main():
     # 2-D composition: λ scenarios over 'batch' × columns over 'feature'
     from coordinatedescent_jl_tpu.parallel import lasso_grid_sharded
 
-    gmesh = grid_mesh(batch=2)
+    db = 2 if len(jax.devices()) % 2 == 0 else 1
+    gmesh = grid_mesh(batch=db)
     bg = lasso_grid_sharded(X, y, lams[:4], gmesh)
     print(f"2-D (batch×feature) λ grid on {dict(gmesh.shape)}: {bg.shape}")
 

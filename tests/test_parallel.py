@@ -277,6 +277,31 @@ def test_sharded_feasible_lasso_matches_single(feature_mesh):
                                    atol=1e-6, err_msg=proc)
 
 
+def test_sharded_feasible_small_loadings_with_padding(feature_mesh):
+    """Regression (round-3 review, reproduced): when every true loading
+    is < 1 AND the column count pads (p=96 → P_tot=128 at block 16 over 8
+    shards), the padded 1.0 loadings must NOT enter the stop criterion's
+    denominator — they stopped the loop ~5× early (1.5e-3 divergence)."""
+    from coordinatedescent_jl_tpu.parallel import feasible_lasso_sharded
+
+    rng = np.random.default_rng(73)
+    n, p, s = 150, 96, 6
+    X = rng.standard_normal((n, p))
+    het = 0.02 + 0.1 * np.abs(X[:, 0])  # tiny noise → loadings ≪ 1
+    beta = np.zeros(p)
+    beta[:s] = rng.standard_normal(s)
+    y = X @ beta + het * rng.standard_normal(n)
+    X, y = jnp.asarray(X), jnp.asarray(y)
+    o = cd.IterLassoOptions(options_cd=OPTS)
+    s1 = cd.feasible_lasso(X, y, 0.05, options=o)
+    assert float(jnp.max(jnp.asarray(s1.penalty.weights))) < 1.0
+    s8 = feasible_lasso_sharded(X, y, 0.05, feature_mesh, options=o)
+    np.testing.assert_allclose(np.asarray(s8.x), np.asarray(s1.x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s8.penalty.weights),
+                               np.asarray(s1.penalty.weights), atol=1e-7)
+
+
 def test_lvocv_locpolyl1_batch_matches_serial(batch_mesh):
     """Bandwidth-sharded penalized LOO-CV ≡ the serial lvocv_locpolyl1."""
     from coordinatedescent_jl_tpu.parallel import lvocv_locpolyl1_batch
@@ -310,6 +335,15 @@ def test_lasso_sharded_with_trace(feature_mesh):
     assert tr.duality_gap[-1] < 1e-7
     assert tr.max_h.shape == tr.nnz.shape == tr.duality_gap.shape
     assert np.all(np.diff(tr.seconds) >= 0)
+    # with compaction FORCED the trace must run the engine's actual
+    # compact working-set rounds (round-3 review: nc was hard-coded 0)
+    # and still converge to the same certified solution
+    oc = OPTS.replace(compact=True, compact_size=32)
+    beta_c, tr_c = cd.lasso_sharded_with_trace(X, y, lam, feature_mesh,
+                                               options=oc)
+    np.testing.assert_allclose(np.asarray(beta_c), np.asarray(ref.x),
+                               atol=1e-6)
+    assert tr_c.max_h[-1] < oc.opt_tol and tr_c.duality_gap[-1] < 1e-7
 
 
 def test_sharded_symmetric_matches_single_device(feature_mesh):
