@@ -746,56 +746,65 @@ def feasible_lasso_sharded(X, y, lam0, mesh: Mesh,
 # ---------------------------------------------------------------------------
 
 
+def _sharded_path_scan_local(Xl, y, lamwl, lam_path, max_hat_s, key,
+                             opts: CDOptions, axis: str, D: int):
+    """Shard-local body of the warm-started sharded path scan (shared by
+    the plain and batched drivers).  Returns ``(betas (g, p_local),
+    valids (g,))``."""
+    prob = build_blocked("ls", opts, lamwl, X=Xl, y=y)
+    p_local = Xl.shape[1]
+    beta_b0 = _to_blocked_beta(jnp.zeros((p_local,), Xl.dtype),
+                               opts.block_size)
+    n_scale = jnp.asarray(y.shape[0], Xl.dtype)
+    st0 = _sharded_init_state("ls", prob, beta_b0, key, axis)
+    nc = _compact_mode("ls", opts, prob, Xl.dtype)
+    cache0 = _empty_ws_cache("ls", prob, nc, opts) if nc else None
+
+    def scan_body(carry, lam):
+        st, cache, beta_prev, lam_k, lam_km1, stopped = carry
+        beta_k = st.beta
+        key, k1 = jax.random.split(st.key)
+        st = st._replace(key=key)
+
+        def do(args):
+            st, cache = args
+            if opts.warm_start:
+                if nc and resolve_extrapolate(opts, False):
+                    st = _sharded_extrapolate_start(
+                        st, cache, beta_prev, lam_k, lam_km1, lam,
+                        axis)
+                return _sharded_solve_at_lambda(
+                    "ls", opts, prob, lam, st._replace(key=k1),
+                    n_scale, axis, D, cache=cache)
+            return solve_blocked_sharded(
+                "ls", opts, prob, lam, jnp.zeros_like(st.beta), k1,
+                axis, D), cache
+
+        st, cache = lax.cond(stopped, lambda a: a, do, (st, cache))
+        valid = ~stopped
+        nnz = lax.psum(jnp.sum(st.beta != 0), axis)
+        stopped = stopped | (nnz > max_hat_s)
+        return ((st, cache, beta_k, lam, lam_k, stopped),
+                (st.beta.reshape(-1)[:p_local], valid))
+
+    # both abscissa carries start at the first path value so the first
+    # two steps skip the shift (block_cd.secant_alpha)
+    lam_init = lam_path[0]
+    (_, _, _, _, _, _), (betas, valids) = lax.scan(
+        scan_body,
+        (st0, cache0, st0.beta, lam_init, lam_init,
+         jnp.zeros((), bool)),
+        lam_path)
+    return betas, valids
+
+
 @functools.lru_cache(maxsize=None)
 def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
     D = mesh.shape[axis]
 
     def local_fn(Xl, y, lamwl, lam_path, max_hat_s, key):
-        prob = build_blocked("ls", opts, lamwl, X=Xl, y=y)
-        p_local = Xl.shape[1]
-        beta_b0 = _to_blocked_beta(jnp.zeros((p_local,), Xl.dtype),
-                                   opts.block_size)
-        n_scale = jnp.asarray(y.shape[0], Xl.dtype)
-        st0 = _sharded_init_state("ls", prob, beta_b0, key, axis)
-        nc = _compact_mode("ls", opts, prob, Xl.dtype)
-        cache0 = _empty_ws_cache("ls", prob, nc, opts) if nc else None
-
-        def scan_body(carry, lam):
-            st, cache, beta_prev, lam_k, lam_km1, stopped = carry
-            beta_k = st.beta
-            key, k1 = jax.random.split(st.key)
-            st = st._replace(key=key)
-
-            def do(args):
-                st, cache = args
-                if opts.warm_start:
-                    if nc and resolve_extrapolate(opts, False):
-                        st = _sharded_extrapolate_start(
-                            st, cache, beta_prev, lam_k, lam_km1, lam,
-                            axis)
-                    return _sharded_solve_at_lambda(
-                        "ls", opts, prob, lam, st._replace(key=k1),
-                        n_scale, axis, D, cache=cache)
-                return solve_blocked_sharded(
-                    "ls", opts, prob, lam, jnp.zeros_like(st.beta), k1,
-                    axis, D), cache
-
-            st, cache = lax.cond(stopped, lambda a: a, do, (st, cache))
-            valid = ~stopped
-            nnz = lax.psum(jnp.sum(st.beta != 0), axis)
-            stopped = stopped | (nnz > max_hat_s)
-            return ((st, cache, beta_k, lam, lam_k, stopped),
-                    (st.beta.reshape(-1)[:p_local], valid))
-
-        # both abscissa carries start at the first path value so the first
-        # two steps skip the shift (block_cd.secant_alpha)
-        lam_init = lam_path[0]
-        (_, _, _, _, _, _), (betas, valids) = lax.scan(
-            scan_body,
-            (st0, cache0, st0.beta, lam_init, lam_init,
-             jnp.zeros((), bool)),
-            lam_path)
-        return betas, valids
+        return _sharded_path_scan_local(Xl, y, lamwl, lam_path, max_hat_s,
+                                        key, opts, axis, D)
 
     fn = jax.shard_map(
         local_fn,
@@ -807,14 +816,277 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
+                               stride: int, batch: int, g: int):
+    """Pod-scale twin of ``models.lasso_path._lasso_path_batched_core``:
+    coarse sequential anchors + chunked batched certify/refine, with the
+    feature dimension sharded over ``mesh[axis]``.
+
+    The single-device batched path's one O(k·n·p) cost per round is the
+    certify GEMM ``R @ X``; here each shard certifies only its own column
+    block ``R @ X_s`` — the GEMM scales with the mesh.  The union working
+    set is assembled by distributed top-k (local top-C → ``all_gather`` →
+    global top-C of the D·C candidates, identical on every shard), its
+    ``(n, Cp)`` column gather is a psum of ownership-masked local gathers,
+    and the Gram-sized FISTA refinement then runs **replicated** on every
+    shard (deterministic — all inputs are post-collective, so no extra
+    communication).  Refined coordinates scatter back to their owning
+    shard only.  Certification is the same sharded full-KKT rule as the
+    scan path, so a certified batched run satisfies exactly the scan's
+    certificate."""
+    import numpy as np
+    from ..ops.block_cd import _PREC, noise_floor_mask
+    from ..ops.prox import soft_threshold
+
+    D = mesh.shape[axis]
+    cidx = np.arange(0, g, stride)
+    if cidx[-1] != g - 1:
+        cidx = np.append(cidx, g - 1)
+    rest = np.setdiff1d(np.arange(g), cidx)
+
+    def local_fn(Xl, y, lamwl, lam_path, max_hat_s, key):
+        n, chunk = Xl.shape
+        dt = Xl.dtype
+        P_tot = chunk * D
+        tol = opts.opt_tol
+        n_scale = jnp.asarray(n, dt)
+        s_idx = lax.axis_index(axis)
+
+        betas_c, valids_c = _sharded_path_scan_local(
+            Xl, y, lamwl, lam_path[jnp.asarray(cidx)], max_hat_s, key,
+            opts, axis, D)
+
+        adiag = jnp.maximum(jnp.einsum("nj,nj->j", Xl, Xl,
+                                       precision=_PREC),
+                            jnp.asarray(1e-30, dt))
+        xnorm = jnp.sqrt(adiag)
+        Bb = int(opts.block_size)
+        C = int(min(opts.compact_size, P_tot))
+        Cl = int(min(C, chunk))
+        Cp = -(-C // Bb) * Bb
+        ncb = Cp // Bb
+        eps = jnp.finfo(dt).eps
+        sub_f64 = jnp.dtype(dt).itemsize < 8
+
+        def certify(Bl, R, thrwl):
+            # each shard certifies its own columns — the R @ X_s GEMM is
+            # the sharded form of the batched core's one X read per round
+            Cg = jnp.dot(R, Xl, precision=_PREC)             # (k, chunk)
+            cand = soft_threshold(Bl + Cg / adiag[None],
+                                  thrwl / adiag[None])
+            H = jnp.abs(cand - Bl)
+            if sub_f64:
+                rnorm = jnp.sqrt(jnp.einsum("kn,kn->k", R, R,
+                                            precision=_PREC))
+                H = noise_floor_mask(
+                    H, Bl, 4 * eps * rnorm[:, None] / xnorm[None, :])
+            else:
+                H = noise_floor_mask(H, Bl)
+            return H
+
+        def gmax_lanes(H):
+            # per-lane certificate max over ALL columns (gather + max —
+            # see _pmax_scalar for why not lax.pmax)
+            return jnp.max(lax.all_gather(jnp.max(H, axis=1), axis),
+                           axis=0)
+
+        def refine(args):
+            lam_k, B0, frozen = args    # (k,), (k, chunk) local, (k,)
+            thrwl = lamwl[None, :] * (lam_k * n_scale)[:, None]
+            R = y[None, :] - lax.psum(
+                jnp.dot(B0, Xl.T, precision=_PREC), axis)    # (k, n)
+
+            H0 = certify(B0, R, thrwl)
+            cert0 = (gmax_lanes(H0) < tol) | frozen
+
+            def cond(st):
+                B, R, H, cert, rounds = st
+                return jnp.logical_and(~jnp.all(cert),
+                                       rounds < 2 * opts.compact_rounds)
+
+            def body(st):
+                B, R, H, cert, rounds = st
+                # same two-tier priority as the single-device core
+                # (support above violations), computed per local column;
+                # the tier offset must use the GLOBAL violation max so
+                # every shard ranks on the same scale
+                Habs = jnp.where(cert[:, None], 0.0, H)
+                Bmag = jnp.max(jnp.where(cert[:, None], 0.0,
+                                         jnp.abs(B)), axis=0)
+                hi = 2.0 * _pmax_scalar(jnp.max(Habs), axis) + 1.0
+                anynz = jnp.any((B != 0) & ~cert[:, None], axis=0)
+                pri = jnp.where(anynz,
+                                hi * (1.0 + Bmag / (1.0 + Bmag)),
+                                jnp.max(Habs, axis=0))       # (chunk,)
+                # distributed top-k: the global top-C contains at most C
+                # columns per shard, so local top-Cl → gather → top-C of
+                # the D·Cl candidates is exact; every shard computes the
+                # identical (sorted) global index set
+                vloc, iloc = lax.top_k(pri, Cl)
+                gidx = iloc + s_idx * chunk
+                vg = lax.all_gather(vloc, axis).reshape(-1)
+                ig = lax.all_gather(gidx, axis).reshape(-1)
+                _, sel = lax.top_k(vg, C)
+                idx = jnp.sort(ig[sel])                      # (C,) global
+                if Cp != C:             # pad → no shard owns index P_tot
+                    idx = jnp.concatenate(
+                        [idx, jnp.full((Cp - C,), P_tot, idx.dtype)])
+                loc = idx - s_idx * chunk
+                owned = (loc >= 0) & (loc < chunk)
+                locc = jnp.clip(loc, 0, chunk - 1)
+                ownf = owned.astype(dt)
+                # replicated union-set views, psum-assembled from the
+                # owning shards (each global column has exactly one owner)
+                Xs = lax.psum(jnp.take(Xl, locc, axis=1) * ownf[None, :],
+                              axis)                          # (n, Cp)
+                Bs0 = lax.psum(jnp.take(B, locc, axis=1) * ownf[None, :],
+                               axis)                         # (k, Cp)
+                thr_full = lax.psum(
+                    jnp.take(thrwl, locc, axis=1) * ownf[None, :], axis)
+                # padded slots (owner-less): infinite threshold pins zero
+                thr_full = jnp.where((idx < P_tot)[None, :], thr_full,
+                                     jnp.finfo(dt).max / 8)
+                Ks = jnp.dot(Xs.T, Xs, precision=_PREC)      # (Cp, Cp)
+                Kd = Ks.reshape(ncb, Bb, ncb, Bb)
+                Kdiag = Kd[jnp.arange(ncb), :, jnp.arange(ncb), :]
+                Lb = jnp.maximum(
+                    jnp.max(jnp.sum(jnp.abs(Kdiag), axis=2), axis=1),
+                    jnp.asarray(1e-30, dt))                  # (ncb,)
+                cs0 = jnp.dot(R, Xs, precision=_PREC)        # (k, Cp)
+
+                # from here the refinement is Gram-sized and replicated:
+                # every shard runs the identical FISTA block sweeps (same
+                # scheme as the single-device core — per-block Gershgorin
+                # majorizers, cross-block gradient maintenance)
+                def sweep(carry, _):
+                    bs, cs = carry
+
+                    def blk(carry2, b):
+                        bs, cs = carry2
+                        o = b * Bb
+                        bs_b = lax.dynamic_slice_in_dim(bs, o, Bb, 1)
+                        cs_b = lax.dynamic_slice_in_dim(cs, o, Bb, 1)
+                        thr_b = lax.dynamic_slice_in_dim(thr_full, o,
+                                                         Bb, 1)
+                        Kbb = Kdiag[b]
+                        L = Lb[b]
+
+                        def fista(c3, _):
+                            z, v, t = c3
+                            gv = cs_b - jnp.dot(v - bs_b, Kbb,
+                                                precision=_PREC)
+                            z_new = soft_threshold(v + gv / L, thr_b / L)
+                            t_new = 0.5 * (1.0 + jnp.sqrt(1.0
+                                                          + 4.0 * t * t))
+                            v_new = z_new + ((t - 1.0) / t_new) * (z_new
+                                                                   - z)
+                            return (z_new, v_new, t_new), None
+
+                        (b_new, _, _), _ = lax.scan(
+                            fista, (bs_b, bs_b, jnp.ones((), dt)), None,
+                            length=opts.block_iters)
+                        b_new = jnp.where(cert[:, None], bs_b, b_new)
+                        d = b_new - bs_b
+                        Krows = lax.dynamic_slice_in_dim(Ks, o, Bb, 0)
+                        cs = cs - jnp.dot(d, Krows, precision=_PREC)
+                        bs = lax.dynamic_update_slice_in_dim(bs, b_new,
+                                                             o, 1)
+                        return (bs, cs), None
+
+                    return lax.scan(blk, (bs, cs),
+                                    jnp.arange(ncb))[0], None
+
+                (bs, _), _ = lax.scan(sweep, (Bs0, cs0), None, length=8)
+                # Xs is replicated, so the residual update needs no
+                # collective; B takes back only the shard's own columns
+                R = R - jnp.dot(bs - Bs0, Xs.T, precision=_PREC)
+                # route non-owned lanes to the (dropped) OOB index chunk
+                loc_safe = jnp.where(owned, locc, chunk)
+                B = B.at[:, loc_safe].set(bs, mode="drop")
+                H = certify(B, R, thrwl)
+                cert = (gmax_lanes(H) < tol) | frozen
+                return (B, R, H, cert, rounds + 1)
+
+            B, _, _, cert, _ = lax.while_loop(
+                cond, body, (B0, R, H0, cert0, jnp.zeros((), jnp.int32)))
+            return B, cert
+
+        if rest.size:
+            seg = np.searchsorted(cidx, rest) - 1
+            lam_lo = lam_path[jnp.asarray(cidx[seg])]
+            lam_hi = lam_path[jnp.asarray(cidx[seg + 1])]
+            lam_r = lam_path[jnp.asarray(rest)]
+            denom = jnp.where(lam_hi != lam_lo, lam_hi - lam_lo, 1.0)
+            a = jnp.clip((lam_r - lam_lo) / denom, 0.0, 1.0)
+            starts = ((1.0 - a)[:, None] * betas_c[seg]
+                      + a[:, None] * betas_c[seg + 1])   # (r, chunk) local
+            frozen = ~(valids_c[jnp.asarray(seg)]
+                       & valids_c[jnp.asarray(seg + 1)])
+            k = min(batch, int(rest.size))
+            nchunks = -(-int(rest.size) // k)
+            pad = nchunks * k - int(rest.size)
+            if pad:
+                lam_r = jnp.concatenate([lam_r,
+                                         jnp.repeat(lam_r[-1:], pad)])
+                starts = jnp.concatenate(
+                    [starts, jnp.repeat(starts[-1:], pad, axis=0)])
+                frozen = jnp.concatenate([frozen,
+                                          jnp.ones((pad,), bool)])
+            if nchunks == 1:
+                refined_all, certs = refine((lam_r, starts, frozen))
+            else:
+                refined_all, certs = lax.map(
+                    refine, (lam_r.reshape(nchunks, k),
+                             starts.reshape(nchunks, k, chunk),
+                             frozen.reshape(nchunks, k)))
+                refined_all = refined_all.reshape(nchunks * k, chunk)
+                certs = certs.reshape(nchunks * k)
+            refined = refined_all[:rest.size]
+            all_cert = jnp.all(certs[:rest.size] | frozen[:rest.size])
+            betas = (jnp.zeros((g, chunk), dt)
+                     .at[jnp.asarray(cidx)].set(betas_c)
+                     .at[jnp.asarray(rest)].set(refined))
+        else:
+            betas = betas_c
+            all_cert = jnp.ones((), bool)
+
+        # reference early-stop semantics on the GLOBAL support count
+        nnz = lax.psum(jnp.sum(betas != 0, axis=1), axis)
+        exceed = nnz > max_hat_s
+        stopped_before = jnp.concatenate(
+            [jnp.zeros((1,), bool), jnp.cumsum(exceed)[:-1] > 0])
+        return betas, ~stopped_before, all_cert
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(), P(axis), P(), P(), P()),
+        out_specs=(P(None, axis), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
                        options: CDOptions = CDOptions(), *,
                        max_hat_s: float = float("inf"),
                        standardize_X: bool = True, axis: str = "feature",
+                       path_batch: int | None = None,
+                       coarse_stride: int | None = None,
                        seed: int = 0):
     """Feature-sharded warm-started Lasso path (reference ``LassoPath``,
     lasso.jl:229-260): β warm-starts across the decreasing λ grid on device;
-    the support-size early stop uses a psum'd nonzero count."""
+    the support-size early stop uses a psum'd nonzero count.
+
+    ``path_batch`` / ``coarse_stride`` select the batched execution
+    (``_make_sharded_path_batched``) with the same auto-resolution and
+    certified-or-fallback contract as the single-device ``lasso_path``:
+    ``None`` enables 128 lanes for sub-f64 dtypes off-CPU on grids of ≥ 16
+    points; a run whose refinement fails the sharded full-KKT certify
+    falls back to the sequential sharded scan (warning)."""
+    import warnings
+
     import numpy as np
     from ..models.lasso_path import LassoPath
     from ..utils.helpers import std_X
@@ -825,15 +1097,40 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
     D = mesh.shape[axis]
     chunk, P_tot = _shard_chunk(p, D, options.block_size)
     lamw = std_X(X) if standardize_X else jnp.ones((p,), X.dtype)
+    lam_path = jnp.asarray(lam_path, X.dtype)
+    L = int(lam_path.shape[0])
+    if path_batch is None:
+        f32ish = jnp.dtype(X.dtype).itemsize < 8
+        path_batch = (128 if (f32ish and jax.default_backend() != "cpu"
+                              and L >= 16) else 0)
+    if coarse_stride is None:
+        coarse_stride = max(1, L - 1)
+    if coarse_stride < 1:
+        raise ValueError("coarse_stride must be >= 1")
+    if path_batch < 0:
+        raise ValueError("path_batch must be >= 0")
 
-    solver = _make_sharded_path(options, mesh, axis)
-    betas, valids = solver(
-        _pad_cols_to(X, P_tot), y, _pad_vec_to(lamw, P_tot, 1.0),
-        jnp.asarray(lam_path, X.dtype),
-        jnp.asarray(max_hat_s, X.dtype), jax.random.PRNGKey(seed))
+    args = (_pad_cols_to(X, P_tot), y, _pad_vec_to(lamw, P_tot, 1.0),
+            lam_path, jnp.asarray(max_hat_s, X.dtype),
+            jax.random.PRNGKey(seed))
+    batched_ok = False
+    if path_batch and L > max(2, coarse_stride):
+        solver_b = _make_sharded_path_batched(
+            options, mesh, axis, int(coarse_stride), int(path_batch), L)
+        betas, valids, all_cert = solver_b(*args)
+        batched_ok = bool(all_cert)
+        if not batched_ok:
+            warnings.warn(
+                "lasso_path_sharded(path_batch=...): batched refinement "
+                "did not certify every point; falling back to the "
+                "sequential sharded scan (consider a larger "
+                "options.compact_size or a smaller path_batch)",
+                RuntimeWarning)
+    if not batched_ok:
+        solver = _make_sharded_path(options, mesh, axis)
+        betas, valids = solver(*args)
     valids = np.asarray(valids)
     k = int(valids.sum())
-    lam_path = jnp.asarray(lam_path, X.dtype)
     return LassoPath(lam_path[:k], betas[:k, :p])
 
 

@@ -133,6 +133,47 @@ def test_sharded_path_early_stop(feature_mesh):
     np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-5)
 
 
+def test_sharded_batched_path_matches_scan(feature_mesh):
+    """The batched sharded path (distributed certify GEMM + distributed
+    top-k union working set + replicated refinement) must reproduce the
+    single-device scan path WITHOUT falling back (a fallback would make
+    the equivalence vacuous — sharded scan vs scan)."""
+    import warnings
+
+    X, y = _gen(150, 96, 8, seed=17)
+    lam_max = float(jnp.abs(X.T @ y / 150).max())
+    lams = lam_max * np.logspace(-0.1, -2, 12)
+    opts = OPTS.replace(opt_tol=1e-10, randomize=False)
+    p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        p8 = lasso_path_sharded(X, y, lams, feature_mesh, options=opts,
+                                standardize_X=False, path_batch=4,
+                                coarse_stride=4)
+    assert p8.beta_path.shape == p1.beta_path.shape
+    np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-7)
+
+
+def test_sharded_batched_path_early_stop_and_padding(feature_mesh):
+    """max_hat_s truncation semantics + the column-padding path (p = 48
+    pads to 128 on the 8-device mesh, so most union-set candidates are
+    zero columns) under the batched sharded execution."""
+    import warnings
+
+    X, y = _gen(100, 48, 6, seed=13)
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.01), 10))
+    opts = OPTS.replace(opt_tol=1e-10, randomize=False)
+    p1 = cd.lasso_path(X, y, lams, options=opts, max_hat_s=10,
+                       standardize_X=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        p8 = lasso_path_sharded(X, y, lams, feature_mesh, options=opts,
+                                max_hat_s=10, standardize_X=False,
+                                path_batch=4, coarse_stride=3)
+    assert p8.lam_path.shape == p1.lam_path.shape
+    np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-7)
+
+
 def test_lambda_batch_matches_individual_solves(batch_mesh):
     X, y = _gen(90, 40, 5, seed=17)
     lams = np.exp(np.linspace(np.log(0.4), np.log(0.08), 6))  # 6 % 8 != 0
