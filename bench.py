@@ -339,6 +339,47 @@ def main():
             _log(f"bench: group-sharded(1-dev mesh) "
                  f"{extra['group_sharded_1dev_s']}s vs-single "
                  f"{agree_g:.2e}")
+
+            # batched sharded λ-path on the same 1-device mesh (round-3
+            # surface: distributed certify GEMM + distributed-top-k union
+            # working set).  Note the sharded program holds X + the padded
+            # copy + the blocked layout live simultaneously, so this
+            # section's shape (not the full headline shape) is the
+            # single-chip memory budget; certified-or-fallback contract
+            # is the single-device one
+            import warnings as _w
+
+            Lsp = 20 if small else 100
+            lam_hi_s = float(jnp.max(jnp.abs(jnp.dot(
+                ys, Xs, precision=jax.lax.Precision.HIGHEST))) / ns)
+            lams_sp = jnp.asarray(
+                lam_hi_s * np.logspace(-0.05, -1.6, Lsp), dtype)
+            with _w.catch_warnings(record=True) as _ws:
+                _w.simplefilter("always")
+                psh = cd.parallel.lasso_path_sharded(
+                    Xs, ys, lams_sp, mesh1, options=os_,
+                    standardize_X=False, path_batch=min(128, Lsp),
+                    coarse_stride=Lsp - 1)  # compile
+                float(jnp.sum(psh.beta_path))
+                sp_cert = not any("falling back" in str(w.message)
+                                  for w in _ws)
+            t_sp = float("inf")
+            for rep in range(2):
+                lams_rep = lams_sp * (1.0 + 1e-7 * (rep + 1))
+                t0 = time.perf_counter()
+                psh = cd.parallel.lasso_path_sharded(
+                    Xs, ys, lams_rep, mesh1, options=os_,
+                    standardize_X=False, path_batch=min(128, Lsp),
+                    coarse_stride=Lsp - 1)
+                float(jnp.sum(psh.beta_path))
+                t_sp = min(t_sp, time.perf_counter() - t0)
+            extra["sharded_path_1dev_s"] = round(t_sp, 4)
+            extra["sharded_path_1dev_points"] = int(psh.beta_path.shape[0])
+            extra["sharded_path_batched_certified"] = bool(sp_cert)
+            _log(f"bench: sharded-path(1-dev mesh) "
+                 f"{extra['sharded_path_1dev_s']}s "
+                 f"({extra['sharded_path_1dev_points']} pts, "
+                 f"certified={sp_cert})")
         except Exception as e:  # pragma: no cover - backend-specific
             extra["sharded_1dev_error"] = f"{type(e).__name__}: {e}"[:200]
             _log(f"bench: sharded(1-dev mesh) failed: {e}")
