@@ -818,7 +818,8 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
 
 @functools.lru_cache(maxsize=None)
 def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
-                               stride: int, batch: int, g: int):
+                               stride: int, batch: int, g: int,
+                               batch_axis: str | None = None):
     """Pod-scale twin of ``models.lasso_path._lasso_path_batched_core``:
     coarse sequential anchors + chunked batched certify/refine, with the
     feature dimension sharded over ``mesh[axis]``.
@@ -1025,23 +1026,50 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
                        & valids_c[jnp.asarray(seg + 1)])
             k = min(batch, int(rest.size))
             nchunks = -(-int(rest.size) // k)
+            Db = mesh.shape[batch_axis] if batch_axis else 1
+            # on a 2-D (batch × feature) mesh the refine chunks are
+            # partitioned over the batch axis — each batch row of the
+            # mesh refines its own λ lanes with its own feature-axis
+            # collectives, so the refine phase scales with BOTH axes
+            nchunks = -(-nchunks // Db) * Db
             pad = nchunks * k - int(rest.size)
             if pad:
-                lam_r = jnp.concatenate([lam_r,
-                                         jnp.repeat(lam_r[-1:], pad)])
+                lam_r = jnp.concatenate(
+                    [lam_r, jnp.repeat(lam_r[-1:], pad)])
                 starts = jnp.concatenate(
                     [starts, jnp.repeat(starts[-1:], pad, axis=0)])
                 frozen = jnp.concatenate([frozen,
                                           jnp.ones((pad,), bool)])
-            if nchunks == 1:
-                refined_all, certs = refine((lam_r, starts, frozen))
+            lam_s = lam_r.reshape(nchunks, k)
+            starts_s = starts.reshape(nchunks, k, chunk)
+            frozen_s = frozen.reshape(nchunks, k)
+            if batch_axis:
+                nc_local = nchunks // Db
+                b_idx = lax.axis_index(batch_axis)
+                off = b_idx * nc_local
+                lam_s = lax.dynamic_slice_in_dim(lam_s, off, nc_local)
+                starts_s = lax.dynamic_slice_in_dim(starts_s, off,
+                                                    nc_local)
+                frozen_s = lax.dynamic_slice_in_dim(frozen_s, off,
+                                                    nc_local)
+            else:
+                nc_local = nchunks
+            if nc_local == 1:
+                refined_all, certs = refine(
+                    (lam_s[0], starts_s[0], frozen_s[0]))
+                refined_all = refined_all[None]
+                certs = certs[None]
             else:
                 refined_all, certs = lax.map(
-                    refine, (lam_r.reshape(nchunks, k),
-                             starts.reshape(nchunks, k, chunk),
-                             frozen.reshape(nchunks, k)))
-                refined_all = refined_all.reshape(nchunks * k, chunk)
-                certs = certs.reshape(nchunks * k)
+                    refine, (lam_s, starts_s, frozen_s))
+            if batch_axis:
+                # chunk c = b·nc_local + j → the gather's leading (batch)
+                # axis is the outer chunk order, so a plain reshape
+                # restores global lane order
+                refined_all = lax.all_gather(refined_all, batch_axis)
+                certs = lax.all_gather(certs, batch_axis)
+            refined_all = refined_all.reshape(nchunks * k, chunk)
+            certs = certs.reshape(nchunks * k)
             refined = refined_all[:rest.size]
             all_cert = jnp.all(certs[:rest.size] | frozen[:rest.size])
             betas = (jnp.zeros((g, chunk), dt)
@@ -1074,6 +1102,7 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
                        standardize_X: bool = True, axis: str = "feature",
                        path_batch: int | None = None,
                        coarse_stride: int | None = None,
+                       batch_axis: str | None = None,
                        seed: int = 0):
     """Feature-sharded warm-started Lasso path (reference ``LassoPath``,
     lasso.jl:229-260): β warm-starts across the decreasing λ grid on device;
@@ -1084,7 +1113,13 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
     certified-or-fallback contract as the single-device ``lasso_path``:
     ``None`` enables 128 lanes for sub-f64 dtypes off-CPU on grids of ≥ 16
     points; a run whose refinement fails the sharded full-KKT certify
-    falls back to the sequential sharded scan (warning)."""
+    falls back to the sequential sharded scan (warning).
+
+    On a 2-D mesh, ``batch_axis`` additionally partitions the batched
+    refinement's λ-lane chunks over that axis (each batch row of the mesh
+    refines its own lanes with its own feature-axis collectives), so the
+    refine phase scales with both mesh axes; the coarse anchor scan runs
+    replicated over ``batch_axis``."""
     import warnings
 
     import numpy as np
@@ -1114,9 +1149,13 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
             lam_path, jnp.asarray(max_hat_s, X.dtype),
             jax.random.PRNGKey(seed))
     batched_ok = False
+    if batch_axis is not None and batch_axis not in mesh.shape:
+        raise ValueError(f"batch_axis {batch_axis!r} not in mesh axes "
+                         f"{tuple(mesh.shape)}")
     if path_batch and L > max(2, coarse_stride):
         solver_b = _make_sharded_path_batched(
-            options, mesh, axis, int(coarse_stride), int(path_batch), L)
+            options, mesh, axis, int(coarse_stride), int(path_batch), L,
+            batch_axis)
         betas, valids, all_cert = solver_b(*args)
         batched_ok = bool(all_cert)
         if not batched_ok:

@@ -174,6 +174,32 @@ def test_sharded_batched_path_early_stop_and_padding(feature_mesh):
     np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-7)
 
 
+def test_sharded_batched_path_2d_mesh():
+    """4×2 (batch × feature) mesh: the batched refinement's λ-lane chunks
+    partition over 'batch' while every chunk's certify/refine collectives
+    ride 'feature' — must match the single-device scan without fallback."""
+    import warnings
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh2 = Mesh(devs, ("batch", "feature"))
+    X, y = _gen(150, 96, 8, seed=17)
+    lam_max = float(jnp.abs(X.T @ y / 150).max())
+    lams = lam_max * np.logspace(-0.1, -2, 12)
+    opts = OPTS.replace(opt_tol=1e-10, randomize=False)
+    p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        p8 = lasso_path_sharded(X, y, lams, mesh2, options=opts,
+                                standardize_X=False, path_batch=2,
+                                coarse_stride=4, batch_axis="batch")
+        # uneven chunk count (7 rest lanes → 4 chunks over 4 batch rows)
+        p8b = lasso_path_sharded(X, y, lams, mesh2, options=opts,
+                                 standardize_X=False, path_batch=2,
+                                 coarse_stride=3, batch_axis="batch")
+    np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-7)
+    np.testing.assert_allclose(p8b.beta_path, p1.beta_path, atol=1e-7)
+
+
 def test_lambda_batch_matches_individual_solves(batch_mesh):
     X, y = _gen(90, 40, 5, seed=17)
     lams = np.exp(np.linspace(np.log(0.4), np.log(0.08), 6))  # 6 % 8 != 0
