@@ -109,6 +109,104 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
     return betas.reshape(betas.shape[0], -1)[:, :p], valids
 
 
+def _kkt_violation_lanes(B, R, thrw, X, adiag, xnorm):
+    """Per-lane KKT violation magnitudes |prox-step| for a batch of
+    iterates against (a column block of) ``X`` — the order-independent
+    certify sweep of the batched path execution, shared by the
+    single-device and feature-sharded drivers.  ``B``/``thrw`` are
+    ``(k, p_cols)``, ``R`` ``(k, n)``; returns noise-floor-masked ``H``
+    of shape ``(k, p_cols)``."""
+    from ..ops.block_cd import _PREC, noise_floor_mask
+    from ..ops.prox import soft_threshold
+
+    dt = B.dtype
+    Cg = jnp.dot(R, X, precision=_PREC)
+    cand = soft_threshold(B + Cg / adiag[None], thrw / adiag[None])
+    H = jnp.abs(cand - B)
+    if jnp.dtype(dt).itemsize < 8:
+        eps = jnp.finfo(dt).eps
+        rnorm = jnp.sqrt(jnp.einsum("kn,kn->k", R, R, precision=_PREC))
+        return noise_floor_mask(
+            H, B, 4 * eps * rnorm[:, None] / xnorm[None, :])
+    return noise_floor_mask(H, B)
+
+
+def _union_priority(B, H, cert, hi):
+    """Two-tier union-working-set priority per column: support
+    coordinates of uncertified lanes strictly above violations, ranked
+    by |B| within the support tier and by H within the violation tier.
+    ``hi`` must be ``2·max(H over uncertified) + 1`` over ALL columns
+    (globally reduced by the sharded caller) — a finfo.max tier offset
+    would absorb the ranks in floating point and degenerate top_k to
+    index order."""
+    Habs = jnp.where(cert[:, None], 0.0, H)
+    Bmag = jnp.max(jnp.where(cert[:, None], 0.0, jnp.abs(B)), axis=0)
+    anynz = jnp.any((B != 0) & ~cert[:, None], axis=0)
+    return jnp.where(anynz, hi * (1.0 + Bmag / (1.0 + Bmag)),
+                     jnp.max(Habs, axis=0))
+
+
+def _union_block_fista(Ks, thr_full, Bs0, cs0, cert, opts: CDOptions,
+                       n_sweeps: int = 8):
+    """Cyclic block-FISTA refinement over a gathered union working set:
+    ``block_size``-wide blocks of the union Gram ``Ks`` with per-block
+    Gershgorin majorizers (the proven ``block_cd._visit_block`` scheme; a
+    single whole-union majorizer is ~C/√n too loose and never certifies)
+    and cross-block gradient maintenance.  Gram-sized — the sharded
+    driver runs it replicated on every shard.  ``Bs0``/``cs0`` are
+    ``(k, Cp)`` lane coefficients and gradients ``Xs'R``; certified lanes
+    (``cert``) are frozen.  Returns the refined ``bs``."""
+    from ..ops.block_cd import _PREC
+    from ..ops.prox import soft_threshold
+
+    dt = Bs0.dtype
+    Cp = Ks.shape[0]
+    Bb = int(opts.block_size)
+    ncb = Cp // Bb
+    Kd = Ks.reshape(ncb, Bb, ncb, Bb)
+    Kdiag = Kd[jnp.arange(ncb), :, jnp.arange(ncb), :]    # (ncb, Bb, Bb)
+    Lb = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Kdiag), axis=2), axis=1),
+                     jnp.asarray(1e-30, dt))              # (ncb,)
+
+    def sweep(carry, _):
+        bs, cs = carry              # (k, Cp) coeffs; cs = Xs'R(bs)
+
+        def blk(carry2, b):
+            bs, cs = carry2
+            o = b * Bb
+            bs_b = lax.dynamic_slice_in_dim(bs, o, Bb, 1)
+            cs_b = lax.dynamic_slice_in_dim(cs, o, Bb, 1)
+            thr_b = lax.dynamic_slice_in_dim(thr_full, o, Bb, 1)
+            Kbb = Kdiag[b]
+            L = Lb[b]
+
+            def fista(c3, _):
+                z, v, t = c3
+                gv = cs_b - jnp.dot(v - bs_b, Kbb, precision=_PREC)
+                z_new = soft_threshold(v + gv / L, thr_b / L)
+                t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                v_new = z_new + ((t - 1.0) / t_new) * (z_new - z)
+                return (z_new, v_new, t_new), None
+
+            (b_new, _, _), _ = lax.scan(
+                fista, (bs_b, bs_b, jnp.ones((), dt)), None,
+                length=opts.block_iters)
+            b_new = jnp.where(cert[:, None], bs_b, b_new)
+            d = b_new - bs_b
+            # cross-block gradient maintenance: cs -= d·Ks[rows b]
+            Krows = lax.dynamic_slice_in_dim(Ks, o, Bb, 0)
+            cs = cs - jnp.dot(d, Krows, precision=_PREC)
+            bs = lax.dynamic_update_slice_in_dim(bs, b_new, o, 1)
+            return (bs, cs), None
+
+        return lax.scan(blk, (bs, cs), jnp.arange(ncb))[0], None
+
+    # several cyclic sweeps per certify: sweeps are Gram-sized (cheap);
+    # the certify GEMM is the O(n·p) X read to amortize
+    (bs, _), _ = lax.scan(sweep, (Bs0, cs0), None, length=n_sweeps)
+    return bs
+
+
 @functools.partial(jax.jit, static_argnames=("opts", "stride", "batch"))
 def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
                              opts: CDOptions, stride: int, batch: int):
@@ -138,8 +236,7 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     solver tolerance.  Lanes past the coarse scan's ``max_hat_s`` stop are
     frozen (their anchors are stale by construction); they are truncated
     by the final prefix rule exactly like the scan's post-stop points."""
-    from ..ops.block_cd import _PREC, noise_floor_mask
-    from ..ops.prox import soft_threshold
+    from ..ops.block_cd import _PREC
 
     n, p = X.shape
     dt = X.dtype
@@ -162,22 +259,9 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     Bb = int(opts.block_size)
     C = int(min(opts.compact_size, p))
     Cp = -(-C // Bb) * Bb
-    ncb = Cp // Bb
-    eps = jnp.finfo(dt).eps
-    sub_f64 = jnp.dtype(dt).itemsize < 8
 
     def certify(B, R, thrw):
-        Cg = jnp.dot(R, X, precision=_PREC)                     # (k, p)
-        cand = soft_threshold(B + Cg / adiag[None], thrw / adiag[None])
-        H = jnp.abs(cand - B)
-        if sub_f64:
-            rnorm = jnp.sqrt(jnp.einsum("kn,kn->k", R, R,
-                                        precision=_PREC))
-            H = noise_floor_mask(
-                H, B, 4 * eps * rnorm[:, None] / xnorm[None, :])
-        else:
-            H = noise_floor_mask(H, B)
-        return H
+        return _kkt_violation_lanes(B, R, thrw, X, adiag, xnorm)
 
     def refine(args):
         lam_k, B0, frozen = args                           # (k,), (k,p), (k,)
@@ -194,18 +278,8 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
 
         def body(s):
             B, R, H, cert, rounds = s
-            # union working set over uncertified lanes: support
-            # coordinates strictly above violations, ranked by |B|
-            # within the support tier and by H within the violation
-            # tier (a finfo.max tier offset would absorb the ranks in
-            # floating point and degenerate top_k to index order)
-            Habs = jnp.where(cert[:, None], 0.0, H)
-            Bmag = jnp.max(jnp.where(cert[:, None], 0.0, jnp.abs(B)),
-                           axis=0)
-            hi = 2.0 * jnp.max(Habs) + 1.0
-            anynz = jnp.any((B != 0) & ~cert[:, None], axis=0)
-            pri = jnp.where(anynz, hi * (1.0 + Bmag / (1.0 + Bmag)),
-                            jnp.max(Habs, axis=0))
+            hi = 2.0 * jnp.max(jnp.where(cert[:, None], 0.0, H)) + 1.0
+            pri = _union_priority(B, H, cert, hi)
             _, idx = lax.top_k(pri, C)
             idx = jnp.sort(idx)
             if Cp != C:                       # pad → zero columns below
@@ -214,58 +288,12 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
             Xs = jnp.take(X, idx, axis=1, mode="fill",
                           fill_value=0)                         # (n, Cp)
             Ks = jnp.dot(Xs.T, Xs, precision=_PREC)             # (Cp, Cp)
-            # per-block Gershgorin majorizers over the *diagonal blocks*
-            # only (within-block coupling is all a block visit sees;
-            # cross-block coupling is handled by the cyclic sweeps via the
-            # maintained cs)
-            Kd = Ks.reshape(ncb, Bb, ncb, Bb)
-            Kdiag = Kd[jnp.arange(ncb), :, jnp.arange(ncb), :]  # (ncb,Bb,Bb)
-            Lb = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Kdiag), axis=2),
-                                     axis=1),
-                             jnp.asarray(1e-30, dt))            # (ncb,)
             Bs0 = jnp.take(B, idx, axis=1, mode="fill", fill_value=0)
             # padded slots: infinite threshold pins them at zero
             thr_full = jnp.take(thrw, idx, axis=1, mode="fill",
                                 fill_value=jnp.finfo(dt).max / 8)
             cs0 = jnp.dot(R, Xs, precision=_PREC)          # (k, Cp) = Xs'R
-
-            def sweep(carry, _):
-                bs, cs = carry          # (k,Cp) coeffs; cs = Xs'R(bs)
-
-                def blk(carry2, b):
-                    bs, cs = carry2
-                    o = b * Bb
-                    bs_b = lax.dynamic_slice_in_dim(bs, o, Bb, 1)
-                    cs_b = lax.dynamic_slice_in_dim(cs, o, Bb, 1)
-                    thr_b = lax.dynamic_slice_in_dim(thr_full, o, Bb, 1)
-                    Kbb = Kdiag[b]
-                    L = Lb[b]
-
-                    def fista(c3, _):
-                        z, v, t = c3
-                        gv = cs_b - jnp.dot(v - bs_b, Kbb,
-                                            precision=_PREC)
-                        z_new = soft_threshold(v + gv / L, thr_b / L)
-                        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-                        v_new = z_new + ((t - 1.0) / t_new) * (z_new - z)
-                        return (z_new, v_new, t_new), None
-
-                    (b_new, _, _), _ = lax.scan(
-                        fista, (bs_b, bs_b, jnp.ones((), dt)), None,
-                        length=opts.block_iters)
-                    b_new = jnp.where(cert[:, None], bs_b, b_new)
-                    d = b_new - bs_b
-                    # cross-block gradient maintenance: cs -= d·Ks[rows b]
-                    Krows = lax.dynamic_slice_in_dim(Ks, o, Bb, 0)
-                    cs = cs - jnp.dot(d, Krows, precision=_PREC)
-                    bs = lax.dynamic_update_slice_in_dim(bs, b_new, o, 1)
-                    return (bs, cs), None
-
-                return lax.scan(blk, (bs, cs), jnp.arange(ncb))[0], None
-
-            # several cyclic sweeps per certify: sweeps are Gram-sized
-            # (cheap); the certify GEMM is the O(n·p) X read to amortize
-            (bs, _), _ = lax.scan(sweep, (Bs0, cs0), None, length=8)
+            bs = _union_block_fista(Ks, thr_full, Bs0, cs0, cert, opts)
             R = R - jnp.dot(bs - Bs0, Xs.T, precision=_PREC)
             B = B.at[:, idx].set(bs, mode="drop")
             H = certify(B, R, thrw)

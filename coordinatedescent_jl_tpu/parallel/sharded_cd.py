@@ -818,7 +818,7 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
 
 @functools.lru_cache(maxsize=None)
 def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
-                               stride: int, batch: int, g: int,
+                               stride: int, batch: int,
                                batch_axis: str | None = None):
     """Pod-scale twin of ``models.lasso_path._lasso_path_batched_core``:
     coarse sequential anchors + chunked batched certify/refine, with the
@@ -837,16 +837,24 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
     scan path, so a certified batched run satisfies exactly the scan's
     certificate."""
     import numpy as np
-    from ..ops.block_cd import _PREC, noise_floor_mask
-    from ..ops.prox import soft_threshold
+    from ..models.lasso_path import (
+        _kkt_violation_lanes,
+        _union_block_fista,
+        _union_priority,
+    )
+    from ..ops.block_cd import _PREC
 
     D = mesh.shape[axis]
-    cidx = np.arange(0, g, stride)
-    if cidx[-1] != g - 1:
-        cidx = np.append(cidx, g - 1)
-    rest = np.setdiff1d(np.arange(g), cidx)
 
     def local_fn(Xl, y, lamwl, lam_path, max_hat_s, key):
+        # the anchor indices are shape-derived, so jit's shape cache (not
+        # this maker's lru_cache) handles varying grid lengths
+        g = lam_path.shape[0]
+        cidx = np.arange(0, g, stride)
+        if cidx[-1] != g - 1:
+            cidx = np.append(cidx, g - 1)
+        rest = np.setdiff1d(np.arange(g), cidx)
+
         n, chunk = Xl.shape
         dt = Xl.dtype
         P_tot = chunk * D
@@ -866,25 +874,11 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
         C = int(min(opts.compact_size, P_tot))
         Cl = int(min(C, chunk))
         Cp = -(-C // Bb) * Bb
-        ncb = Cp // Bb
-        eps = jnp.finfo(dt).eps
-        sub_f64 = jnp.dtype(dt).itemsize < 8
 
         def certify(Bl, R, thrwl):
             # each shard certifies its own columns — the R @ X_s GEMM is
             # the sharded form of the batched core's one X read per round
-            Cg = jnp.dot(R, Xl, precision=_PREC)             # (k, chunk)
-            cand = soft_threshold(Bl + Cg / adiag[None],
-                                  thrwl / adiag[None])
-            H = jnp.abs(cand - Bl)
-            if sub_f64:
-                rnorm = jnp.sqrt(jnp.einsum("kn,kn->k", R, R,
-                                            precision=_PREC))
-                H = noise_floor_mask(
-                    H, Bl, 4 * eps * rnorm[:, None] / xnorm[None, :])
-            else:
-                H = noise_floor_mask(H, Bl)
-            return H
+            return _kkt_violation_lanes(Bl, R, thrwl, Xl, adiag, xnorm)
 
         def gmax_lanes(H):
             # per-lane certificate max over ALL columns (gather + max —
@@ -912,14 +906,9 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
                 # (support above violations), computed per local column;
                 # the tier offset must use the GLOBAL violation max so
                 # every shard ranks on the same scale
-                Habs = jnp.where(cert[:, None], 0.0, H)
-                Bmag = jnp.max(jnp.where(cert[:, None], 0.0,
-                                         jnp.abs(B)), axis=0)
-                hi = 2.0 * _pmax_scalar(jnp.max(Habs), axis) + 1.0
-                anynz = jnp.any((B != 0) & ~cert[:, None], axis=0)
-                pri = jnp.where(anynz,
-                                hi * (1.0 + Bmag / (1.0 + Bmag)),
-                                jnp.max(Habs, axis=0))       # (chunk,)
+                hi = 2.0 * _pmax_scalar(
+                    jnp.max(jnp.where(cert[:, None], 0.0, H)), axis) + 1.0
+                pri = _union_priority(B, H, cert, hi)        # (chunk,)
                 # distributed top-k: the global top-C contains at most C
                 # columns per shard, so local top-Cl → gather → top-C of
                 # the D·Cl candidates is exact; every shard computes the
@@ -949,56 +938,11 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
                 thr_full = jnp.where((idx < P_tot)[None, :], thr_full,
                                      jnp.finfo(dt).max / 8)
                 Ks = jnp.dot(Xs.T, Xs, precision=_PREC)      # (Cp, Cp)
-                Kd = Ks.reshape(ncb, Bb, ncb, Bb)
-                Kdiag = Kd[jnp.arange(ncb), :, jnp.arange(ncb), :]
-                Lb = jnp.maximum(
-                    jnp.max(jnp.sum(jnp.abs(Kdiag), axis=2), axis=1),
-                    jnp.asarray(1e-30, dt))                  # (ncb,)
                 cs0 = jnp.dot(R, Xs, precision=_PREC)        # (k, Cp)
-
                 # from here the refinement is Gram-sized and replicated:
-                # every shard runs the identical FISTA block sweeps (same
-                # scheme as the single-device core — per-block Gershgorin
-                # majorizers, cross-block gradient maintenance)
-                def sweep(carry, _):
-                    bs, cs = carry
-
-                    def blk(carry2, b):
-                        bs, cs = carry2
-                        o = b * Bb
-                        bs_b = lax.dynamic_slice_in_dim(bs, o, Bb, 1)
-                        cs_b = lax.dynamic_slice_in_dim(cs, o, Bb, 1)
-                        thr_b = lax.dynamic_slice_in_dim(thr_full, o,
-                                                         Bb, 1)
-                        Kbb = Kdiag[b]
-                        L = Lb[b]
-
-                        def fista(c3, _):
-                            z, v, t = c3
-                            gv = cs_b - jnp.dot(v - bs_b, Kbb,
-                                                precision=_PREC)
-                            z_new = soft_threshold(v + gv / L, thr_b / L)
-                            t_new = 0.5 * (1.0 + jnp.sqrt(1.0
-                                                          + 4.0 * t * t))
-                            v_new = z_new + ((t - 1.0) / t_new) * (z_new
-                                                                   - z)
-                            return (z_new, v_new, t_new), None
-
-                        (b_new, _, _), _ = lax.scan(
-                            fista, (bs_b, bs_b, jnp.ones((), dt)), None,
-                            length=opts.block_iters)
-                        b_new = jnp.where(cert[:, None], bs_b, b_new)
-                        d = b_new - bs_b
-                        Krows = lax.dynamic_slice_in_dim(Ks, o, Bb, 0)
-                        cs = cs - jnp.dot(d, Krows, precision=_PREC)
-                        bs = lax.dynamic_update_slice_in_dim(bs, b_new,
-                                                             o, 1)
-                        return (bs, cs), None
-
-                    return lax.scan(blk, (bs, cs),
-                                    jnp.arange(ncb))[0], None
-
-                (bs, _), _ = lax.scan(sweep, (Bs0, cs0), None, length=8)
+                # every shard runs the identical FISTA block sweeps
+                bs = _union_block_fista(Ks, thr_full, Bs0, cs0, cert,
+                                        opts)
                 # Xs is replicated, so the residual update needs no
                 # collective; B takes back only the shard's own columns
                 R = R - jnp.dot(bs - Bs0, Xs.T, precision=_PREC)
@@ -1149,12 +1093,19 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
             lam_path, jnp.asarray(max_hat_s, X.dtype),
             jax.random.PRNGKey(seed))
     batched_ok = False
-    if batch_axis is not None and batch_axis not in mesh.shape:
-        raise ValueError(f"batch_axis {batch_axis!r} not in mesh axes "
-                         f"{tuple(mesh.shape)}")
+    if batch_axis is not None:
+        if batch_axis not in mesh.shape:
+            raise ValueError(f"batch_axis {batch_axis!r} not in mesh "
+                             f"axes {tuple(mesh.shape)}")
+        if batch_axis == axis:
+            # the λ-lane partition and the feature collectives must ride
+            # DIFFERENT axes: sharing one makes shards take different
+            # while_loop trip counts and deadlocks the collectives
+            raise ValueError("batch_axis must differ from the feature "
+                             f"axis ({axis!r})")
     if path_batch and L > max(2, coarse_stride):
         solver_b = _make_sharded_path_batched(
-            options, mesh, axis, int(coarse_stride), int(path_batch), L,
+            options, mesh, axis, int(coarse_stride), int(path_batch),
             batch_axis)
         betas, valids, all_cert = solver_b(*args)
         batched_ok = bool(all_cert)

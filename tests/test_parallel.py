@@ -174,6 +174,44 @@ def test_sharded_batched_path_early_stop_and_padding(feature_mesh):
     np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-7)
 
 
+def test_sharded_batched_path_small_compact_size(feature_mesh):
+    """compact_size=40 < P_tot=128 forces the REAL distributed top-k
+    (local top-Cl → all_gather → global top-C prunes columns) and the
+    Cp != C pad-slot branch (40 → 48 with owner-less index P_tot) —
+    with the default compact_size the union set degenerates to every
+    column and that machinery is never exercised."""
+    import warnings
+
+    X, y = _gen(150, 96, 8, seed=17)
+    lam_max = float(jnp.abs(X.T @ y / 150).max())
+    lams = lam_max * np.logspace(-0.1, -2, 12)
+    opts = OPTS.replace(opt_tol=1e-10, randomize=False, compact_size=40)
+    p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
+                       path_batch=0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        p8 = lasso_path_sharded(X, y, lams, feature_mesh, options=opts,
+                                standardize_X=False, path_batch=4,
+                                coarse_stride=4)
+    np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-7)
+
+
+def test_sharded_batched_path_batch_axis_validation(feature_mesh):
+    """batch_axis must be a mesh axis and must differ from the feature
+    axis (sharing one axis deadlocks the collectives — shards would take
+    different while_loop trip counts)."""
+    X, y = _gen(60, 32, 4)
+    lams = np.linspace(0.5, 0.1, 6)
+    with pytest.raises(ValueError, match="must differ"):
+        lasso_path_sharded(X, y, lams, feature_mesh, options=OPTS,
+                           path_batch=2, coarse_stride=2,
+                           batch_axis="feature")
+    with pytest.raises(ValueError, match="not in mesh"):
+        lasso_path_sharded(X, y, lams, feature_mesh, options=OPTS,
+                           path_batch=2, coarse_stride=2,
+                           batch_axis="nope")
+
+
 def test_sharded_batched_path_2d_mesh():
     """4×2 (batch × feature) mesh: the batched refinement's λ-lane chunks
     partition over 'batch' while every chunk's certify/refine collectives
