@@ -22,6 +22,11 @@ from .sharded_group import (
     group_coordinate_descent_sharded,
     group_lasso_sharded,
 )
+from .row_sharded import (
+    coordinate_descent_row_sharded,
+    lasso_row_sharded,
+    sqrt_lasso_row_sharded,
+)
 from .batch import (
     lasso_lambda_batch,
     lasso_grid_sharded,
@@ -50,6 +55,9 @@ __all__ = [
     "solve_blocked_sharded",
     "group_coordinate_descent_sharded",
     "group_lasso_sharded",
+    "coordinate_descent_row_sharded",
+    "lasso_row_sharded",
+    "sqrt_lasso_row_sharded",
     "lasso_lambda_batch",
     "lasso_grid_sharded",
     "locpoly_batch",

@@ -1,0 +1,386 @@
+"""Observation-sharded (data-parallel) block-coordinate descent.
+
+The feature-sharded tier (``sharded_cd.py``) scales the p axis; this
+module scales the **n axis** — the other dimension on which the
+reference's single-threaded solver (SURVEY.md §2.5) cannot grow.  Rows
+of ``X`` (and the matching entries of ``y`` / the WLS weights) are
+partitioned over a mesh axis with ``PartitionSpec('obs', None)``; β is
+replicated.
+
+Communication pattern (the row-lifted form of the reference's
+per-coordinate dot products, cd_differentiable_function.jl:83-111):
+
+- **block Grams** ``K_b = Xw_b' X_b`` are exact cross-shard ``psum``s of
+  the local row contributions, computed ONCE at build (they never change
+  — the cached-Gram trick of the single-device engine, here doubling as
+  the thing that makes every in-block solve communication-free);
+- each block visit needs one ``psum`` of the local gradient contribution
+  ``c_b = Xw_b' r_local`` (a ``B``-vector — latency, not bandwidth);
+  the in-block **Gram-recursion scan is then replicated compute**
+  (identical on every shard, ``block_cd._visit_block``), and the
+  residual update ``r -= X_b Δβ_b`` touches only local rows;
+- the full KKT sweep psums the whole local gradient ``Xw' r_local``
+  (one ``(p,)`` all-reduce per check) and certifies with the engine's
+  order-independent rule + f32 noise floor, so a converged
+  row-sharded solve satisfies exactly the single-device certificate.
+
+Unlike the feature tier there is no block-Jacobi approximation anywhere:
+β is replicated and blocks are visited sequentially (exact Gauss-Seidel
+across blocks), so the trajectory EQUALS the single-device engine's
+exact-inner trajectory — equivalence tests pin solutions, not just fixed
+points.  Padded rows are all-zero (x=0, y=0, w=0): they contribute
+nothing to any psum and their residual entries stay 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.block_cd import (
+    _PREC,
+    _ls_candidate,
+    _sqrt_candidate,
+    _visit_block,
+    noise_floor_mask,
+)
+from ..ops.losses import LeastSquaresLoss, SqrtLassoLoss, WeightedLSLoss
+from ..ops.prox import ProxL1, ProxZero, as_l1
+from ..utils.options import CDOptions
+from .sharded_cd import _pad_vec_to
+
+
+class RowProblem:
+    """Shard-local blocked view of a row-partitioned problem.  Plain
+    container (constructed inside the shard_map trace, never hashed)."""
+
+    __slots__ = ("Xb", "Xwb", "y", "lamw", "valid", "Kb", "adiag",
+                 "xwnorm")
+
+    def __init__(self, Xb, Xwb, y, lamw, valid, Kb, adiag, xwnorm):
+        self.Xb = Xb          # (nb, n_local, B) local rows
+        self.Xwb = Xwb        # w-scaled twin (== Xb for ls/sqrt)
+        self.y = y            # (n_local,)
+        self.lamw = lamw      # (nb, B) penalty loadings
+        self.valid = valid    # (nb, B) real (non-pad) columns
+        self.Kb = Kb          # (nb, B, B) psum'd exact block Grams Xw'X
+        self.adiag = adiag    # (nb, B) diag of Kb
+        self.xwnorm = xwnorm  # (nb, B) ‖Xw_j‖ over ALL rows (psum'd)
+
+
+def _row_build(kind, Xl, yl, w, lamw_b, valid_b, B, axis) -> RowProblem:
+    n_local, p_pad = Xl.shape
+    nb = p_pad // B
+    Xb = Xl.reshape(n_local, nb, B).transpose(1, 0, 2)
+    Xwb = Xb * w[None, :, None] if kind == "wls" else Xb
+    Kb = lax.psum(jnp.einsum("bnk,bnl->bkl", Xwb, Xb, precision=_PREC),
+                  axis)
+    adiag = jnp.diagonal(Kb, axis1=1, axis2=2)
+    if kind == "wls":
+        xw2 = lax.psum(jnp.einsum("bnk,bnk->bk", Xwb, Xwb,
+                                  precision=_PREC), axis)
+    else:
+        xw2 = adiag
+    xwnorm = jnp.sqrt(jnp.maximum(xw2, 0.0))
+    return RowProblem(Xb, Xwb, yl, lamw_b, valid_b, Kb, adiag, xwnorm)
+
+
+def _row_rsqr(r, axis):
+    return lax.psum(jnp.dot(r, r, precision=_PREC), axis)
+
+
+def _row_full_c(prob: RowProblem, r, axis):
+    """The engine's ``_full_gradient_c`` with the n-contraction psum'd
+    over the row shards."""
+    return lax.psum(jnp.einsum("bnk,n->bk", prob.Xwb, r, precision=_PREC),
+                    axis)
+
+
+def _row_full_check(kind, prob: RowProblem, beta_b, r, rsqr, lam0,
+                    n_scale, opt_tol, axis):
+    """Order-independent KKT sweep (engine ``_full_check`` semantics,
+    without the drift-cache machinery — every check recomputes the exact
+    gradient: one local GEMV + one ``(p,)`` psum).  Returns
+    ``(active, rsqr, maxh)``; all outputs are replicated."""
+    dt = beta_b.dtype
+    if kind == "sqrt":
+        rsqr = _row_rsqr(r, axis)
+    c = _row_full_c(prob, r, axis)
+    if kind == "sqrt":
+        val, _, _ = _sqrt_candidate(beta_b, c, prob.adiag, rsqr, lam0,
+                                    prob.lamw)
+    else:
+        val = _ls_candidate(beta_b, c, prob.adiag, lam0, prob.lamw,
+                            n_scale)
+    habs = jnp.abs(jnp.where(prob.valid, val - beta_b, 0.0))
+    if jnp.dtype(dt).itemsize < 8:
+        eps = jnp.finfo(dt).eps
+        rnorm = jnp.sqrt(_row_rsqr(r, axis))
+        habs = noise_floor_mask(
+            habs, beta_b,
+            4 * eps * rnorm / jnp.maximum(prob.xwnorm, 1e-30))
+    else:
+        habs = noise_floor_mask(habs, beta_b)
+    maxh = jnp.max(habs)
+    # (re)activation: support blocks plus any block with a violating
+    # coordinate (engine _full_check:681-682)
+    viol = jnp.any(habs >= opt_tol, axis=1)
+    active = jnp.any(beta_b != 0, axis=1) | viol
+    return active, rsqr, maxh
+
+
+def _row_active_pass(kind, prob: RowProblem, beta_b, r, rsqr, active,
+                     lam0, n_scale, randomize, key, axis):
+    """One exact Gauss-Seidel pass over the active blocks: per visited
+    block one ``psum(B)`` for the gradient, replicated in-block Gram
+    recursion, local-row residual update."""
+    nb, B = prob.lamw.shape
+    key, k1, k2 = jax.random.split(key, 3)
+    if randomize:
+        border = jax.random.permutation(k1, nb)
+        corder = jax.random.permutation(k2, B)
+    else:
+        border = jnp.arange(nb)
+        corder = jnp.arange(B)
+
+    def body(t, carry):
+        beta, r, rsqr, maxh = carry
+        b = border[t]
+
+        def do(args):
+            beta, r, rsqr, maxh = args
+            c = lax.psum(jnp.dot(prob.Xwb[b].T, r, precision=_PREC),
+                         axis)
+            bb = beta[b]
+            bb2, rsqr2, mh = _visit_block(
+                kind, prob.Kb[b], bb, prob.lamw[b], lam0, c, rsqr,
+                n_scale, corder)
+            r2 = r - jnp.dot(prob.Xb[b], bb2 - bb, precision=_PREC)
+            return beta.at[b].set(bb2), r2, rsqr2, jnp.maximum(maxh, mh)
+
+        return lax.cond(active[b], do, lambda a: a,
+                        (beta, r, rsqr, maxh))
+
+    zero = jnp.zeros((), beta_b.dtype)
+    beta_b, r, rsqr, maxh = lax.fori_loop(
+        0, nb, body, (beta_b, r, rsqr, zero))
+    active = jnp.any(beta_b != 0, axis=1)
+    return beta_b, r, rsqr, active, key, maxh
+
+
+def _row_solve_at_lambda(kind, opts: CDOptions, prob: RowProblem, lam0,
+                         beta_b, r, rsqr, active, key, n_scale, axis):
+    """Engine epoch loop (``_solve_at_lambda``): alternate full KKT sweeps
+    and active passes until two consecutive converged passes, with the
+    f32 stall detector.  All convergence scalars derive from psum'd
+    quantities, so the ``while_loop`` trips identically on every shard."""
+    tol = opts.opt_tol
+    dt = beta_b.dtype
+    patience = (opts.stall_patience if jnp.dtype(dt).itemsize < 8
+                else jnp.iinfo(jnp.int32).max)
+
+    def cond(c):
+        (_, _, _, _, _, it, conv, done, best, stall) = c
+        return jnp.logical_and(~done, it < opts.max_iter)
+
+    def body(c):
+        beta, r, rsqr, active, key, it, conv, done, best, stall = c
+        was_full = conv
+
+        def full(args):
+            beta, r, rsqr, active, key = args
+            active, rsqr, maxh = _row_full_check(
+                kind, prob, beta, r, rsqr, lam0, n_scale, tol, axis)
+            return beta, r, rsqr, active, key, maxh
+
+        def act(args):
+            beta, r, rsqr, active, key = args
+            beta, r, rsqr, active, key, maxh = _row_active_pass(
+                kind, prob, beta, r, rsqr, active, lam0, n_scale,
+                opts.randomize, key, axis)
+            return beta, r, rsqr, active, key, maxh
+
+        beta, r, rsqr, active, key, maxh = lax.cond(
+            was_full, full, act, (beta, r, rsqr, active, key))
+        conv2 = maxh < tol
+        improved = was_full & (maxh < best)
+        stall = jnp.where(was_full,
+                          jnp.where(improved, 0, stall + 1), stall)
+        best = jnp.where(was_full, jnp.minimum(best, maxh), best)
+        done = (was_full & conv2) | (stall >= patience)
+        return (beta, r, rsqr, active, key, it + 1, conv2, done, best,
+                stall)
+
+    init = (beta_b, r, rsqr, active, key, jnp.zeros((), jnp.int32),
+            jnp.ones((), bool), jnp.zeros((), bool),
+            jnp.asarray(jnp.inf, dt), jnp.zeros((), jnp.int32))
+    beta_b, r, rsqr, active, key, *_ = lax.while_loop(cond, body, init)
+    return beta_b, r, rsqr, active, key
+
+
+def _row_lambda_max(kind, prob: RowProblem, r, rsqr, n_scale, axis):
+    c = _row_full_c(prob, r, axis)
+    if kind == "sqrt":
+        g = jnp.abs(c) / jnp.sqrt(jnp.maximum(rsqr, 1e-30))
+    else:
+        g = jnp.abs(c) / n_scale
+    return jnp.max(jnp.where(prob.valid, g / prob.lamw, 0.0))
+
+
+def _row_solve(kind, opts: CDOptions, prob: RowProblem, lam0, beta0_b,
+               key, n_scale, axis):
+    """Warm start or λmax→λ0 log-continuation (reference
+    ``coordinateDescent!``, coordinate_descent.jl:7-39).  ``n_scale`` is
+    the TRUE row count (padded rows are data-free and must not inflate
+    the ls threshold ``n·λ0·λw``)."""
+    dt = beta0_b.dtype
+
+    def init(beta_b):
+        pred = jnp.einsum("bnk,bk->n", prob.Xb, beta_b, precision=_PREC)
+        r = prob.y - pred
+        rsqr = (_row_rsqr(r, axis) if kind == "sqrt"
+                else jnp.zeros((), dt))
+        return r, rsqr, jnp.any(beta_b != 0, axis=1)
+
+    if opts.warm_start:
+        r, rsqr, active = init(beta0_b)
+        beta_b, r, rsqr, active, key = _row_solve_at_lambda(
+            kind, opts, prob, lam0, beta0_b, r, rsqr, active, key,
+            n_scale, axis)
+        return beta_b, r
+
+    beta_b = jnp.zeros_like(beta0_b)
+    r, rsqr, active = init(beta_b)
+    lammax = _row_lambda_max(kind, prob, r, rsqr, n_scale, axis)
+    ts = jnp.linspace(jnp.log(lammax), jnp.log(jnp.asarray(lam0, dt)),
+                      opts.num_steps + 1)
+    lams = jnp.exp(ts)
+
+    def scan_body(carry, lam):
+        beta_b, r, rsqr, active, key = carry
+        beta_b, r, rsqr, active, key = _row_solve_at_lambda(
+            kind, opts, prob, lam, beta_b, r, rsqr, active, key,
+            n_scale, axis)
+        return (beta_b, r, rsqr, active, key), None
+
+    (beta_b, r, *_), _ = lax.scan(scan_body,
+                                  (beta_b, r, rsqr, active, key), lams)
+    return beta_b, r
+
+
+@functools.lru_cache(maxsize=None)
+def _make_row_sharded_cd(kind: str, opts: CDOptions, mesh: Mesh,
+                         axis: str):
+    D = mesh.shape[axis]
+
+    def local_fn(Xl, yl, w, lamw, valid, beta0, lam0, n_true, key):
+        B = int(opts.block_size)
+        nb = Xl.shape[1] // B
+        prob = _row_build(kind, Xl, yl, w, lamw.reshape(nb, B),
+                          valid.reshape(nb, B), B, axis)
+        beta_b, r = _row_solve(kind, opts, prob,
+                               jnp.asarray(lam0, Xl.dtype),
+                               beta0.reshape(nb, B), key, n_true, axis)
+        return beta_b.reshape(-1), r
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(), P(), P(), P(),
+                  P(), P()),
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def coordinate_descent_row_sharded(beta0, loss, penalty, mesh: Mesh,
+                                   options: CDOptions = CDOptions(), *,
+                                   axis: str = "obs", seed: int = 0,
+                                   key=None):
+    """Observation-sharded ``coordinate_descent``: rows of ``X`` (and the
+    matching ``y`` / WLS-weight entries) partitioned over ``mesh[axis]``,
+    β replicated.  Same driver contract as the reference
+    ``coordinateDescent!`` (coordinate_descent.jl:7-39); returns
+    ``(beta, residuals)`` with the FULL residual vector."""
+    if isinstance(loss, (LeastSquaresLoss, WeightedLSLoss, SqrtLassoLoss)):
+        X, y = loss.X, loss.y
+    else:
+        raise TypeError(
+            "row-sharded CD supports LeastSquares/WeightedLS/SqrtLasso "
+            f"losses; got {type(loss)!r}")
+    kind = loss.kind
+    X = jnp.asarray(X)
+    dtype = X.dtype
+    n, p = X.shape
+    D = mesh.shape[axis]
+    B = int(options.block_size)
+    p_pad = -(-p // B) * B
+    n_pad = -(-n // D) * D
+
+    lam0, lamw = as_l1(penalty, p, dtype)
+    if isinstance(penalty, ProxZero):
+        if not options.warm_start:
+            beta0 = jnp.zeros_like(beta0)
+        options = options.replace(warm_start=True)
+
+    # padded rows are all-zero (x, y, w): no psum contribution, residual
+    # entries pinned at 0; padded columns get lamw=1 and valid=False
+    Xp = jnp.pad(X, ((0, n_pad - n), (0, p_pad - p)))
+    yp = _pad_vec_to(jnp.asarray(y, dtype), n_pad, 0.0)
+    w = (loss.w if isinstance(loss, WeightedLSLoss)
+         else jnp.ones((n,), dtype))
+    wp = _pad_vec_to(jnp.asarray(w, dtype), n_pad, 0.0)
+    lamwp = _pad_vec_to(lamw, p_pad, 1.0)
+    validp = _pad_vec_to(jnp.ones((p,), bool), p_pad, False)
+    beta0p = _pad_vec_to(jnp.asarray(beta0, dtype), p_pad, 0.0)
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+
+    solver = _make_row_sharded_cd(kind, options, mesh, axis)
+    beta, r = solver(Xp, yp, wp, lamwp, validp, beta0p,
+                     jnp.asarray(lam0, dtype), jnp.asarray(n, dtype),
+                     key)
+    return beta[:p], r[:n]
+
+
+def lasso_row_sharded(X, y, lam, mesh: Mesh, weights=None,
+                      options: CDOptions = CDOptions(), *,
+                      axis: str = "obs", seed: int = 0):
+    """Observation-sharded Lasso (reference ``lasso``, lasso.jl:26-53) —
+    the large-n twin of ``parallel.lasso_sharded``."""
+    from ..models.lasso import LassoSolution
+    from ..utils.helpers import sample_std
+
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    g = ProxL1(jnp.asarray(lam, X.dtype),
+               None if weights is None else jnp.asarray(weights, X.dtype))
+    beta0 = jnp.zeros((X.shape[1],), X.dtype)
+    beta, r = coordinate_descent_row_sharded(
+        beta0, LeastSquaresLoss(y, X), g, mesh, options, axis=axis,
+        seed=seed)
+    return LassoSolution(beta, r, g, sample_std(r))
+
+
+def sqrt_lasso_row_sharded(X, y, lam, mesh: Mesh, weights=None,
+                           options: CDOptions = CDOptions(), *,
+                           axis: str = "obs", seed: int = 0):
+    """Observation-sharded Sqrt-Lasso (reference ``sqrtLasso``,
+    lasso.jl:62-98)."""
+    from ..models.lasso import LassoSolution
+    from ..utils.helpers import sample_std
+
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    g = ProxL1(jnp.asarray(lam, X.dtype),
+               None if weights is None else jnp.asarray(weights, X.dtype))
+    beta0 = jnp.zeros((X.shape[1],), X.dtype)
+    beta, r = coordinate_descent_row_sharded(
+        beta0, SqrtLassoLoss(y, X), g, mesh, options, axis=axis,
+        seed=seed)
+    return LassoSolution(beta, r, g, sample_std(r))

@@ -16,13 +16,16 @@ from jax.sharding import Mesh
 
 import coordinatedescent_jl_tpu as cd
 from coordinatedescent_jl_tpu.parallel import (
+    coordinate_descent_row_sharded,
     coordinate_descent_sharded,
     lasso_lambda_batch,
     lasso_path_sharded,
+    lasso_row_sharded,
     lasso_sharded,
     locpoly_batch,
     lvocv_locpoly_batch,
     scaled_lasso_sharded,
+    sqrt_lasso_row_sharded,
     sqrt_lasso_sharded,
 )
 
@@ -40,6 +43,12 @@ def feature_mesh():
 def batch_mesh():
     devs = np.array(jax.devices()[:8])
     return Mesh(devs, ("batch",))
+
+
+@pytest.fixture(scope="module")
+def obs_mesh():
+    devs = np.array(jax.devices()[:8])
+    return Mesh(devs, ("obs",))
 
 
 def _gen(n, p, s, seed=0, sigma=0.3):
@@ -629,3 +638,70 @@ def test_sharded_scaled_compact_extrapolated_matches_single(feature_mesh):
                                atol=1e-8)
     np.testing.assert_allclose(float(s8.sigma), float(s1.sigma),
                                rtol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Observation-sharded (row / data-parallel) tier
+# ---------------------------------------------------------------------------
+
+
+def test_row_sharded_lasso_matches_single_device(obs_mesh):
+    """Rows partitioned over 8 shards, β replicated: the exact
+    Gauss-Seidel pass (psum'd per-block gradients, replicated in-block
+    Gram recursion) must reproduce the single-device solution, and the
+    sharded solution must satisfy the duality-gap certificate directly."""
+    X, y = _gen(160, 64, 8)
+    lam = 0.1
+    sol1 = cd.lasso(X, y, lam, options=OPTS)
+    sol8 = lasso_row_sharded(X, y, lam, obs_mesh, options=OPTS)
+    np.testing.assert_allclose(sol8.x, sol1.x, atol=1e-6)
+    np.testing.assert_allclose(sol8.residuals, sol1.residuals, atol=1e-6)
+    gap = cd.lasso_duality_gap(X, y, sol8.x, lam)
+    assert float(gap) < 1e-6
+
+
+def test_row_sharded_uneven_n(obs_mesh):
+    """n = 101 not divisible by 8 exercises the zero-row padding: padded
+    rows must not perturb the solution or inflate the n·λ threshold."""
+    X, y = _gen(101, 40, 5, seed=3)
+    lam = 0.12
+    sol1 = cd.lasso(X, y, lam, options=OPTS)
+    sol8 = lasso_row_sharded(X, y, lam, obs_mesh, options=OPTS)
+    np.testing.assert_allclose(sol8.x, sol1.x, atol=1e-6)
+    assert sol8.residuals.shape == (101,)
+
+
+def test_row_sharded_weighted_ls(obs_mesh):
+    """WLS: per-row weights shard with the rows; Grams use Xw'X like the
+    single-device engine."""
+    X, y = _gen(120, 48, 6, seed=1)
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(0.5 + rng.random(120))
+    g = cd.ProxL1(0.08)
+    loss = cd.WeightedLSLoss(y, X, w)
+    b1, r1 = cd.coordinate_descent(jnp.zeros(48), loss, g, OPTS)
+    b8, r8 = coordinate_descent_row_sharded(jnp.zeros(48), loss, g,
+                                            obs_mesh, OPTS)
+    np.testing.assert_allclose(b8, b1, atol=1e-6)
+    np.testing.assert_allclose(r8, r1, atol=1e-6)
+
+
+def test_row_sharded_sqrt_lasso(obs_mesh):
+    """sqrt-lasso: ‖r‖² is a psum'd scalar maintained by the replicated
+    Gram recursion and refreshed exactly at every full check."""
+    X, y = _gen(152, 48, 6, seed=7)
+    lam = 0.3 / np.sqrt(152)
+    s1 = cd.sqrt_lasso(X, y, lam, options=OPTS, standardize_X=False)
+    s8 = sqrt_lasso_row_sharded(X, y, lam, obs_mesh, options=OPTS)
+    np.testing.assert_allclose(s8.x, s1.x, atol=1e-5)
+
+
+def test_row_sharded_cold_start_continuation(obs_mesh):
+    """warm_start=False: the λmax → λ0 log-continuation (psum'd λmax)
+    matches the single-device schedule."""
+    X, y = _gen(128, 40, 5, seed=5)
+    lam = 0.05
+    opts = OPTS.replace(warm_start=False, num_steps=20)
+    sol1 = cd.lasso(X, y, lam, options=opts)
+    sol8 = lasso_row_sharded(X, y, lam, obs_mesh, options=opts)
+    np.testing.assert_allclose(sol8.x, sol1.x, atol=1e-6)
