@@ -25,6 +25,7 @@ from .sharded_group import (
 from .row_sharded import (
     coordinate_descent_row_sharded,
     lasso_row_sharded,
+    lasso_tile_sharded,
     sqrt_lasso_row_sharded,
 )
 from .batch import (
@@ -57,6 +58,7 @@ __all__ = [
     "group_lasso_sharded",
     "coordinate_descent_row_sharded",
     "lasso_row_sharded",
+    "lasso_tile_sharded",
     "sqrt_lasso_row_sharded",
     "lasso_lambda_batch",
     "lasso_grid_sharded",

@@ -58,13 +58,14 @@ class RowProblem:
     """Shard-local blocked view of a row-partitioned problem.  Plain
     container (constructed inside the shard_map trace, never hashed)."""
 
-    __slots__ = ("Xb", "Xwb", "y", "lamw", "valid", "Kb", "adiag",
-                 "xwnorm")
+    __slots__ = ("Xb", "Xwb", "y", "wrow", "lamw", "valid", "Kb",
+                 "adiag", "xwnorm")
 
-    def __init__(self, Xb, Xwb, y, lamw, valid, Kb, adiag, xwnorm):
+    def __init__(self, Xb, Xwb, y, wrow, lamw, valid, Kb, adiag, xwnorm):
         self.Xb = Xb          # (nb, n_local, B) local rows
         self.Xwb = Xwb        # w-scaled twin (== Xb for ls/sqrt)
         self.y = y            # (n_local,)
+        self.wrow = wrow      # (n_local,) local row weights (wls)
         self.lamw = lamw      # (nb, B) penalty loadings
         self.valid = valid    # (nb, B) real (non-pad) columns
         self.Kb = Kb          # (nb, B, B) psum'd exact block Grams Xw'X
@@ -86,7 +87,7 @@ def _row_build(kind, Xl, yl, w, lamw_b, valid_b, B, axis) -> RowProblem:
     else:
         xw2 = adiag
     xwnorm = jnp.sqrt(jnp.maximum(xw2, 0.0))
-    return RowProblem(Xb, Xwb, yl, lamw_b, valid_b, Kb, adiag, xwnorm)
+    return RowProblem(Xb, Xwb, yl, w, lamw_b, valid_b, Kb, adiag, xwnorm)
 
 
 def _row_rsqr(r, axis):
@@ -100,12 +101,22 @@ def _row_full_c(prob: RowProblem, r, axis):
                     axis)
 
 
+def _feat_max(x, feat_axis):
+    """max-reduce a scalar over the (optional) feature axis of a tiled
+    mesh — ``all_gather`` + max for the same axon-compiler reason as
+    ``sharded_cd._pmax_scalar``."""
+    if feat_axis is None:
+        return x
+    return jnp.max(lax.all_gather(x, feat_axis))
+
+
 def _row_full_check(kind, prob: RowProblem, beta_b, r, rsqr, lam0,
-                    n_scale, opt_tol, axis):
+                    n_scale, opt_tol, axis, feat_axis=None):
     """Order-independent KKT sweep (engine ``_full_check`` semantics,
     without the drift-cache machinery — every check recomputes the exact
-    gradient: one local GEMV + one ``(p,)`` psum).  Returns
-    ``(active, rsqr, maxh)``; all outputs are replicated."""
+    gradient: one local GEMV + one ``(p_local,)`` psum over the obs
+    axis).  Returns ``(active, rsqr, maxh)``; scalars are replicated
+    (maxh max-reduced over the feature axis on tiled meshes)."""
     dt = beta_b.dtype
     if kind == "sqrt":
         rsqr = _row_rsqr(r, axis)
@@ -125,7 +136,7 @@ def _row_full_check(kind, prob: RowProblem, beta_b, r, rsqr, lam0,
             4 * eps * rnorm / jnp.maximum(prob.xwnorm, 1e-30))
     else:
         habs = noise_floor_mask(habs, beta_b)
-    maxh = jnp.max(habs)
+    maxh = _feat_max(jnp.max(habs), feat_axis)
     # (re)activation: support blocks plus any block with a violating
     # coordinate (engine _full_check:681-682)
     viol = jnp.any(habs >= opt_tol, axis=1)
@@ -133,11 +144,44 @@ def _row_full_check(kind, prob: RowProblem, beta_b, r, rsqr, lam0,
     return active, rsqr, maxh
 
 
+def _tile_objective(kind, prob: RowProblem, r, beta_b, lam0, n_scale,
+                    axis, feat_axis):
+    """Global objective on a tiled mesh: data term psum'd over the obs
+    axis, penalty psum'd over the feature axis (same normalization
+    contract as ``sharded_cd._sharded_objective`` — it must be EXACTLY
+    the functional the coordinate minimizers descend)."""
+    pen = lam0 * lax.psum(
+        jnp.sum(jnp.where(prob.valid, prob.lamw * jnp.abs(beta_b), 0.0)),
+        feat_axis)
+    rn2 = _row_rsqr(r, axis)
+    if kind == "sqrt":
+        f = jnp.sqrt(jnp.maximum(rn2, 0.0))
+    else:
+        # wls residuals are already raw; the w-weighting lives in Xwb for
+        # gradients — the objective needs the weighted square
+        if kind == "wls":
+            rn2 = lax.psum(jnp.dot(prob.wrow * r, r, precision=_PREC),
+                           axis)
+        f = rn2 / (2.0 * n_scale)
+    return f + pen
+
+
 def _row_active_pass(kind, prob: RowProblem, beta_b, r, rsqr, active,
-                     lam0, n_scale, randomize, key, axis):
-    """One exact Gauss-Seidel pass over the active blocks: per visited
-    block one ``psum(B)`` for the gradient, replicated in-block Gram
-    recursion, local-row residual update."""
+                     lam0, n_scale, randomize, key, axis,
+                     feat_axis=None, n_feat: int = 1, opt_tol=0.0):
+    """One pass over the active blocks.
+
+    Pure row sharding (``feat_axis=None``): exact Gauss-Seidel — per
+    visited block one ``psum(B)`` gradient, replicated in-block Gram
+    recursion, local-row residual update.
+
+    Tiled (obs × feature): each feature shard runs that exact sequential
+    pass over ITS OWN column blocks concurrently (block-Jacobi across
+    feature shards, the ``sharded_cd._sharded_active_pass`` scheme), the
+    row-local residual corrections merge with one psum over the feature
+    axis, and the merged step is convexity-safeguarded (full step iff it
+    beats the always-monotone 1/D-averaged step) with the exact-sparsity
+    snap."""
     nb, B = prob.lamw.shape
     key, k1, k2 = jax.random.split(key, 3)
     if randomize:
@@ -146,6 +190,7 @@ def _row_active_pass(kind, prob: RowProblem, beta_b, r, rsqr, active,
     else:
         border = jnp.arange(nb)
         corder = jnp.arange(B)
+    r0, beta0_b = r, beta_b
 
     def body(t, carry):
         beta, r, rsqr, maxh = carry
@@ -168,12 +213,46 @@ def _row_active_pass(kind, prob: RowProblem, beta_b, r, rsqr, active,
     zero = jnp.zeros((), beta_b.dtype)
     beta_b, r, rsqr, maxh = lax.fori_loop(
         0, nb, body, (beta_b, r, rsqr, zero))
+
+    if feat_axis is not None:
+        maxh = _feat_max(maxh, feat_axis)
+        dbeta = beta_b - beta0_b
+        dr = lax.psum(r - r0, feat_axis)
+        if n_feat > 1:
+            def at(t):
+                return r0 + t * dr, beta0_b + t * dbeta
+
+            p_full = _tile_objective(kind, prob, *at(1.0), lam0, n_scale,
+                                     axis, feat_axis)
+            tavg = 1.0 / n_feat
+            p_avg = _tile_objective(kind, prob, *at(tavg), lam0, n_scale,
+                                    axis, feat_axis)
+            t = jnp.where(p_full <= p_avg, 1.0, tavg)
+            r, beta_new = at(t)
+            # exact-sparsity snap (see _sharded_active_pass:190-208)
+            delta = jnp.where((beta_b == 0)
+                              & (jnp.abs(beta_new) <= opt_tol),
+                              beta_new, 0.0)
+            beta_b = beta_new - delta
+            corr = lax.cond(
+                jnp.any(delta != 0),
+                lambda: jnp.einsum("bnk,bk->n", prob.Xb, delta,
+                                   precision=_PREC),
+                lambda: jnp.zeros_like(r))
+            r = r + lax.psum(corr, feat_axis)
+        else:
+            r = r0 + dr
+            beta_b = beta0_b + dbeta
+        if kind == "sqrt":
+            rsqr = _row_rsqr(r, axis)
+
     active = jnp.any(beta_b != 0, axis=1)
     return beta_b, r, rsqr, active, key, maxh
 
 
 def _row_solve_at_lambda(kind, opts: CDOptions, prob: RowProblem, lam0,
-                         beta_b, r, rsqr, active, key, n_scale, axis):
+                         beta_b, r, rsqr, active, key, n_scale, axis,
+                         feat_axis=None, n_feat: int = 1):
     """Engine epoch loop (``_solve_at_lambda``): alternate full KKT sweeps
     and active passes until two consecutive converged passes, with the
     f32 stall detector.  All convergence scalars derive from psum'd
@@ -194,14 +273,15 @@ def _row_solve_at_lambda(kind, opts: CDOptions, prob: RowProblem, lam0,
         def full(args):
             beta, r, rsqr, active, key = args
             active, rsqr, maxh = _row_full_check(
-                kind, prob, beta, r, rsqr, lam0, n_scale, tol, axis)
+                kind, prob, beta, r, rsqr, lam0, n_scale, tol, axis,
+                feat_axis)
             return beta, r, rsqr, active, key, maxh
 
         def act(args):
             beta, r, rsqr, active, key = args
             beta, r, rsqr, active, key, maxh = _row_active_pass(
                 kind, prob, beta, r, rsqr, active, lam0, n_scale,
-                opts.randomize, key, axis)
+                opts.randomize, key, axis, feat_axis, n_feat, tol)
             return beta, r, rsqr, active, key, maxh
 
         beta, r, rsqr, active, key, maxh = lax.cond(
@@ -222,17 +302,19 @@ def _row_solve_at_lambda(kind, opts: CDOptions, prob: RowProblem, lam0,
     return beta_b, r, rsqr, active, key
 
 
-def _row_lambda_max(kind, prob: RowProblem, r, rsqr, n_scale, axis):
+def _row_lambda_max(kind, prob: RowProblem, r, rsqr, n_scale, axis,
+                    feat_axis=None):
     c = _row_full_c(prob, r, axis)
     if kind == "sqrt":
         g = jnp.abs(c) / jnp.sqrt(jnp.maximum(rsqr, 1e-30))
     else:
         g = jnp.abs(c) / n_scale
-    return jnp.max(jnp.where(prob.valid, g / prob.lamw, 0.0))
+    return _feat_max(jnp.max(jnp.where(prob.valid, g / prob.lamw, 0.0)),
+                     feat_axis)
 
 
 def _row_solve(kind, opts: CDOptions, prob: RowProblem, lam0, beta0_b,
-               key, n_scale, axis):
+               key, n_scale, axis, feat_axis=None, n_feat: int = 1):
     """Warm start or λmax→λ0 log-continuation (reference
     ``coordinateDescent!``, coordinate_descent.jl:7-39).  ``n_scale`` is
     the TRUE row count (padded rows are data-free and must not inflate
@@ -241,6 +323,9 @@ def _row_solve(kind, opts: CDOptions, prob: RowProblem, lam0, beta0_b,
 
     def init(beta_b):
         pred = jnp.einsum("bnk,bk->n", prob.Xb, beta_b, precision=_PREC)
+        if feat_axis is not None:
+            # each tile predicts with its own columns only
+            pred = lax.psum(pred, feat_axis)
         r = prob.y - pred
         rsqr = (_row_rsqr(r, axis) if kind == "sqrt"
                 else jnp.zeros((), dt))
@@ -250,12 +335,13 @@ def _row_solve(kind, opts: CDOptions, prob: RowProblem, lam0, beta0_b,
         r, rsqr, active = init(beta0_b)
         beta_b, r, rsqr, active, key = _row_solve_at_lambda(
             kind, opts, prob, lam0, beta0_b, r, rsqr, active, key,
-            n_scale, axis)
+            n_scale, axis, feat_axis, n_feat)
         return beta_b, r
 
     beta_b = jnp.zeros_like(beta0_b)
     r, rsqr, active = init(beta_b)
-    lammax = _row_lambda_max(kind, prob, r, rsqr, n_scale, axis)
+    lammax = _row_lambda_max(kind, prob, r, rsqr, n_scale, axis,
+                             feat_axis)
     ts = jnp.linspace(jnp.log(lammax), jnp.log(jnp.asarray(lam0, dt)),
                       opts.num_steps + 1)
     lams = jnp.exp(ts)
@@ -264,7 +350,7 @@ def _row_solve(kind, opts: CDOptions, prob: RowProblem, lam0, beta0_b,
         beta_b, r, rsqr, active, key = carry
         beta_b, r, rsqr, active, key = _row_solve_at_lambda(
             kind, opts, prob, lam, beta_b, r, rsqr, active, key,
-            n_scale, axis)
+            n_scale, axis, feat_axis, n_feat)
         return (beta_b, r, rsqr, active, key), None
 
     (beta_b, r, *_), _ = lax.scan(scan_body,
@@ -274,8 +360,8 @@ def _row_solve(kind, opts: CDOptions, prob: RowProblem, lam0, beta0_b,
 
 @functools.lru_cache(maxsize=None)
 def _make_row_sharded_cd(kind: str, opts: CDOptions, mesh: Mesh,
-                         axis: str):
-    D = mesh.shape[axis]
+                         axis: str, feat_axis: str | None = None):
+    n_feat = mesh.shape[feat_axis] if feat_axis else 1
 
     def local_fn(Xl, yl, w, lamw, valid, beta0, lam0, n_true, key):
         B = int(opts.block_size)
@@ -284,15 +370,17 @@ def _make_row_sharded_cd(kind: str, opts: CDOptions, mesh: Mesh,
                           valid.reshape(nb, B), B, axis)
         beta_b, r = _row_solve(kind, opts, prob,
                                jnp.asarray(lam0, Xl.dtype),
-                               beta0.reshape(nb, B), key, n_true, axis)
+                               beta0.reshape(nb, B), key, n_true, axis,
+                               feat_axis, n_feat)
         return beta_b.reshape(-1), r
 
+    fspec = feat_axis  # None → replicated over the (absent) feature axis
     fn = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis), P(), P(), P(), P(),
-                  P(), P()),
-        out_specs=(P(), P(axis)),
+        in_specs=(P(axis, fspec), P(axis), P(axis), P(fspec), P(fspec),
+                  P(fspec), P(), P(), P()),
+        out_specs=(P(fspec), P(axis)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -300,26 +388,46 @@ def _make_row_sharded_cd(kind: str, opts: CDOptions, mesh: Mesh,
 
 def coordinate_descent_row_sharded(beta0, loss, penalty, mesh: Mesh,
                                    options: CDOptions = CDOptions(), *,
-                                   axis: str = "obs", seed: int = 0,
-                                   key=None):
+                                   axis: str = "obs",
+                                   feat_axis: str | None = None,
+                                   seed: int = 0, key=None):
     """Observation-sharded ``coordinate_descent``: rows of ``X`` (and the
     matching ``y`` / WLS-weight entries) partitioned over ``mesh[axis]``,
     β replicated.  Same driver contract as the reference
     ``coordinateDescent!`` (coordinate_descent.jl:7-39); returns
-    ``(beta, residuals)`` with the FULL residual vector."""
+    ``(beta, residuals)`` with the FULL residual vector.
+
+    With ``feat_axis`` the mesh is 2-D and ``X`` is **tiled**: rows over
+    ``axis``, columns over ``feat_axis`` — each device holds an
+    (n/D_obs × p/D_feat) tile, so neither axis need fit one chip.  Column
+    blocks are solved exactly within a feature shard and merged
+    block-Jacobi across feature shards with the convexity safeguard
+    (``sharded_cd._sharded_active_pass`` scheme); certification is the
+    same order-independent KKT sweep."""
     if isinstance(loss, (LeastSquaresLoss, WeightedLSLoss, SqrtLassoLoss)):
         X, y = loss.X, loss.y
     else:
         raise TypeError(
             "row-sharded CD supports LeastSquares/WeightedLS/SqrtLasso "
             f"losses; got {type(loss)!r}")
+    if feat_axis is not None:
+        if feat_axis not in mesh.shape:
+            raise ValueError(f"feat_axis {feat_axis!r} not in mesh axes "
+                             f"{tuple(mesh.shape)}")
+        if feat_axis == axis:
+            raise ValueError("feat_axis must differ from the obs axis "
+                             f"({axis!r})")
     kind = loss.kind
     X = jnp.asarray(X)
     dtype = X.dtype
     n, p = X.shape
     D = mesh.shape[axis]
     B = int(options.block_size)
-    p_pad = -(-p // B) * B
+    if feat_axis is not None:
+        from .sharded_cd import _shard_chunk
+        _, p_pad = _shard_chunk(p, mesh.shape[feat_axis], B)
+    else:
+        p_pad = -(-p // B) * B
     n_pad = -(-n // D) * D
 
     lam0, lamw = as_l1(penalty, p, dtype)
@@ -341,7 +449,7 @@ def coordinate_descent_row_sharded(beta0, loss, penalty, mesh: Mesh,
     if key is None:
         key = jax.random.PRNGKey(seed)
 
-    solver = _make_row_sharded_cd(kind, options, mesh, axis)
+    solver = _make_row_sharded_cd(kind, options, mesh, axis, feat_axis)
     beta, r = solver(Xp, yp, wp, lamwp, validp, beta0p,
                      jnp.asarray(lam0, dtype), jnp.asarray(n, dtype),
                      key)
@@ -364,6 +472,29 @@ def lasso_row_sharded(X, y, lam, mesh: Mesh, weights=None,
     beta, r = coordinate_descent_row_sharded(
         beta0, LeastSquaresLoss(y, X), g, mesh, options, axis=axis,
         seed=seed)
+    return LassoSolution(beta, r, g, sample_std(r))
+
+
+def lasso_tile_sharded(X, y, lam, mesh: Mesh, weights=None,
+                       options: CDOptions = CDOptions(), *,
+                       axis: str = "obs", feat_axis: str = "feature",
+                       seed: int = 0):
+    """Tile-sharded Lasso on a 2-D (obs × feature) mesh: each device
+    holds an (n/D_obs × p/D_feat) tile of ``X``, so problems too large
+    for EITHER 1-D tier fit.  Row contractions psum over ``axis``,
+    column blocks merge block-Jacobi (safeguarded) over ``feat_axis``;
+    the returned solution satisfies the single-device KKT certificate."""
+    from ..models.lasso import LassoSolution
+    from ..utils.helpers import sample_std
+
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    g = ProxL1(jnp.asarray(lam, X.dtype),
+               None if weights is None else jnp.asarray(weights, X.dtype))
+    beta0 = jnp.zeros((X.shape[1],), X.dtype)
+    beta, r = coordinate_descent_row_sharded(
+        beta0, LeastSquaresLoss(y, X), g, mesh, options, axis=axis,
+        feat_axis=feat_axis, seed=seed)
     return LassoSolution(beta, r, g, sample_std(r))
 
 

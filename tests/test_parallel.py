@@ -705,3 +705,80 @@ def test_row_sharded_cold_start_continuation(obs_mesh):
     sol1 = cd.lasso(X, y, lam, options=opts)
     sol8 = lasso_row_sharded(X, y, lam, obs_mesh, options=opts)
     np.testing.assert_allclose(sol8.x, sol1.x, atol=1e-6)
+
+
+def test_tile_sharded_lasso_matches_single_device():
+    """2-D (obs × feature) tiling: each device holds an (n/4 × p/2) tile.
+    Row contractions psum over 'obs'; column blocks merge block-Jacobi
+    (safeguarded) over 'feature'.  Must converge to the single-device
+    solution and satisfy the duality-gap certificate."""
+    from coordinatedescent_jl_tpu.parallel import lasso_tile_sharded
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("obs", "feature"))
+    X, y = _gen(160, 96, 8)
+    lam = 0.1
+    sol1 = cd.lasso(X, y, lam, options=OPTS)
+    solt = lasso_tile_sharded(X, y, lam, mesh, options=OPTS)
+    np.testing.assert_allclose(solt.x, sol1.x, atol=1e-5)
+    np.testing.assert_allclose(solt.residuals, sol1.residuals, atol=1e-5)
+    gap = cd.lasso_duality_gap(X, y, solt.x, lam)
+    assert float(gap) < 1e-6
+
+
+def test_tile_sharded_uneven_both_dims():
+    """n=101 and p=37 both need padding on a 2×4 (obs × feature) mesh."""
+    from coordinatedescent_jl_tpu.parallel import lasso_tile_sharded
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("obs", "feature"))
+    X, y = _gen(101, 37, 5, seed=3)
+    lam = 0.12
+    sol1 = cd.lasso(X, y, lam, options=OPTS)
+    solt = lasso_tile_sharded(X, y, lam, mesh, options=OPTS)
+    np.testing.assert_allclose(solt.x, sol1.x, atol=1e-5)
+    assert solt.residuals.shape == (101,)
+
+
+def test_tile_sharded_sqrt_and_wls():
+    """sqrt (psum'd ‖r‖²) and wls (row-sharded weights) on the tiled
+    mesh via the generic driver."""
+    from coordinatedescent_jl_tpu.parallel import (
+        coordinate_descent_row_sharded,
+    )
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("obs", "feature"))
+    X, y = _gen(120, 48, 6, seed=7)
+    lam = 0.3 / np.sqrt(120)
+    s1 = cd.sqrt_lasso(X, y, lam, options=OPTS, standardize_X=False)
+    b8, _ = coordinate_descent_row_sharded(
+        jnp.zeros(48), cd.SqrtLassoLoss(y, X), cd.ProxL1(lam), mesh,
+        OPTS, feat_axis="feature")
+    np.testing.assert_allclose(b8, s1.x, atol=1e-4)
+
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(0.5 + rng.random(120))
+    loss = cd.WeightedLSLoss(y, X, w)
+    g = cd.ProxL1(0.08)
+    b1, _ = cd.coordinate_descent(jnp.zeros(48), loss, g, OPTS)
+    bw, _ = coordinate_descent_row_sharded(jnp.zeros(48), loss, g, mesh,
+                                           OPTS, feat_axis="feature")
+    np.testing.assert_allclose(bw, b1, atol=1e-5)
+
+
+def test_tile_sharded_axis_validation(obs_mesh):
+    from coordinatedescent_jl_tpu.parallel import (
+        coordinate_descent_row_sharded,
+    )
+
+    X, y = _gen(60, 32, 4)
+    loss = cd.LeastSquaresLoss(y, X)
+    with pytest.raises(ValueError, match="must differ"):
+        coordinate_descent_row_sharded(jnp.zeros(32), loss,
+                                       cd.ProxL1(0.1), obs_mesh, OPTS,
+                                       feat_axis="obs")
+    with pytest.raises(ValueError, match="not in mesh"):
+        coordinate_descent_row_sharded(jnp.zeros(32), loss,
+                                       cd.ProxL1(0.1), obs_mesh, OPTS,
+                                       feat_axis="nope")
