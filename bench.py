@@ -385,6 +385,37 @@ def main():
                  f"{extra.get('sharded_path_1dev_s', 'not-recorded')}s "
                  f"({extra['sharded_path_1dev_points']} pts, "
                  f"certified={sp_cert})")
+
+            # observation-sharded (data-parallel) tier on a 1-device
+            # 'obs' mesh: tall-data shape, row psums + replicated β
+            nr, pr_ = (2000, 200) if small else (50_000, 2000)
+            kr = jax.random.split(jax.random.PRNGKey(29), 3)
+            Xr = jax.random.normal(kr[0], (nr, pr_), dtype)
+            br_true = jnp.zeros((pr_,), dtype).at[:20].set(
+                jax.random.normal(kr[1], (20,), dtype))
+            yr = Xr @ br_true + 0.3 * jax.random.normal(kr[2], (nr,),
+                                                        dtype)
+            lam_r = 0.3 * float(jnp.max(jnp.abs(jnp.dot(
+                yr, Xr, precision=jax.lax.Precision.HIGHEST))) / nr)
+            mesh_o = Mesh(np.asarray(jax.devices()[:1]), ("obs",))
+            sol_r = cd.parallel.lasso_row_sharded(Xr, yr, lam_r, mesh_o,
+                                                  options=os_)  # compile
+            float(jnp.sum(sol_r.x))
+            t_r = float("inf")
+            for rep in range(2):
+                lam_rep = lam_r * (1.0 + 1e-7 * (rep + 1))
+                t0 = time.perf_counter()
+                sol_r = cd.parallel.lasso_row_sharded(
+                    Xr, yr, lam_rep, mesh_o, options=os_)
+                float(jnp.sum(sol_r.x))
+                t_r = min(t_r, time.perf_counter() - t0)
+            ref_r = cd.lasso(Xr, yr, lam_rep, options=os_)
+            agree_r = float(jnp.max(jnp.abs(sol_r.x - ref_r.x)))
+            extra["row_sharded_1dev_s"] = round(t_r, 4)
+            extra["row_sharded_vs_single_max_abs_diff"] = agree_r
+            _log(f"bench: row-sharded(1-dev obs mesh, n={nr}) "
+                 f"{extra['row_sharded_1dev_s']}s vs-single "
+                 f"{agree_r:.2e}")
         except Exception as e:  # pragma: no cover - backend-specific
             extra["sharded_1dev_error"] = f"{type(e).__name__}: {e}"[:200]
             _log(f"bench: sharded(1-dev mesh) failed: {e}")

@@ -24,6 +24,7 @@ from .sharded_group import (
 )
 from .row_sharded import (
     coordinate_descent_row_sharded,
+    lasso_path_row_sharded,
     lasso_row_sharded,
     lasso_tile_sharded,
     sqrt_lasso_row_sharded,
@@ -57,6 +58,7 @@ __all__ = [
     "group_coordinate_descent_sharded",
     "group_lasso_sharded",
     "coordinate_descent_row_sharded",
+    "lasso_path_row_sharded",
     "lasso_row_sharded",
     "lasso_tile_sharded",
     "sqrt_lasso_row_sharded",

@@ -43,6 +43,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.block_cd import (
     _PREC,
+    _block_grams,
+    _blockify_cols,
     _ls_candidate,
     _sqrt_candidate,
     _visit_block,
@@ -51,7 +53,7 @@ from ..ops.block_cd import (
 from ..ops.losses import LeastSquaresLoss, SqrtLassoLoss, WeightedLSLoss
 from ..ops.prox import ProxL1, ProxZero, as_l1
 from ..utils.options import CDOptions
-from .sharded_cd import _pad_vec_to
+from .sharded_cd import _pad_vec_to, _pmax_scalar
 
 
 class RowProblem:
@@ -74,12 +76,9 @@ class RowProblem:
 
 
 def _row_build(kind, Xl, yl, w, lamw_b, valid_b, B, axis) -> RowProblem:
-    n_local, p_pad = Xl.shape
-    nb = p_pad // B
-    Xb = Xl.reshape(n_local, nb, B).transpose(1, 0, 2)
+    Xb = _blockify_cols(Xl, B)
     Xwb = Xb * w[None, :, None] if kind == "wls" else Xb
-    Kb = lax.psum(jnp.einsum("bnk,bnl->bkl", Xwb, Xb, precision=_PREC),
-                  axis)
+    Kb = lax.psum(_block_grams(Xwb, Xb), axis)
     adiag = jnp.diagonal(Kb, axis1=1, axis2=2)
     if kind == "wls":
         xw2 = lax.psum(jnp.einsum("bnk,bnk->bk", Xwb, Xwb,
@@ -103,11 +102,8 @@ def _row_full_c(prob: RowProblem, r, axis):
 
 def _feat_max(x, feat_axis):
     """max-reduce a scalar over the (optional) feature axis of a tiled
-    mesh — ``all_gather`` + max for the same axon-compiler reason as
-    ``sharded_cd._pmax_scalar``."""
-    if feat_axis is None:
-        return x
-    return jnp.max(lax.all_gather(x, feat_axis))
+    mesh (``sharded_cd._pmax_scalar`` — the axon-safe all_gather form)."""
+    return x if feat_axis is None else _pmax_scalar(x, feat_axis)
 
 
 def _row_full_check(kind, prob: RowProblem, beta_b, r, rsqr, lam0,
@@ -153,15 +149,15 @@ def _tile_objective(kind, prob: RowProblem, r, beta_b, lam0, n_scale,
     pen = lam0 * lax.psum(
         jnp.sum(jnp.where(prob.valid, prob.lamw * jnp.abs(beta_b), 0.0)),
         feat_axis)
-    rn2 = _row_rsqr(r, axis)
+    if kind == "wls":
+        # wls residuals are raw; the w-weighting lives in Xwb for
+        # gradients — the objective needs the weighted square
+        rn2 = lax.psum(jnp.dot(prob.wrow * r, r, precision=_PREC), axis)
+    else:
+        rn2 = _row_rsqr(r, axis)
     if kind == "sqrt":
         f = jnp.sqrt(jnp.maximum(rn2, 0.0))
     else:
-        # wls residuals are already raw; the w-weighting lives in Xwb for
-        # gradients — the objective needs the weighted square
-        if kind == "wls":
-            rn2 = lax.psum(jnp.dot(prob.wrow * r, r, precision=_PREC),
-                           axis)
         f = rn2 / (2.0 * n_scale)
     return f + pen
 
@@ -421,6 +417,15 @@ def coordinate_descent_row_sharded(beta0, loss, penalty, mesh: Mesh,
     X = jnp.asarray(X)
     dtype = X.dtype
     n, p = X.shape
+    # zero-padding silently zeroes real data when lengths mismatch — fail
+    # loudly like the single-device driver does
+    if y.shape[0] != n:
+        raise ValueError(f"y has {y.shape[0]} rows, X has {n}")
+    if isinstance(loss, WeightedLSLoss) and loss.w.shape[0] != n:
+        raise ValueError(f"weights have {loss.w.shape[0]} rows, X has {n}")
+    if beta0.shape[0] != p:
+        raise ValueError(f"beta0 has {beta0.shape[0]} coordinates, "
+                         f"X has {p} columns")
     D = mesh.shape[axis]
     B = int(options.block_size)
     if feat_axis is not None:
@@ -473,6 +478,112 @@ def lasso_row_sharded(X, y, lam, mesh: Mesh, weights=None,
         beta0, LeastSquaresLoss(y, X), g, mesh, options, axis=axis,
         seed=seed)
     return LassoSolution(beta, r, g, sample_std(r))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_row_sharded_path(opts: CDOptions, mesh: Mesh, axis: str,
+                           feat_axis: str | None):
+    n_feat = mesh.shape[feat_axis] if feat_axis else 1
+
+    def local_fn(Xl, yl, lamw, valid, lam_path, max_hat_s, n_true, key):
+        B = int(opts.block_size)
+        nb = Xl.shape[1] // B
+        dt = Xl.dtype
+        w = jnp.ones((Xl.shape[0],), dt)
+        prob = _row_build("ls", Xl, yl, w, lamw.reshape(nb, B),
+                          valid.reshape(nb, B), B, axis)
+        beta_b = jnp.zeros((nb, B), dt)
+        r = yl
+        rsqr = jnp.zeros((), dt)
+        active = jnp.zeros((nb,), bool)
+
+        def scan_body(carry, lam):
+            beta_b, r, rsqr, active, key, stopped = carry
+
+            def do(args):
+                beta_b, r, rsqr, active, key = args
+                return _row_solve_at_lambda(
+                    "ls", opts, prob, lam, beta_b, r, rsqr, active, key,
+                    n_true, axis, feat_axis, n_feat)
+
+            beta_b, r, rsqr, active, key = lax.cond(
+                stopped, lambda a: a, do, (beta_b, r, rsqr, active, key))
+            valid_pt = ~stopped
+            nnz = jnp.sum(beta_b != 0)
+            if feat_axis is not None:
+                nnz = lax.psum(nnz, feat_axis)
+            stopped = stopped | (nnz > max_hat_s)
+            return ((beta_b, r, rsqr, active, key, stopped),
+                    (beta_b.reshape(-1), valid_pt))
+
+        _, (betas, valids) = lax.scan(
+            scan_body, (beta_b, r, rsqr, active, key,
+                        jnp.zeros((), bool)), lam_path)
+        return betas, valids
+
+    fspec = feat_axis
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis, fspec), P(axis), P(fspec), P(fspec), P(), P(),
+                  P(), P()),
+        out_specs=(P(None, fspec), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def lasso_path_row_sharded(X, y, lam_path, mesh: Mesh,
+                           options: CDOptions = CDOptions(), *,
+                           max_hat_s: float = float("inf"),
+                           standardize_X: bool = True, axis: str = "obs",
+                           feat_axis: str | None = None, seed: int = 0):
+    """Warm-started Lasso path on the observation-sharded (or tiled)
+    layout — reference ``LassoPath`` (lasso.jl:229-260) for designs whose
+    ROWS don't fit one chip.  Same early-stop semantics as
+    ``lasso_path_sharded`` (first support-exceeding point kept); the
+    per-coordinate loadings of ``standardize_X`` are the cross-shard
+    column RMS (the divisor-is-n quirk preserved via utils.std_X on the
+    full matrix before sharding)."""
+    import numpy as np
+    from ..models.lasso_path import LassoPath
+    from ..utils.helpers import std_X
+
+    X = jnp.asarray(X)
+    y = jnp.asarray(y, X.dtype)
+    n, p = X.shape
+    if y.shape[0] != n:
+        raise ValueError(f"y has {y.shape[0]} rows, X has {n}")
+    D = mesh.shape[axis]
+    B = int(options.block_size)
+    if feat_axis is not None:
+        if feat_axis not in mesh.shape:
+            raise ValueError(f"feat_axis {feat_axis!r} not in mesh axes "
+                             f"{tuple(mesh.shape)}")
+        if feat_axis == axis:
+            raise ValueError("feat_axis must differ from the obs axis "
+                             f"({axis!r})")
+        from .sharded_cd import _shard_chunk
+        _, p_pad = _shard_chunk(p, mesh.shape[feat_axis], B)
+    else:
+        p_pad = -(-p // B) * B
+    n_pad = -(-n // D) * D
+    lamw = std_X(X) if standardize_X else jnp.ones((p,), X.dtype)
+
+    Xp = jnp.pad(X, ((0, n_pad - n), (0, p_pad - p)))
+    yp = _pad_vec_to(y, n_pad, 0.0)
+    lamwp = _pad_vec_to(lamw, p_pad, 1.0)
+    validp = _pad_vec_to(jnp.ones((p,), bool), p_pad, False)
+    lam_path = jnp.asarray(lam_path, X.dtype)
+
+    solver = _make_row_sharded_path(options, mesh, axis, feat_axis)
+    betas, valids = solver(Xp, yp, lamwp, validp, lam_path,
+                           jnp.asarray(max_hat_s, X.dtype),
+                           jnp.asarray(n, X.dtype),
+                           jax.random.PRNGKey(seed))
+    valids = np.asarray(valids)
+    k = int(valids.sum())
+    return LassoPath(lam_path[:k], betas[:k, :p])
 
 
 def lasso_tile_sharded(X, y, lam, mesh: Mesh, weights=None,

@@ -92,6 +92,30 @@ def main():
         print(f"sharded resumable path: {pr.beta_path.shape} "
               f"(checkpoint at {os.path.basename(ckpt)})")
 
+    # observation-sharded (data-parallel) tier: rows over the mesh —
+    # the large-n story (n too big for one chip)
+    from coordinatedescent_jl_tpu.parallel import (
+        lasso_path_row_sharded,
+        lasso_row_sharded,
+        lasso_tile_sharded,
+    )
+
+    omesh = Mesh(np.asarray(jax.devices()), ("obs",))
+    ro = lasso_row_sharded(X, y, 0.1, omesh)
+    print(f"row-sharded lasso (obs axis): nnz="
+          f"{int(np.sum(np.asarray(ro.x) != 0))}")
+    rp = lasso_path_row_sharded(X, y, lams, omesh)
+    print(f"row-sharded warm path: {rp.beta_path.shape}")
+
+    # tile-sharded: X split over BOTH axes of a 2-D mesh — neither n
+    # nor p need fit one device
+    df = len(jax.devices()) // db
+    tmesh = Mesh(np.asarray(jax.devices()).reshape(db, df),
+                 ("obs", "feature"))
+    ts = lasso_tile_sharded(X, y, 0.1, tmesh)
+    print(f"tile-sharded lasso on {dict(tmesh.shape)}: nnz="
+          f"{int(np.sum(np.asarray(ts.x) != 0))}")
+
 
 if __name__ == "__main__":
     main()

@@ -782,3 +782,92 @@ def test_tile_sharded_axis_validation(obs_mesh):
         coordinate_descent_row_sharded(jnp.zeros(32), loss,
                                        cd.ProxL1(0.1), obs_mesh, OPTS,
                                        feat_axis="nope")
+
+
+def test_row_sharded_penalty_weights_and_proxzero(obs_mesh):
+    """Per-coordinate penalty weights ride the replicated lamw; ProxZero
+    takes the forced-warm-start branch (λ0=0, no continuation)."""
+    X, y = _gen(120, 48, 6, seed=19)
+    rng = np.random.default_rng(21)
+    lamw = np.asarray(0.5 + rng.random(48))
+    s1 = cd.lasso(X, y, 0.08, weights=lamw, options=OPTS)
+    s8 = lasso_row_sharded(X, y, 0.08, obs_mesh, weights=lamw,
+                           options=OPTS)
+    np.testing.assert_allclose(s8.x, s1.x, atol=1e-6)
+
+    # ProxZero: unpenalized least squares on a well-posed (n > p) design
+    loss = cd.LeastSquaresLoss(y, X)
+    b1, _ = cd.coordinate_descent(jnp.zeros(48), loss, cd.ProxZero(),
+                                  OPTS)
+    b8, _ = coordinate_descent_row_sharded(jnp.zeros(48), loss,
+                                           cd.ProxZero(), obs_mesh, OPTS)
+    np.testing.assert_allclose(b8, b1, atol=1e-5)
+
+
+def test_tile_sharded_cold_start_randomize():
+    """warm_start=False continuation and randomize=True on the tiled
+    mesh: different trajectories, same certified fixed point."""
+    from coordinatedescent_jl_tpu.parallel import lasso_tile_sharded
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("obs", "feature"))
+    X, y = _gen(120, 48, 6, seed=5)
+    opts = OPTS.replace(warm_start=False, num_steps=20)
+    sol1 = cd.lasso(X, y, 0.05, options=opts)
+    solt = lasso_tile_sharded(X, y, 0.05, mesh, options=opts)
+    np.testing.assert_allclose(solt.x, sol1.x, atol=1e-5)
+
+    opts_r = OPTS.replace(randomize=True)
+    sol1r = cd.lasso(X, y, 0.1, options=OPTS)
+    soltr = lasso_tile_sharded(X, y, 0.1, mesh, options=opts_r)
+    np.testing.assert_allclose(soltr.x, sol1r.x, atol=1e-5)
+
+
+def test_row_sharded_length_mismatch_raises(obs_mesh):
+    X, y = _gen(60, 32, 4)
+    loss = cd.WeightedLSLoss(y, X, jnp.ones(59))
+    with pytest.raises(ValueError, match="weights have"):
+        coordinate_descent_row_sharded(jnp.zeros(32), loss,
+                                       cd.ProxL1(0.1), obs_mesh, OPTS)
+    with pytest.raises(ValueError, match="beta0 has"):
+        coordinate_descent_row_sharded(jnp.zeros(31),
+                                       cd.LeastSquaresLoss(y, X),
+                                       cd.ProxL1(0.1), obs_mesh, OPTS)
+
+
+def test_row_sharded_lasso_path(obs_mesh):
+    """Warm-started path on the row-sharded layout ≡ single-device path,
+    including max_hat_s truncation."""
+    from coordinatedescent_jl_tpu.parallel import lasso_path_row_sharded
+
+    X, y = _gen(120, 48, 6, seed=13)
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.05), 8))
+    p1 = cd.lasso_path(X, y, lams, options=OPTS, standardize_X=False)
+    p8 = lasso_path_row_sharded(X, y, lams, obs_mesh, options=OPTS,
+                                standardize_X=False)
+    assert p8.beta_path.shape == p1.beta_path.shape
+    np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-6)
+
+    lams2 = np.exp(np.linspace(np.log(0.5), np.log(0.01), 10))
+    p1s = cd.lasso_path(X, y, lams2, options=OPTS, max_hat_s=10,
+                        standardize_X=False)
+    p8s = lasso_path_row_sharded(X, y, lams2, obs_mesh, options=OPTS,
+                                 max_hat_s=10, standardize_X=False)
+    assert p8s.lam_path.shape == p1s.lam_path.shape
+    np.testing.assert_allclose(p8s.beta_path, p1s.beta_path, atol=1e-6)
+
+
+def test_tile_sharded_lasso_path():
+    """The same path driver on a 2-D (obs × feature) tiled mesh."""
+    from coordinatedescent_jl_tpu.parallel import lasso_path_row_sharded
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("obs", "feature"))
+    X, y = _gen(120, 48, 6, seed=13)
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.05), 8))
+    p1 = cd.lasso_path(X, y, lams, options=OPTS, standardize_X=False)
+    pt = lasso_path_row_sharded(X, y, lams, mesh, options=OPTS,
+                                standardize_X=False,
+                                feat_axis="feature")
+    assert pt.beta_path.shape == p1.beta_path.shape
+    np.testing.assert_allclose(pt.beta_path, p1.beta_path, atol=1e-5)
