@@ -117,12 +117,17 @@ def _kkt_violation_lanes(B, R, thrw, X, adiag, xnorm):
     ``(k, p_cols)``, ``R`` ``(k, n)``; returns noise-floor-masked ``H``
     of shape ``(k, p_cols)``."""
     from ..ops.block_cd import _PREC, noise_floor_mask
-    from ..ops.prox import soft_threshold
 
     dt = B.dtype
     Cg = jnp.dot(R, X, precision=_PREC)
-    cand = soft_threshold(B + Cg / adiag[None], thrw / adiag[None])
-    H = jnp.abs(cand - B)
+    # the prox step |soft(B + c/a, t) − B| computed literally cancels at
+    # scale |B| (~4 ulps of a large coefficient exceeds an f32 tol=1e-6);
+    # algebraically B cancels EXACTLY on the un-thresholded branch:
+    # h = c/a − t·sign(z) — a cancellation at scale t ≈ |c/a| instead
+    g = Cg / adiag[None]
+    t = thrw / adiag[None]
+    zv = B + g
+    H = jnp.abs(jnp.where(jnp.abs(zv) > t, g - t * jnp.sign(zv), -B))
     if jnp.dtype(dt).itemsize < 8:
         eps = jnp.finfo(dt).eps
         rnorm = jnp.sqrt(jnp.einsum("kn,kn->k", R, R, precision=_PREC))
@@ -243,6 +248,7 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     g = lam_path.shape[0]
     tol = opts.opt_tol
     n_scale = jnp.asarray(n, dt)
+    sub_f64 = jnp.dtype(dt).itemsize < 8
 
     cidx = np.arange(0, g, stride)
     if cidx[-1] != g - 1:
@@ -269,15 +275,22 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
         R = y[None, :] - jnp.dot(B0, X.T, precision=_PREC)
 
         H0 = certify(B0, R, thrw)
-        cert0 = (jnp.max(H0, axis=1) < tol) | frozen
+        mx0 = jnp.max(H0, axis=1)
+        cert0 = (mx0 < tol) | frozen
+        # f32 lanes can limit-cycle a hair above tol; the scan escapes
+        # via its per-point stall detector, so the batched certify gets
+        # the same per-lane escape (f64 keeps the strict rule)
+        patience = (opts.stall_patience if sub_f64
+                    else np.iinfo(np.int32).max)
+        stall0 = jnp.zeros(mx0.shape, jnp.int32)
 
         def cond(s):
-            B, R, H, cert, rounds = s
+            B, R, H, cert, best, stall, rounds = s
             return jnp.logical_and(~jnp.all(cert),
                                    rounds < 2 * opts.compact_rounds)
 
         def body(s):
-            B, R, H, cert, rounds = s
+            B, R, H, cert, best, stall, rounds = s
             hi = 2.0 * jnp.max(jnp.where(cert[:, None], 0.0, H)) + 1.0
             pri = _union_priority(B, H, cert, hi)
             _, idx = lax.top_k(pri, C)
@@ -297,11 +310,17 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
             R = R - jnp.dot(bs - Bs0, Xs.T, precision=_PREC)
             B = B.at[:, idx].set(bs, mode="drop")
             H = certify(B, R, thrw)
-            cert = (jnp.max(H, axis=1) < tol) | frozen
-            return (B, R, H, cert, rounds + 1)
+            mx = jnp.max(H, axis=1)
+            improved = mx < best
+            stall = jnp.where(cert, stall,
+                              jnp.where(improved, 0, stall + 1))
+            best = jnp.minimum(best, mx)
+            cert = cert | (mx < tol) | (stall >= patience) | frozen
+            return (B, R, H, cert, best, stall, rounds + 1)
 
-        B, _, _, cert, _ = lax.while_loop(
-            cond, body, (B0, R, H0, cert0, jnp.zeros((), jnp.int32)))
+        B, _, _, cert, _, _, _ = lax.while_loop(
+            cond, body, (B0, R, H0, cert0, mx0, stall0,
+                         jnp.zeros((), jnp.int32)))
         return B, cert
 
     if rest.size:

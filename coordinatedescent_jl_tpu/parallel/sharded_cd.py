@@ -893,15 +893,25 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
                 jnp.dot(B0, Xl.T, precision=_PREC), axis)    # (k, n)
 
             H0 = certify(B0, R, thrwl)
-            cert0 = (gmax_lanes(H0) < tol) | frozen
+            mx0 = gmax_lanes(H0)
+            cert0 = (mx0 < tol) | frozen
+            # per-lane f32 stall escape (see _lasso_path_batched_core:
+            # lanes can limit-cycle a hair above tol; the scan exits such
+            # points via its stall detector, so the batched certify must
+            # have the same escape); all inputs are post-collective, so
+            # the accounting is shard-consistent
+            patience = (opts.stall_patience
+                        if jnp.dtype(Xl.dtype).itemsize < 8
+                        else np.iinfo(np.int32).max)
+            stall0 = jnp.zeros(mx0.shape, jnp.int32)
 
             def cond(st):
-                B, R, H, cert, rounds = st
+                B, R, H, cert, best, stall, rounds = st
                 return jnp.logical_and(~jnp.all(cert),
                                        rounds < 2 * opts.compact_rounds)
 
             def body(st):
-                B, R, H, cert, rounds = st
+                B, R, H, cert, best, stall, rounds = st
                 # same two-tier priority as the single-device core
                 # (support above violations), computed per local column;
                 # the tier offset must use the GLOBAL violation max so
@@ -950,11 +960,17 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
                 loc_safe = jnp.where(owned, locc, chunk)
                 B = B.at[:, loc_safe].set(bs, mode="drop")
                 H = certify(B, R, thrwl)
-                cert = (gmax_lanes(H) < tol) | frozen
-                return (B, R, H, cert, rounds + 1)
+                mx = gmax_lanes(H)
+                improved = mx < best
+                stall = jnp.where(cert, stall,
+                                  jnp.where(improved, 0, stall + 1))
+                best = jnp.minimum(best, mx)
+                cert = cert | (mx < tol) | (stall >= patience) | frozen
+                return (B, R, H, cert, best, stall, rounds + 1)
 
-            B, _, _, cert, _ = lax.while_loop(
-                cond, body, (B0, R, H0, cert0, jnp.zeros((), jnp.int32)))
+            B, _, _, cert, _, _, _ = lax.while_loop(
+                cond, body, (B0, R, H0, cert0, mx0, stall0,
+                             jnp.zeros((), jnp.int32)))
             return B, cert
 
         if rest.size:
