@@ -225,6 +225,186 @@ def _locpolyl1_core(X, z, y, zgrid, h, lam0, key, degree: int,
     return out.T, out_r.T
 
 
+class _VcBatchOps:
+    """Shared per-chunk machinery for the batched varying-coefficient
+    executions (the z-grid ``_locpolyl1_batched_core`` and the LOO-CV
+    ``_lvocv_locpolyl1_one_h_batched``): per-lane kernel weights + power
+    tensors, closed-form diagonals, implicit-matvec preconditioned FISTA,
+    and the noise-floor-masked KKT certify with the scan's f32 stall
+    escape.  All members are tracers (constructed inside a jit trace);
+    ``thrw`` is an argument everywhere so callers with per-round λ
+    (the CV's λ·σ fixed point) reuse the same machinery."""
+
+    def __init__(self, X, z, y, kernel, z0, degree: int,
+                 opts: CDOptions, holdout=None):
+        from ..ops.block_cd import _PREC
+
+        n, p = X.shape
+        q1 = degree + 1
+        dt = X.dtype
+        k = z0.shape[0]
+        self.X, self.y, self.opts = X, y, opts
+        self.n, self.p, self.q1, self.ep, self.k = n, p, q1, p * q1, k
+        self.dt = dt
+        self.n_scale = jnp.asarray(n, dt)
+        self.sub_f64 = jnp.dtype(dt).itemsize < 8
+        self.eps = jnp.finfo(dt).eps
+        arange_q = jnp.arange(q1, dtype=dt)
+        w = jax.vmap(lambda a: evaluate(kernel, z, a))(z0)     # (k, n)
+        if holdout is not None:
+            # leave-one-out: zero the held-out row's weight per lane
+            w = w.at[jnp.arange(k), holdout].set(0.0)
+        self.w = w
+        d = z[None, :] - z0[:, None]
+        self.dpow = d[:, :, None] ** arange_q[None, None, :]   # (k,n,q1)
+        X2 = X * X
+        # adiag_(j,d) = Σ_i w_i X_ij² d_i^{2d}; lamw = sqrt(adiag/n)
+        # (std_X's divisor-is-n quirk, utils.jl:140-151); xwnorm uses w²
+        # (wls Xw = w⊙X) for the engine's step-noise scale
+        wd2 = w[:, :, None] * self.dpow * self.dpow
+        adiag = jnp.einsum("knd,np->kpd", wd2, X2,
+                           precision=_PREC).reshape(k, self.ep)
+        self.adiag = jnp.maximum(adiag, jnp.asarray(1e-30, dt))
+        self.lamw = jnp.sqrt(self.adiag / self.n_scale)
+        xw2 = jnp.einsum("knd,np->kpd", w[:, :, None] * wd2, X2,
+                         precision=_PREC).reshape(k, self.ep)
+        self.xwnorm = jnp.sqrt(jnp.maximum(xw2, 1e-60))
+        # preconditioner: solve in β̃ = √a·β units (raw expanded columns
+        # span ~h^degree in scale, which starves plain FISTA)
+        self.sc = jnp.sqrt(self.adiag)
+        # per-lane Lipschitz bound of the SCALED Gram via power
+        # iterations (each two shared contractions), once per chunk
+
+        def power(carry, _):
+            v, _ = carry
+            u = self._Kv(v)
+            nrm = jnp.sqrt(jnp.einsum("ke,ke->k", u, u,
+                                      precision=_PREC))
+            return (u / jnp.maximum(nrm[:, None], 1e-30), nrm), None
+
+        v0 = jnp.ones((k, self.ep), dt) / jnp.sqrt(
+            jnp.asarray(self.ep, dt))
+        (_, Lt), _ = lax.scan(power, (v0, jnp.ones((k,), dt)), None,
+                              length=12)
+        self.Lt = 1.05 * jnp.maximum(Lt, 1e-30)                # (k,)
+
+    def _Kv(self, v):
+        from ..ops.block_cd import _PREC
+
+        u = v / self.sc
+        pred = jnp.einsum("kpd,np,knd->kn",
+                          u.reshape(self.k, self.p, self.q1), self.X,
+                          self.dpow, precision=_PREC)
+        Uw = (self.w * pred)[:, :, None] * self.dpow
+        out = jnp.einsum("knd,np->kpd", Uw, self.X,
+                         precision=_PREC).reshape(self.k, self.ep)
+        return out / self.sc
+
+    def residual(self, B):
+        from ..ops.block_cd import _PREC
+
+        pred = jnp.einsum("kpd,np,knd->kn",
+                          B.reshape(self.k, self.p, self.q1), self.X,
+                          self.dpow, precision=_PREC)
+        return self.y[None, :] - pred
+
+    def certify(self, B, R, thrw):
+        from ..ops.block_cd import _PREC, noise_floor_mask
+
+        U = (self.w * R)[:, :, None] * self.dpow
+        Cg = jnp.einsum("knd,np->kpd", U, self.X,
+                        precision=_PREC).reshape(self.k, self.ep)
+        # cancellation-safe prox step (see
+        # lasso_path._kkt_violation_lanes): B cancels algebraically
+        gq = Cg / self.adiag
+        tq = thrw / self.adiag
+        zq = B + gq
+        H = jnp.abs(jnp.where(jnp.abs(zq) > tq,
+                              gq - tq * jnp.sign(zq), -B))
+        if self.sub_f64:
+            rnorm = jnp.sqrt(jnp.einsum("kn,kn->k", R, R,
+                                        precision=_PREC))
+            H = noise_floor_mask(
+                H, B, 4 * self.eps * rnorm[:, None] / self.xwnorm)
+        else:
+            H = noise_floor_mask(H, B)
+        return H
+
+    def fista_phase(self, B, cert, thrw):
+        """Fixed-count preconditioned FISTA sweep with implicit matvecs
+        (two shared contractions per step); certified lanes frozen."""
+        from ..ops.block_cd import _PREC
+        from ..ops.prox import soft_threshold
+
+        sc, Lt = self.sc, self.Lt
+        Bt = B * sc
+        thr_t = thrw / sc
+
+        def fstep(carry, _):
+            zt, vt, t = carry
+            u = vt / sc
+            pred = jnp.einsum("kpd,np,knd->kn",
+                              u.reshape(self.k, self.p, self.q1),
+                              self.X, self.dpow, precision=_PREC)
+            rv = self.y[None, :] - pred
+            Uw = (self.w * rv)[:, :, None] * self.dpow
+            gv = jnp.einsum("knd,np->kpd", Uw, self.X,
+                            precision=_PREC).reshape(self.k,
+                                                     self.ep) / sc
+            z_new = soft_threshold(vt + gv / Lt[:, None],
+                                   thr_t / Lt[:, None])
+            z_new = jnp.where(cert[:, None], zt, z_new)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            v_new = z_new + ((t - 1.0) / t_new) * (z_new - zt)
+            return (z_new, v_new, t_new), None
+
+        (Bt, _, _), _ = lax.scan(fstep, (Bt, Bt, jnp.ones((), self.dt)),
+                                 None, length=self.opts.block_iters)
+        return Bt / sc
+
+    def solve(self, B0, thrw, frozen=None):
+        """Certify/refine loop to the engine's KKT criterion (noise
+        floor + f32 per-lane stall escape — see
+        _locpolyl1_batched_core).  Returns ``(B, R, cert)``."""
+        opts = self.opts
+        tol = opts.opt_tol
+        if frozen is None:
+            frozen = jnp.zeros((self.k,), bool)
+        R0 = self.residual(B0)
+        H0 = self.certify(B0, R0, thrw)
+        mx0 = jnp.max(H0, axis=1)
+        cert0 = (mx0 < tol) | frozen
+        patience = (opts.stall_patience if self.sub_f64
+                    else np.iinfo(np.int32).max)
+        stall0 = jnp.zeros((self.k,), jnp.int32)
+
+        def cond(s):
+            B, R, cert, best, stall, rounds = s
+            return jnp.logical_and(~jnp.all(cert),
+                                   rounds < 2 * opts.compact_rounds)
+
+        def body(s):
+            B, R, cert, best, stall, rounds = s
+            B = self.fista_phase(B, cert, thrw)
+            # residual recomputed fresh each certify (an incrementally
+            # maintained R would accumulate exactly the f32 drift the
+            # certificate measures)
+            R = self.residual(B)
+            H = self.certify(B, R, thrw)
+            mx = jnp.max(H, axis=1)
+            improved = mx < best
+            stall = jnp.where(cert, stall,
+                              jnp.where(improved, 0, stall + 1))
+            best = jnp.minimum(best, mx)
+            cert = cert | (mx < tol) | (stall >= patience)
+            return (B, R, cert, best, stall, rounds + 1)
+
+        B, R, cert, _, _, _ = lax.while_loop(
+            cond, body, (B0, R0, cert0, mx0, stall0,
+                         jnp.zeros((), jnp.int32)))
+        return B, R, cert
+
+
 @functools.partial(jax.jit, static_argnames=("degree", "opts", "refit",
                                               "kernel_type", "stride",
                                               "batch"))
@@ -250,8 +430,7 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
     solver uses, so certified outputs match the scan to solver tolerance.
     Returns ``(out, out_r, all_cert)``; on ``all_cert == False`` the
     caller MUST fall back to the scan."""
-    from ..ops.block_cd import _PREC, noise_floor_mask
-    from ..ops.prox import soft_threshold
+    from ..ops.block_cd import _PREC
 
     n, p = X.shape
     q1 = degree + 1
@@ -271,163 +450,20 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
                                key, degree, kernel_type, opts, False)
     betas_c = out_c.T                                   # (g_c, ep)
 
-    eps = jnp.finfo(dt).eps
-    sub_f64 = jnp.dtype(dt).itemsize < 8
-    arange_q = jnp.arange(q1, dtype=dt)
-
-    def lane_tensors(z0):
-        """Per-lane shared pieces: kernel weights (k, n) and the power
-        tensor (k, n, q1)."""
-        w = jax.vmap(lambda a: evaluate(kernel, z, a))(z0)     # (k, n)
-        d = z[None, :] - z0[:, None]
-        dpow = d[:, :, None] ** arange_q[None, None, :]        # (k, n, q1)
-        return w, dpow
-
     def refine(args):
         z0, B0 = args                   # (k,), (k, ep)
-        k = z0.shape[0]
-        w, dpow = lane_tensors(z0)
-        X2 = X * X
-        # adiag_(j,d) = Σ_i w_i X_ij² d_i^{2d}; lamw = sqrt(adiag/n)
-        # (std_X's divisor-is-n quirk, utils.jl:140-151); xwnorm uses w²
-        # (wls Xw = w⊙X) for the engine's step-noise scale
-        wd2 = w[:, :, None] * dpow * dpow                      # (k, n, q1)
-        adiag = jnp.einsum("knd,np->kpd", wd2, X2,
-                           precision=_PREC).reshape(k, ep)
-        adiag = jnp.maximum(adiag, jnp.asarray(1e-30, dt))
-        lamw = jnp.sqrt(adiag / n_scale)
-        xw2 = jnp.einsum("knd,np->kpd", w[:, :, None] * wd2, X2,
-                         precision=_PREC).reshape(k, ep)
-        xwnorm = jnp.sqrt(jnp.maximum(xw2, 1e-60))
-        thrw = lamw * (lam0 * n_scale)                         # (k, ep)
-
-        def residual(B):
-            pred = jnp.einsum("kpd,np,knd->kn", B.reshape(k, p, q1), X,
-                              dpow, precision=_PREC)
-            return y[None, :] - pred
-
-        def certify(B, R):
-            U = (w * R)[:, :, None] * dpow                     # (k, n, q1)
-            Cg = jnp.einsum("knd,np->kpd", U, X,
-                            precision=_PREC).reshape(k, ep)
-            # cancellation-safe prox step (see
-            # lasso_path._kkt_violation_lanes): B cancels algebraically
-            gq = Cg / adiag
-            tq = thrw / adiag
-            zq = B + gq
-            H = jnp.abs(jnp.where(jnp.abs(zq) > tq,
-                                  gq - tq * jnp.sign(zq), -B))
-            if sub_f64:
-                rnorm = jnp.sqrt(jnp.einsum("kn,kn->k", R, R,
-                                            precision=_PREC))
-                H = noise_floor_mask(H, B,
-                                     4 * eps * rnorm[:, None] / xwnorm)
-            else:
-                H = noise_floor_mask(H, B)
-            return H
-
-        R0 = residual(B0)
-        H0 = certify(B0, R0)
-        cert0 = jnp.max(H0, axis=1) < tol
-        # f32 lanes can limit-cycle a hair above tol (the engine-wide
-        # phenomenon noise_floor_mask documents); the scan escapes via
-        # its per-point stall detector, so the batched certify must have
-        # the same escape or it holds itself to a HIGHER bar than the
-        # execution it falls back to.  Per-lane full-check stall
-        # accounting, f64 keeps the strict rule (patience = ∞)
-        patience = (opts.stall_patience if sub_f64
-                    else np.iinfo(np.int32).max)
-        best0 = jnp.max(H0, axis=1)
-        stall0 = jnp.zeros((B0.shape[0],), jnp.int32)
-
-        # the refinement is preconditioned full-coordinate FISTA with
-        # IMPLICIT matvecs: ep is small (p·(degree+1)), so a per-lane
-        # union Gram buys nothing while its (k, n, C) gathers dominate
-        # HBM traffic; K_z·v = eX_z'W_z(eX_z v) costs two of the same
-        # shared contractions the certify uses (~k·n·(degree+1) traffic).
-        # Preconditioning: solve in β̃ = √a·β units (the raw expanded
-        # columns span ~h^degree in scale, which starves plain FISTA)
-        sc = jnp.sqrt(adiag)                                  # (k, ep)
-
-        def Kv(v):
-            # v in SCALED units → K̃v = D^{-1/2} eX'W eX D^{-1/2} v
-            u = v / sc
-            pred = jnp.einsum("kpd,np,knd->kn", u.reshape(k, p, q1), X,
-                              dpow, precision=_PREC)
-            Uw = (w * pred)[:, :, None] * dpow
-            out = jnp.einsum("knd,np->kpd", Uw, X,
-                             precision=_PREC).reshape(k, ep)
-            return out / sc
-
-        # per-lane Lipschitz bound: a few power iterations on K̃ (each
-        # the cost of one certify), once per chunk; 1.05 safety margin
-        def power(carry, _):
-            v, _ = carry
-            u = Kv(v)
-            nrm = jnp.sqrt(jnp.einsum("ke,ke->k", u, u,
-                                      precision=_PREC))
-            return (u / jnp.maximum(nrm[:, None], 1e-30), nrm), None
-
-        v0 = jnp.ones((k, ep), dt) / jnp.sqrt(jnp.asarray(ep, dt))
-        (_, Lt), _ = lax.scan(power, (v0, jnp.ones((k,), dt)), None,
-                              length=12)
-        Lt = 1.05 * jnp.maximum(Lt, 1e-30)                    # (k,)
-
-        patience = (opts.stall_patience if sub_f64
-                    else np.iinfo(np.int32).max)
-
-        def fista_phase(B, cert):
-            # fixed-count monotone-restart-free FISTA sweep in scaled
-            # units; certified lanes frozen
-            Bt = B * sc
-            thr_t = thrw / sc
-
-            def fstep(carry, _):
-                zt, vt, t = carry
-                u = vt / sc
-                pred = jnp.einsum("kpd,np,knd->kn", u.reshape(k, p, q1),
-                                  X, dpow, precision=_PREC)
-                rv = y[None, :] - pred
-                Uw = (w * rv)[:, :, None] * dpow
-                gv = jnp.einsum("knd,np->kpd", Uw, X,
-                                precision=_PREC).reshape(k, ep) / sc
-                z_new = soft_threshold(vt + gv / Lt[:, None],
-                                       thr_t / Lt[:, None])
-                z_new = jnp.where(cert[:, None], zt, z_new)
-                t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-                v_new = z_new + ((t - 1.0) / t_new) * (z_new - zt)
-                return (z_new, v_new, t_new), None
-
-            (Bt, _, _), _ = lax.scan(
-                fstep, (Bt, Bt, jnp.ones((), dt)), None,
-                length=opts.block_iters)
-            return Bt / sc
-
-        def cond(s):
-            B, R, H, cert, best, stall, rounds = s
-            return jnp.logical_and(~jnp.all(cert),
-                                   rounds < 2 * opts.compact_rounds)
-
-        def body(s):
-            B, R, H, cert, best, stall, rounds = s
-            B = fista_phase(B, cert)
-            # residual recomputed fresh each certify (an incrementally
-            # maintained R would accumulate exactly the f32 drift the
-            # certificate is trying to measure)
-            R = residual(B)
-            H = certify(B, R)
-            mx = jnp.max(H, axis=1)
-            improved = mx < best
-            stall = jnp.where(cert, stall,
-                              jnp.where(improved, 0, stall + 1))
-            best = jnp.minimum(best, mx)
-            cert = cert | (mx < tol) | (stall >= patience)
-            return (B, R, H, cert, best, stall, rounds + 1)
-
-        B, _, _, cert, _, _, _ = lax.while_loop(
-            cond, body, (B0, R0, H0, cert0, best0, stall0,
-                         jnp.zeros((), jnp.int32)))
+        ops = _VcBatchOps(X, z, y, kernel, z0, degree, opts)
+        thrw = ops.lamw * (lam0 * n_scale)
+        B, _, cert = ops.solve(B0, thrw)
         return B, cert
+
+    def lane_tensors(z0):
+        """Per-lane kernel weights (k, n) and the power tensor
+        (k, n, q1) — the refit chunks need them standalone."""
+        w = jax.vmap(lambda a: evaluate(kernel, z, a))(z0)
+        d = z[None, :] - z0[:, None]
+        dpow = d[:, :, None] ** jnp.arange(q1, dtype=dt)[None, None, :]
+        return w, dpow
 
     if rest.size:
         seg = np.searchsorted(cidx, rest) - 1
@@ -657,22 +693,164 @@ def _lvocv_locpolyl1_one_h(X, z, y, h, lam0, key, degree: int, kernel_type,
     return jnp.sum(errs)
 
 
+@functools.partial(jax.jit, static_argnames=("degree", "kernel_type",
+                                              "opts", "sigma_iters",
+                                              "batch"))
+def _lvocv_locpolyl1_one_h_batched(X, z, y, h, lam0, degree: int,
+                                   kernel_type, opts: CDOptions,
+                                   sigma_iters: int = 10,
+                                   batch: int = 128):
+    """Batched LOO-CV inner: every held-out point is a lane of the
+    ``_VcBatchOps`` machinery (z0 = the held-out z with its own weight
+    zeroed — exactly the reference's leave-one-out rule, :108), so the
+    whole chunk shares each contraction instead of vmapping full solves.
+    The per-point λ·σ fixed point (:118-127) batches too: thrw is
+    per-lane, σ-converged lanes freeze, the loop runs until every lane's
+    σ moved < 1e-2 rel (≤ ``sigma_iters`` rounds).  Returns
+    ``(sum of squared held-out errors, all_cert)``."""
+    from ..ops.block_cd import _PREC
+
+    n, p = X.shape
+    q1 = degree + 1
+    ep = p * q1
+    dt = X.dtype
+    n_scale = jnp.asarray(n, dt)
+    kernel = kernel_type(h)
+    s_screen = min(10, ep)
+
+    def chunk_stats(idx):
+        k = idx.shape[0]
+        z0 = z[idx]
+        ops = _VcBatchOps(X, z, y, kernel, z0, degree, opts,
+                          holdout=idx)
+        w = ops.w
+
+        # σ screening init (:109-117): weighted top-s OLS residuals,
+        # batched — gathers are (k, n, s_screen) with s_screen ≤ 10
+        U0 = (w * y[None, :])[:, :, None] * ops.dpow
+        c = jnp.abs(jnp.einsum("knd,np->kpd", U0, X,
+                               precision=_PREC).reshape(k, ep))
+        _, sidx = lax.top_k(c, s_screen)                   # (k, s)
+        jsel = sidx // q1
+        dsel = sidx % q1
+        Xg = jnp.take(X, jsel, axis=1).transpose(1, 0, 2)  # (k, n, s)
+        dg = jnp.take_along_axis(
+            ops.dpow, jnp.broadcast_to(dsel[:, None, :],
+                                       (k, n, s_screen)), axis=2)
+        Xs = Xg * dg
+        A = jnp.einsum("kns,kn,knt->kst", Xs, w, Xs, precision=_PREC)
+        A = A + 1e-12 * jnp.eye(s_screen, dtype=dt)[None]
+        b = jnp.einsum("kns,kn->ks", Xs, w * y[None, :],
+                       precision=_PREC)
+        coef = jnp.linalg.solve(A, b[..., None])[..., 0]
+        r0 = y[None, :] - jnp.einsum("kns,ks->kn", Xs, coef,
+                                     precision=_PREC)
+        wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-30)
+        sig = jnp.sqrt(jnp.einsum("kn,kn->k", w * r0, r0,
+                                  precision=_PREC) / wsum)
+
+        # batched λ·σ fixed point: converged lanes freeze
+        def body(carry):
+            B, sig, done, it, ok = carry
+            thrw = ops.lamw * (lam0 * n_scale) * sig[:, None]
+            B, R, cert = ops.solve(B, thrw, frozen=done)
+            ok = ok & jnp.all(cert)
+            signew = jnp.sqrt(jnp.einsum("kn,kn->k", w * R, R,
+                                         precision=_PREC) / wsum)
+            conv = jnp.abs(signew - sig) / jnp.maximum(sig, 1e-30) < 1e-2
+            sig = jnp.where(done | conv, sig, signew)
+            return (B, sig, done | conv, it + 1, ok)
+
+        def cond(carry):
+            _, _, done, it, _ = carry
+            return jnp.logical_and(~jnp.all(done), it < sigma_iters)
+
+        B0 = jnp.zeros((k, ep), dt)
+        B, sig, _, _, ok = lax.while_loop(
+            cond, body, (B0, sig, jnp.zeros((k,), bool),
+                         jnp.zeros((), jnp.int32), jnp.ones((), bool)))
+
+        # group-support weighted refit + held-out prediction (:130-134);
+        # the held-out row has (z_i − z0) = 0, so only its degree-0
+        # entries predict: yh = Σ_j X[i,j]·(mask·br)[(j,0)]
+        mask = jnp.repeat(jnp.any(B.reshape(k, p, q1) != 0, axis=2),
+                          q1, axis=1)
+        eXl = (X[None, :, :, None]
+               * ops.dpow[:, :, None, :]).reshape(k, n, ep)
+        Ar = jnp.einsum("kne,kn,knf->kef", eXl, w, eXl, precision=_PREC)
+        br_b = jnp.einsum("kne,kn->ke", eXl, w * y[None, :],
+                          precision=_PREC)
+        m2 = mask[:, :, None] & mask[:, None, :]
+        Ar = jnp.where(m2, Ar, jnp.eye(ep, dtype=dt)[None])
+        br_b = jnp.where(mask, br_b, 0.0)
+        br = jnp.linalg.solve(Ar, br_b[..., None])[..., 0]
+        bm = (br * mask).reshape(k, p, q1)[:, :, 0]        # (k, p)
+        yh = jnp.einsum("kp,kp->k", jnp.take(X, idx, axis=0), bm,
+                        precision=_PREC)
+        return (yh - y[idx]) ** 2, ok
+
+    k = min(batch, n)
+    nchunks = -(-n // k)
+    pad = nchunks * k - n
+    # padded lanes repeat row 0; their errors are dropped below
+    lanes = jnp.concatenate([jnp.arange(n),
+                             jnp.zeros((pad,), jnp.int32)])
+    if nchunks == 1:
+        errs, oks = chunk_stats(lanes)
+        errs = errs[None]
+        oks = oks[None]
+    else:
+        errs, oks = lax.map(chunk_stats, lanes.reshape(nchunks, k))
+    errs = errs.reshape(-1)[:n]
+    return jnp.sum(errs), jnp.all(oks)
+
+
 def lvocv_locpolyl1(X, z, y, degree: int, h_arr, kernel_type, lam0,
-                    options: CDOptions = CDOptions(), *, seed: int = 0):
+                    options: CDOptions = CDOptions(), *, seed: int = 0,
+                    cv_batch: int | None = None):
     """Leave-one-out CV for the bandwidth of ``locpolyl1``
     (reference ``lvocv_locpolyl1``, :82-137).  Returns the MSE per
     bandwidth.  Held-out points are vmapped; bandwidths loop on the host
-    (the array is small)."""
+    (the array is small).
+
+    ``cv_batch > 0`` switches the inner per-bandwidth computation to the
+    batched execution (``_lvocv_locpolyl1_one_h_batched``: every held-out
+    point is a lane of shared stacked contractions, the per-point λ·σ
+    fixed point batches with per-lane freezing).  Same
+    certified-or-fallback contract as ``locpolyl1(grid_batch=…)`` — a
+    bandwidth whose batched run fails to certify recomputes via the
+    sequential per-point path (warning).  ``None`` auto-enables 128 lanes
+    for sub-f64 dtypes off-CPU."""
+    import warnings
+
     X = jnp.asarray(X)
     z = jnp.asarray(z, X.dtype)
     y = jnp.asarray(y, X.dtype)
     opts = options.replace(warm_start=True)
     key = jax.random.PRNGKey(seed)
+    if cv_batch is None:
+        f32ish = jnp.dtype(X.dtype).itemsize < 8
+        cv_batch = (128 if (f32ish and jax.default_backend() != "cpu")
+                    else 0)
     mses = []
     for h in np.asarray(h_arr):
-        mses.append(_lvocv_locpolyl1_one_h(
-            X, z, y, jnp.asarray(h, X.dtype), jnp.asarray(lam0, X.dtype),
-            key, degree, kernel_type, opts))
+        hj = jnp.asarray(h, X.dtype)
+        lj = jnp.asarray(lam0, X.dtype)
+        done = False
+        if cv_batch:
+            mse, ok = _lvocv_locpolyl1_one_h_batched(
+                X, z, y, hj, lj, degree, kernel_type, opts,
+                batch=int(cv_batch))
+            done = bool(ok)
+            if not done:
+                warnings.warn(
+                    "lvocv_locpolyl1(cv_batch=...): batched LOO run for "
+                    f"h={float(h):g} did not certify; recomputing via "
+                    "the sequential per-point path", RuntimeWarning)
+        if not done:
+            mse = _lvocv_locpolyl1_one_h(
+                X, z, y, hj, lj, key, degree, kernel_type, opts)
+        mses.append(mse)
     return jnp.stack(mses)
 
 

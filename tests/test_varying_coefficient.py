@@ -408,3 +408,28 @@ def test_locpolyl1_grid_batch_matches_scan():
                                    atol=1e-7)
         np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
                                    atol=1e-7)
+
+
+def test_lvocv_locpolyl1_batched_matches_sequential():
+    """cv_batch: every held-out point a lane of shared contractions,
+    per-lane λ·σ fixed point — must reproduce the sequential per-point
+    path without falling back (f64: strict certification)."""
+    import warnings
+
+    import coordinatedescent_jl_tpu as cd
+
+    rng = np.random.default_rng(5)
+    n, p = 120, 10
+    z = rng.uniform(0, 1, n)
+    X = rng.standard_normal((n, p))
+    y = np.sin(2 * np.pi * z) * X[:, 0] + 0.3 * rng.standard_normal(n)
+    hs = [0.08, 0.12, 0.2]
+    opts = cd.CDOptions(opt_tol=1e-9, randomize=False)
+    m1 = cd.lvocv_locpolyl1(X, z, y, 1, hs, cd.GaussianKernel, 0.1,
+                            options=opts, cv_batch=0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        m2 = cd.lvocv_locpolyl1(X, z, y, 1, hs, cd.GaussianKernel, 0.1,
+                                options=opts, cv_batch=32)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                               rtol=1e-10)
