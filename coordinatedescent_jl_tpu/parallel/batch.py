@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -232,31 +233,54 @@ def lvocv_locpoly_batch(X, z, y, degree, h_arr, kernel_type, mesh: Mesh, *,
 
 @functools.lru_cache(maxsize=None)
 def _make_lvocv_l1_batch(degree: int, kernel_type, opts: CDOptions,
-                         mesh: Mesh, axis: str):
-    from ..models.varying_coefficient import _lvocv_locpolyl1_one_h
+                         mesh: Mesh, axis: str, cv_batch: int = 0):
+    from ..models.varying_coefficient import (
+        _lvocv_locpolyl1_one_h,
+        _lvocv_locpolyl1_one_h_batched,
+    )
 
     def local_fn(X, z, y, lam0, key, hs_local):
-        return lax.map(
+        if cv_batch:
+            # batched held-out lanes per bandwidth (the 32× on-chip
+            # lever, models/varying_coefficient.py); per-bandwidth
+            # certification flags ride back so the wrapper can recompute
+            # any uncertified bandwidth sequentially
+            def one(h):
+                return _lvocv_locpolyl1_one_h_batched(
+                    X, z, y, h, lam0, degree, kernel_type, opts,
+                    batch=cv_batch)
+
+            return lax.map(one, hs_local)
+        mses = lax.map(
             lambda h: _lvocv_locpolyl1_one_h(X, z, y, h, lam0, key,
                                              degree, kernel_type, opts),
             hs_local)
+        return mses, jnp.ones(hs_local.shape, bool)
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(axis)),
-        out_specs=P(axis), check_vma=False)
+        out_specs=(P(axis), P(axis)), check_vma=False)
     return jax.jit(fn)
 
 
 def lvocv_locpolyl1_batch(X, z, y, degree, h_arr, kernel_type, lam0,
                           mesh: Mesh, options: CDOptions = CDOptions(), *,
-                          batch_axis: str = "batch", seed: int = 0):
+                          batch_axis: str = "batch", seed: int = 0,
+                          cv_batch: int | None = None):
     """Penalized-fit bandwidth LOO-CV (reference ``lvocv_locpolyl1``'s
     serial ``hArr`` loop, :82-137) with the bandwidth sweep sharded over
     the batch axis — the most expensive CV surface (each bandwidth is n
     held-out weighted-lasso fits), so this is where scenario sharding
     pays most.  Returns the MSE per bandwidth, identical to
-    ``lvocv_locpolyl1``."""
+    ``lvocv_locpolyl1``.
+
+    ``cv_batch`` composes the held-out-lane batching of
+    ``lvocv_locpolyl1(cv_batch=…)`` with the bandwidth sharding (same
+    auto default and certified-or-fallback contract: any bandwidth whose
+    batched run fails to certify is recomputed sequentially)."""
+    import warnings
+
     X = jnp.asarray(X)
     z = jnp.asarray(z, X.dtype)
     y = jnp.asarray(y, X.dtype)
@@ -264,7 +288,26 @@ def lvocv_locpolyl1_batch(X, z, y, degree, h_arr, kernel_type, lam0,
     D = mesh.shape[batch_axis]
     hs, L = _pad_batch(h_arr, D)
     opts = options.replace(warm_start=True)
+    if cv_batch is None:
+        f32ish = jnp.dtype(X.dtype).itemsize < 8
+        cv_batch = (128 if (f32ish and jax.default_backend() != "cpu")
+                    else 0)
     solver = _make_lvocv_l1_batch(degree, kernel_type, opts, mesh,
-                                  batch_axis)
-    return solver(X, z, y, jnp.asarray(lam0, X.dtype),
-                  jax.random.PRNGKey(seed), hs)[:L]
+                                  batch_axis, int(cv_batch))
+    key = jax.random.PRNGKey(seed)
+    lam0j = jnp.asarray(lam0, X.dtype)
+    mses, oks = solver(X, z, y, lam0j, key, hs)
+    mses, oks = mses[:L], np.asarray(oks[:L])
+    if not oks.all():
+        from ..models.varying_coefficient import _lvocv_locpolyl1_one_h
+
+        warnings.warn(
+            "lvocv_locpolyl1_batch: batched LOO runs for "
+            f"{int((~oks).sum())} bandwidth(s) did not certify; "
+            "recomputing those sequentially", RuntimeWarning)
+        mses = np.asarray(mses)
+        for i in np.nonzero(~oks)[0]:
+            mses[i] = _lvocv_locpolyl1_one_h(
+                X, z, y, hs[i], lam0j, key, degree, kernel_type, opts)
+        mses = jnp.asarray(mses)
+    return mses

@@ -432,6 +432,16 @@ def test_lvocv_locpolyl1_batch_matches_serial(batch_mesh):
     m8 = lvocv_locpolyl1_batch(X, z, y, 1, hs, cd.GaussianKernel, 0.05,
                                batch_mesh, options=opts)
     np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), rtol=1e-7)
+    # held-out-lane batching composed with the bandwidth sharding
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        m8b = lvocv_locpolyl1_batch(X, z, y, 1, hs, cd.GaussianKernel,
+                                    0.05, batch_mesh, options=opts,
+                                    cv_batch=16)
+    np.testing.assert_allclose(np.asarray(m8b), np.asarray(m1),
+                               rtol=1e-8)
 
 
 def test_lasso_sharded_with_trace(feature_mesh):
