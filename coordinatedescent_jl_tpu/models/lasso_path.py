@@ -315,7 +315,14 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
             stall = jnp.where(cert, stall,
                               jnp.where(improved, 0, stall + 1))
             best = jnp.minimum(best, mx)
-            cert = cert | (mx < tol) | (stall >= patience) | frozen
+            # the stall escape accepts only NEAR-TOL finite plateaus
+            # (the f32 limit cycle sits within ~2·tol): a lane stuck far
+            # from optimality — saturated union support, divergence,
+            # NaN — must stay uncertified so the documented scan
+            # fallback fires
+            stall_ok = ((stall >= patience) & (mx < 4 * tol)
+                        & jnp.isfinite(mx))
+            cert = cert | (mx < tol) | stall_ok | frozen
             return (B, R, H, cert, best, stall, rounds + 1)
 
         B, _, _, cert, _, _, _ = lax.while_loop(

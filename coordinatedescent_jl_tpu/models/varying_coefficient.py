@@ -282,11 +282,19 @@ class _VcBatchOps:
                                       precision=_PREC))
             return (u / jnp.maximum(nrm[:, None], 1e-30), nrm), None
 
-        v0 = jnp.ones((k, self.ep), dt) / jnp.sqrt(
-            jnp.asarray(self.ep, dt))
+        # start vector with no symmetry the design could be orthogonal
+        # to (a uniform vector can miss antisymmetric top modes of
+        # degree≥1 expanded columns around a central z0); the estimate
+        # is still a LOWER bound, so take a 1.2 margin — the certify
+        # stall gate keeps any residual divergence uncertified (→ the
+        # caller's fallback) rather than silently accepted
+        ar = jnp.arange(self.ep, dtype=dt)
+        v0 = jnp.where(ar % 2 == 0, 1.0, -1.0) * (1.0 + ar / self.ep)
+        v0 = jnp.broadcast_to(v0 / jnp.sqrt(jnp.sum(v0 * v0)),
+                              (k, self.ep))
         (_, Lt), _ = lax.scan(power, (v0, jnp.ones((k,), dt)), None,
-                              length=12)
-        self.Lt = 1.05 * jnp.maximum(Lt, 1e-30)                # (k,)
+                              length=16)
+        self.Lt = 1.2 * jnp.maximum(Lt, 1e-30)                 # (k,)
 
     def _Kv(self, v):
         from ..ops.block_cd import _PREC
@@ -396,7 +404,14 @@ class _VcBatchOps:
             stall = jnp.where(cert, stall,
                               jnp.where(improved, 0, stall + 1))
             best = jnp.minimum(best, mx)
-            cert = cert | (mx < tol) | (stall >= patience)
+            # near-tol finite plateaus only (see
+            # lasso_path._lasso_path_batched_core): a lane stuck far
+            # from optimality — e.g. FISTA divergence on an
+            # underestimated power-iteration Lipschitz bound, or NaN —
+            # must stay uncertified so the fallback fires
+            stall_ok = ((stall >= patience) & (mx < 4 * tol)
+                        & jnp.isfinite(mx))
+            cert = cert | (mx < tol) | stall_ok
             return (B, R, cert, best, stall, rounds + 1)
 
         B, R, cert, _, _, _ = lax.while_loop(
@@ -422,10 +437,12 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
     is a small einsum against the shared ``X`` and the per-lane power
     tensor ``dpow[k, i, m] = (z_i − z0_k)^m`` — one stacked contraction
     certifies a whole chunk of z-points per round, exactly the
-    amortization that makes the batched path win.  The refinement solves
-    per-lane weighted union-Gram FISTA (vmapped
-    ``lasso_path._union_block_fista`` — fixed sweep count, lockstep, no
-    max-lane-epoch tax), and every point's final certificate is the same
+    amortization that makes the batched path win.  The refinement is
+    ``_VcBatchOps``' preconditioned full-coordinate FISTA with implicit
+    matvecs — fixed sweep count, lockstep, no max-lane-epoch tax, no
+    union-Gram gathers (a per-lane union Gram was the first attempt and
+    is pure HBM traffic at this problem shape: 14.6 s vs 0.10 s measured,
+    PERF.md).  Every point's final certificate is the same
     order-independent wls KKT sweep (noise-floor-masked) the scan's
     solver uses, so certified outputs match the scan to solver tolerance.
     Returns ``(out, out_r, all_cert)``; on ``all_cert == False`` the

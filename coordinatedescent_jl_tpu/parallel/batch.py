@@ -305,7 +305,8 @@ def lvocv_locpolyl1_batch(X, z, y, degree, h_arr, kernel_type, lam0,
             "lvocv_locpolyl1_batch: batched LOO runs for "
             f"{int((~oks).sum())} bandwidth(s) did not certify; "
             "recomputing those sequentially", RuntimeWarning)
-        mses = np.asarray(mses)
+        # np.array (copy): np.asarray of a jax array is a READ-ONLY view
+        mses = np.array(mses)
         for i in np.nonzero(~oks)[0]:
             mses[i] = _lvocv_locpolyl1_one_h(
                 X, z, y, hs[i], lam0j, key, degree, kernel_type, opts)

@@ -965,7 +965,12 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
                 stall = jnp.where(cert, stall,
                                   jnp.where(improved, 0, stall + 1))
                 best = jnp.minimum(best, mx)
-                cert = cert | (mx < tol) | (stall >= patience) | frozen
+                # near-tol finite plateaus only (see the single-device
+                # core): far-from-optimal / NaN lanes must stay
+                # uncertified so the scan fallback fires
+                stall_ok = ((stall >= patience) & (mx < 4 * tol)
+                            & jnp.isfinite(mx))
+                cert = cert | (mx < tol) | stall_ok | frozen
                 return (B, R, H, cert, best, stall, rounds + 1)
 
             B, _, _, cert, _, _, _ = lax.while_loop(

@@ -881,3 +881,31 @@ def test_tile_sharded_lasso_path():
                                 feat_axis="feature")
     assert pt.beta_path.shape == p1.beta_path.shape
     np.testing.assert_allclose(pt.beta_path, p1.beta_path, atol=1e-5)
+
+
+def test_lvocv_batch_fallback_recompute(batch_mesh):
+    """compact_rounds=0 gives the batched LOO zero refine rounds, so no
+    bandwidth certifies — the wrapper must warn and recompute every
+    bandwidth sequentially (this path once crashed on a read-only
+    np.asarray view of the jax MSE array)."""
+    import warnings
+
+    from coordinatedescent_jl_tpu.parallel import lvocv_locpolyl1_batch
+
+    rng = np.random.default_rng(71)
+    n, p = 60, 4
+    z = np.sort(rng.uniform(0, 1, n))
+    X = rng.standard_normal((n, p))
+    y = np.sin(2 * np.pi * z) * X[:, 0] + 0.3 * rng.standard_normal(n)
+    hs = np.asarray([0.1, 0.2])
+    opts = cd.CDOptions(block_size=8, opt_tol=1e-9, randomize=False)
+    m1 = cd.lvocv_locpolyl1(X, z, y, 1, hs, cd.GaussianKernel, 0.05,
+                            options=opts)
+    o0 = opts.replace(compact_rounds=0)
+    with warnings.catch_warnings(record=True) as ws:
+        warnings.simplefilter("always")
+        m2 = lvocv_locpolyl1_batch(X, z, y, 1, hs, cd.GaussianKernel,
+                                   0.05, batch_mesh, options=o0,
+                                   cv_batch=16)
+        assert any("recomputing" in str(w.message) for w in ws)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-6)
