@@ -238,20 +238,25 @@ def main():
             ok = bool(jnp.all(jnp.isfinite(out)))  # host read = sync
             t_vc = min(t_vc, time.perf_counter() - t0)
         extra["locpolyl1_scan_s"] = round(t_vc, 4)
-        # batched grid execution (auto default on accelerators) — same
-        # certified-or-fallback discipline as the λ-path: a fallback
-        # rep's time is never recorded
+        # batched grid execution — grid_batch pinned EXPLICITLY (like the
+        # λ-path's path_batch=128 above): relying on the auto default
+        # would silently time a second scan on CPU runs (where the
+        # default resolves to 0) and record it as a certified batched
+        # measurement.  Same certified-or-fallback discipline as the
+        # λ-path: a fallback rep's time is never recorded
         import warnings as _wv
 
         t_vb = float("inf")
         with _wv.catch_warnings(record=True) as _wsv:
             _wv.simplefilter("always")
-            outb, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern, 0.05)
+            outb, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern, 0.05,
+                                   grid_batch=128)
             float(jnp.sum(outb))
             for rep in range(2):
                 t0 = time.perf_counter()
                 outb, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern,
-                                       0.05 + 1e-7 * (rep + 1))
+                                       0.05 + 1e-7 * (rep + 1),
+                                       grid_batch=128)
                 float(jnp.sum(outb))
                 t_vb = min(t_vb, time.perf_counter() - t0)
             vb_cert = not any("falling back" in str(w.message)

@@ -36,7 +36,8 @@ from ..ops.block_cd import (
     solve_blocked,
 )
 from ..utils.helpers import std_X
-from ..utils.options import CDOptions, resolve_extrapolate
+from ..utils.options import (CDOptions, auto_batch_lanes,
+                             resolve_extrapolate)
 
 
 class LassoPath(NamedTuple):
@@ -212,6 +213,29 @@ def _union_block_fista(Ks, thr_full, Bs0, cs0, cert, opts: CDOptions,
     return bs
 
 
+def _stall_escape_update(cert, best, stall, mx, patience, tol,
+                         frozen=None):
+    """Per-lane f32 stall escape shared by EVERY batched certify/refine
+    loop (λ-path single-device + sharded, locpolyl1 z-grid, batched
+    LOO-CV).  f32 lanes can limit-cycle a hair above ``tol`` — the scan
+    path exits such points via its stall detector, so the batched
+    certify holds itself to the same bar, not a stricter one.  The
+    escape accepts only NEAR-TOL finite plateaus (the f32 limit cycle
+    sits within ~2·tol): a lane stuck far from optimality — saturated
+    union support, FISTA divergence on an underestimated Lipschitz
+    bound, NaN — must stay uncertified so the documented scan fallback
+    fires.  ``mx`` is the per-lane certificate max this round; returns
+    the updated ``(cert, best, stall)``."""
+    improved = mx < best
+    stall = jnp.where(cert, stall, jnp.where(improved, 0, stall + 1))
+    best = jnp.minimum(best, mx)
+    stall_ok = (stall >= patience) & (mx < 4 * tol) & jnp.isfinite(mx)
+    cert = cert | (mx < tol) | stall_ok
+    if frozen is not None:
+        cert = cert | frozen
+    return cert, best, stall
+
+
 @functools.partial(jax.jit, static_argnames=("opts", "stride", "batch"))
 def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
                              opts: CDOptions, stride: int, batch: int):
@@ -311,18 +335,8 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
             B = B.at[:, idx].set(bs, mode="drop")
             H = certify(B, R, thrw)
             mx = jnp.max(H, axis=1)
-            improved = mx < best
-            stall = jnp.where(cert, stall,
-                              jnp.where(improved, 0, stall + 1))
-            best = jnp.minimum(best, mx)
-            # the stall escape accepts only NEAR-TOL finite plateaus
-            # (the f32 limit cycle sits within ~2·tol): a lane stuck far
-            # from optimality — saturated union support, divergence,
-            # NaN — must stay uncertified so the documented scan
-            # fallback fires
-            stall_ok = ((stall >= patience) & (mx < 4 * tol)
-                        & jnp.isfinite(mx))
-            cert = cert | (mx < tol) | stall_ok | frozen
+            cert, best, stall = _stall_escape_update(
+                cert, best, stall, mx, patience, tol, frozen)
             return (B, R, H, cert, best, stall, rounds + 1)
 
         B, _, _, cert, _, _, _ = lax.while_loop(
@@ -424,9 +438,7 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
     lam_path = jnp.asarray(lam_path, X.dtype)
     L = int(lam_path.shape[0])
     if path_batch is None:
-        f32ish = jnp.dtype(X.dtype).itemsize < 8
-        path_batch = (128 if (f32ish and jax.default_backend() != "cpu"
-                              and L >= 16) else 0)
+        path_batch = auto_batch_lanes(X.dtype, L, min_points=16)
     if coarse_stride is None:
         coarse_stride = max(1, L - 1)
     if coarse_stride < 1:

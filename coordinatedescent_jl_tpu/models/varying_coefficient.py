@@ -41,7 +41,9 @@ from ..ops.block_cd import (
     solve_blocked,
 )
 from ..utils.helpers import get_sigma, std_X
-from ..utils.options import CDOptions, resolve_extrapolate
+from ..utils.options import (CDOptions, auto_batch_lanes,
+                             resolve_extrapolate)
+from .lasso_path import _stall_escape_update
 
 
 # ---------------------------------------------------------------------------
@@ -176,6 +178,32 @@ def _masked_weighted_refit(eX, w, y, mask):
     A = jnp.where(m2, A, jnp.eye(ep, dtype=A.dtype))
     b = jnp.where(mask, b, 0.0)
     return jnp.linalg.solve(A, b)
+
+
+def _batched_masked_refit(X, y, w, dpow, B):
+    """Batched (k-lane) form of ``_masked_weighted_refit`` on the
+    implicit expanded design: lane k's columns are X_j·(z_i−z0_k)^d,
+    materialized once per chunk as ``eXl``.  Shared by the batched
+    z-grid refit (``_locpolyl1_batched_core``) and the batched LOO-CV
+    refit (``_lvocv_locpolyl1_one_h_batched``) so the masked
+    normal-equation identity substitution stays single-sourced.
+    Off-mask rows of A become identity rows with b=0, so ``br`` is
+    exactly 0 off-mask.  Returns ``(br, mask)``."""
+    from ..ops.block_cd import _PREC
+
+    k, n = w.shape
+    p = X.shape[1]
+    q1 = dpow.shape[2]
+    ep = p * q1
+    eXl = (X[None, :, :, None] * dpow[:, :, None, :]).reshape(k, n, ep)
+    mask = jnp.repeat(jnp.any(B.reshape(k, p, q1) != 0, axis=2), q1,
+                      axis=1)
+    A = jnp.einsum("kne,kn,knf->kef", eXl, w, eXl, precision=_PREC)
+    b = jnp.einsum("kne,kn->ke", eXl, w * y[None, :], precision=_PREC)
+    m2 = mask[:, :, None] & mask[:, None, :]
+    A = jnp.where(m2, A, jnp.eye(ep, dtype=X.dtype)[None])
+    b = jnp.where(mask, b, 0.0)
+    return jnp.linalg.solve(A, b[..., None])[..., 0], mask
 
 
 @functools.partial(jax.jit,
@@ -400,18 +428,8 @@ class _VcBatchOps:
             R = self.residual(B)
             H = self.certify(B, R, thrw)
             mx = jnp.max(H, axis=1)
-            improved = mx < best
-            stall = jnp.where(cert, stall,
-                              jnp.where(improved, 0, stall + 1))
-            best = jnp.minimum(best, mx)
-            # near-tol finite plateaus only (see
-            # lasso_path._lasso_path_batched_core): a lane stuck far
-            # from optimality — e.g. FISTA divergence on an
-            # underestimated power-iteration Lipschitz bound, or NaN —
-            # must stay uncertified so the fallback fires
-            stall_ok = ((stall >= patience) & (mx < 4 * tol)
-                        & jnp.isfinite(mx))
-            cert = cert | (mx < tol) | stall_ok
+            cert, best, stall = _stall_escape_update(
+                cert, best, stall, mx, patience, tol)
             return (B, R, cert, best, stall, rounds + 1)
 
         B, R, cert, _, _, _ = lax.while_loop(
@@ -518,20 +536,9 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
     if refit:
         def refit_chunk(args):
             z0, B = args
-            kk = z0.shape[0]
             w, dpow = lane_tensors(z0)
-            eXl = (X[None, :, :, None]
-                   * dpow[:, :, None, :]).reshape(kk, n, ep)
-            mask = jnp.repeat(
-                jnp.any(B.reshape(kk, p, q1) != 0, axis=2), q1, axis=1)
-            A = jnp.einsum("kne,kn,knf->kef", eXl, w, eXl,
-                           precision=_PREC)
-            b = jnp.einsum("kne,kn->ke", eXl, w * y[None, :],
-                           precision=_PREC)
-            m2 = mask[:, :, None] & mask[:, None, :]
-            A = jnp.where(m2, A, jnp.eye(ep, dtype=dt)[None])
-            b = jnp.where(mask, b, 0.0)
-            return jnp.linalg.solve(A, b[..., None])[..., 0]
+            br, _ = _batched_masked_refit(X, y, w, dpow, B)
+            return br
 
         kr = min(batch, g)
         ncr = -(-g // kr)
@@ -596,9 +603,7 @@ def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
     key = jax.random.PRNGKey(seed)
     L = int(zgrid.shape[0])
     if grid_batch is None:
-        f32ish = jnp.dtype(X.dtype).itemsize < 8
-        grid_batch = (128 if (f32ish and jax.default_backend() != "cpu"
-                              and L >= 16) else 0)
+        grid_batch = auto_batch_lanes(X.dtype, L, min_points=16)
     if coarse_stride is None:
         coarse_stride = max(1, (L - 1) // 9)   # ~10 anchors
     if coarse_stride < 1:
@@ -790,17 +795,7 @@ def _lvocv_locpolyl1_one_h_batched(X, z, y, h, lam0, degree: int,
         # group-support weighted refit + held-out prediction (:130-134);
         # the held-out row has (z_i − z0) = 0, so only its degree-0
         # entries predict: yh = Σ_j X[i,j]·(mask·br)[(j,0)]
-        mask = jnp.repeat(jnp.any(B.reshape(k, p, q1) != 0, axis=2),
-                          q1, axis=1)
-        eXl = (X[None, :, :, None]
-               * ops.dpow[:, :, None, :]).reshape(k, n, ep)
-        Ar = jnp.einsum("kne,kn,knf->kef", eXl, w, eXl, precision=_PREC)
-        br_b = jnp.einsum("kne,kn->ke", eXl, w * y[None, :],
-                          precision=_PREC)
-        m2 = mask[:, :, None] & mask[:, None, :]
-        Ar = jnp.where(m2, Ar, jnp.eye(ep, dtype=dt)[None])
-        br_b = jnp.where(mask, br_b, 0.0)
-        br = jnp.linalg.solve(Ar, br_b[..., None])[..., 0]
+        br, mask = _batched_masked_refit(X, y, w, ops.dpow, B)
         bm = (br * mask).reshape(k, p, q1)[:, :, 0]        # (k, p)
         yh = jnp.einsum("kp,kp->k", jnp.take(X, idx, axis=0), bm,
                         precision=_PREC)
@@ -846,9 +841,7 @@ def lvocv_locpolyl1(X, z, y, degree: int, h_arr, kernel_type, lam0,
     opts = options.replace(warm_start=True)
     key = jax.random.PRNGKey(seed)
     if cv_batch is None:
-        f32ish = jnp.dtype(X.dtype).itemsize < 8
-        cv_batch = (128 if (f32ish and jax.default_backend() != "cpu")
-                    else 0)
+        cv_batch = auto_batch_lanes(X.dtype)
     mses = []
     for h in np.asarray(h_arr):
         hj = jnp.asarray(h, X.dtype)

@@ -28,7 +28,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.block_cd import _to_blocked_beta, build_blocked, solve_blocked
-from ..utils.options import CDOptions
+from ..utils.options import CDOptions, auto_batch_lanes
 
 
 def _pad_batch(v, D):
@@ -289,9 +289,7 @@ def lvocv_locpolyl1_batch(X, z, y, degree, h_arr, kernel_type, lam0,
     hs, L = _pad_batch(h_arr, D)
     opts = options.replace(warm_start=True)
     if cv_batch is None:
-        f32ish = jnp.dtype(X.dtype).itemsize < 8
-        cv_batch = (128 if (f32ish and jax.default_backend() != "cpu")
-                    else 0)
+        cv_batch = auto_batch_lanes(X.dtype)
     solver = _make_lvocv_l1_batch(degree, kernel_type, opts, mesh,
                                   batch_axis, int(cv_batch))
     key = jax.random.PRNGKey(seed)

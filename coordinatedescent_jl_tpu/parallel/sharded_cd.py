@@ -55,7 +55,8 @@ from ..ops.block_cd import (
 )
 from ..ops.losses import LeastSquaresLoss, SqrtLassoLoss, WeightedLSLoss
 from ..ops.prox import ProxL1, ProxZero, as_l1
-from ..utils.options import CDOptions, IterLassoOptions, resolve_extrapolate
+from ..utils.options import (CDOptions, IterLassoOptions, auto_batch_lanes,
+                             resolve_extrapolate)
 from ..utils.helpers import sample_std, find_init_sigma
 
 
@@ -839,6 +840,7 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
     import numpy as np
     from ..models.lasso_path import (
         _kkt_violation_lanes,
+        _stall_escape_update,
         _union_block_fista,
         _union_priority,
     )
@@ -961,16 +963,9 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
                 B = B.at[:, loc_safe].set(bs, mode="drop")
                 H = certify(B, R, thrwl)
                 mx = gmax_lanes(H)
-                improved = mx < best
-                stall = jnp.where(cert, stall,
-                                  jnp.where(improved, 0, stall + 1))
-                best = jnp.minimum(best, mx)
-                # near-tol finite plateaus only (see the single-device
-                # core): far-from-optimal / NaN lanes must stay
-                # uncertified so the scan fallback fires
-                stall_ok = ((stall >= patience) & (mx < 4 * tol)
-                            & jnp.isfinite(mx))
-                cert = cert | (mx < tol) | stall_ok | frozen
+                # all inputs are post-collective → shard-consistent
+                cert, best, stall = _stall_escape_update(
+                    cert, best, stall, mx, patience, tol, frozen)
                 return (B, R, H, cert, best, stall, rounds + 1)
 
             B, _, _, cert, _, _, _ = lax.while_loop(
@@ -1100,9 +1095,7 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
     lam_path = jnp.asarray(lam_path, X.dtype)
     L = int(lam_path.shape[0])
     if path_batch is None:
-        f32ish = jnp.dtype(X.dtype).itemsize < 8
-        path_batch = (128 if (f32ish and jax.default_backend() != "cpu"
-                              and L >= 16) else 0)
+        path_batch = auto_batch_lanes(X.dtype, L, min_points=16)
     if coarse_stride is None:
         coarse_stride = max(1, L - 1)
     if coarse_stride < 1:

@@ -135,6 +135,29 @@ def resolve_extrapolate(options: "CDOptions", consumer_default: bool) -> bool:
             else options.extrapolate)
 
 
+def auto_batch_lanes(dtype, n_points: int | None = None,
+                     min_points: int = 0) -> int:
+    """Shared auto-default for the batched certify/refine execution
+    modes (λ-path single-device + sharded, locpolyl1 z-grid, LOO-CV
+    local + bandwidth-sharded): 128 lanes iff the dtype is sub-f64 AND
+    the backend is an accelerator (on CPU the batched trade — more
+    FLOPs for a shorter serial chain — measurably loses) AND the
+    schedule has at least ``min_points`` entries.  Returns 0 (the
+    sequential scan) otherwise.  Single-sourced so every surface
+    engages batching under identical conditions."""
+    import numpy as _np
+
+    import jax as _jax
+
+    if _np.dtype(dtype).itemsize >= 8:
+        return 0
+    if _jax.default_backend() == "cpu":
+        return 0
+    if n_points is not None and n_points < min_points:
+        return 0
+    return 128
+
+
 @dataclass(frozen=True)
 class IterLassoOptions:
     """Options for the outer loops of Scaled-Lasso and Feasible-Lasso.
