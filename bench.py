@@ -114,17 +114,20 @@ def main():
 
     t_pb = float("inf")
     pb_cert = False
+    pb_esc = 0
     pb_diff = float("nan")
+    pst = {}
     pstride = min(99, L - 1)  # endpoints-only anchors at any grid length
     try:
         with _warnings.catch_warnings(record=True) as _wl:
             _warnings.simplefilter("always")
             pb = cd.lasso_path(X, y, lams, options=opts,
                                standardize_X=False, path_batch=128,
-                               coarse_stride=pstride)  # compile
+                               coarse_stride=pstride, stats=pst)  # compile
             float(jnp.sum(pb.beta_path))
             pb_cert = not any("did not certify" in str(w.message)
                               for w in _wl)
+            pb_esc = max(pb_esc, pst.get("stall_escaped_lanes", 0))
         # agreement is taken from the compile call: batched and scan both
         # solved the UNPERTURBED grid there — diffing a perturbed-λ timed
         # rep against the unperturbed scan would conflate the λ
@@ -142,12 +145,15 @@ def main():
                                               for l in lams],
                                        options=opts, standardize_X=False,
                                        path_batch=128,
-                                       coarse_stride=pstride)
+                                       coarse_stride=pstride, stats=pst)
                     float(jnp.sum(pb.beta_path))
                     pb_cert = pb_cert and not any(
                         "did not certify" in str(w.message) for w in _wl)
+                    pb_esc = max(pb_esc,
+                                 pst.get("stall_escaped_lanes", 0))
                 t_pb = min(t_pb, time.perf_counter() - t0)
         _log(f"bench: path(batched) run {t_pb:.2f}s certified={pb_cert} "
+             f"stall_escaped_lanes={pb_esc} "
              f"max|diff vs scan|={pb_diff:.2e}")
     except Exception as e:  # pragma: no cover - backend-specific
         _log(f"bench: path(batched) failed: {e}")
@@ -247,21 +253,26 @@ def main():
         import warnings as _wv
 
         t_vb = float("inf")
+        vst = {}
+        vb_esc = 0
         with _wv.catch_warnings(record=True) as _wsv:
             _wv.simplefilter("always")
             outb, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern, 0.05,
-                                   grid_batch=128)
+                                   grid_batch=128, stats=vst)
             float(jnp.sum(outb))
+            vb_esc = max(vb_esc, vst.get("stall_escaped_lanes", 0))
             for rep in range(2):
                 t0 = time.perf_counter()
                 outb, _ = cd.locpolyl1(Xv, zv, yv, zgrid, 1, kern,
                                        0.05 + 1e-7 * (rep + 1),
-                                       grid_batch=128)
+                                       grid_batch=128, stats=vst)
                 float(jnp.sum(outb))
                 t_vb = min(t_vb, time.perf_counter() - t0)
+                vb_esc = max(vb_esc, vst.get("stall_escaped_lanes", 0))
             vb_cert = not any("falling back" in str(w.message)
                               for w in _wsv)
         extra["locpolyl1_batched_certified"] = bool(vb_cert)
+        extra["locpolyl1_stall_escaped_lanes"] = int(vb_esc)
         if vb_cert:
             extra["locpolyl1_batched_s"] = round(t_vb, 4)
             extra["locpolyl1_batched_vs_scan_max_abs_diff"] = float(
@@ -393,25 +404,31 @@ def main():
             # + scan (+ scan compile) — such a time is never recorded
             # (same policy as the single-device batched headline)
             t_sp = float("inf")
+            sst = {}
+            sp_esc = 0
             with _w.catch_warnings(record=True) as _ws:
                 _w.simplefilter("always")
                 psh = cd.parallel.lasso_path_sharded(
                     Xs, ys, lams_sp, mesh1, options=os_,
                     standardize_X=False, path_batch=min(128, Lsp),
-                    coarse_stride=Lsp - 1)  # compile
+                    coarse_stride=Lsp - 1, stats=sst)  # compile
                 float(jnp.sum(psh.beta_path))
+                sp_esc = max(sp_esc, sst.get("stall_escaped_lanes", 0))
                 for rep in range(2):
                     lams_rep = lams_sp * (1.0 + 1e-7 * (rep + 1))
                     t0 = time.perf_counter()
                     psh = cd.parallel.lasso_path_sharded(
                         Xs, ys, lams_rep, mesh1, options=os_,
                         standardize_X=False, path_batch=min(128, Lsp),
-                        coarse_stride=Lsp - 1)
+                        coarse_stride=Lsp - 1, stats=sst)
                     float(jnp.sum(psh.beta_path))
                     t_sp = min(t_sp, time.perf_counter() - t0)
+                    sp_esc = max(sp_esc,
+                                 sst.get("stall_escaped_lanes", 0))
                 sp_cert = not any("falling back" in str(w.message)
                                   for w in _ws)
             extra["sharded_path_batched_certified"] = bool(sp_cert)
+            extra["sharded_path_stall_escaped_lanes"] = int(sp_esc)
             extra["sharded_path_1dev_points"] = int(psh.beta_path.shape[0])
             if sp_cert:
                 extra["sharded_path_1dev_s"] = round(t_sp, 4)
@@ -528,6 +545,7 @@ def main():
             "path_batched_s": (round(t_pb, 4)
                                if t_pb != float("inf") else None),
             "path_batched_certified": bool(pb_cert),
+            "path_stall_escaped_lanes": int(pb_esc),
             "path_batched_vs_scan_max_abs_diff":
                 (None if not np.isfinite(pb_diff) else pb_diff),
             "compile_plus_run_s": round(t_with_compile, 4),

@@ -25,6 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..ops.batched_certify import (
+    kkt_violation_lanes,
+    stall_escape_update,
+    union_block_fista,
+    union_priority,
+)
 from ..ops.block_cd import (
     _compact_mode,
     _empty_ws_cache,
@@ -110,132 +116,6 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
     return betas.reshape(betas.shape[0], -1)[:, :p], valids
 
 
-def _kkt_violation_lanes(B, R, thrw, X, adiag, xnorm):
-    """Per-lane KKT violation magnitudes |prox-step| for a batch of
-    iterates against (a column block of) ``X`` — the order-independent
-    certify sweep of the batched path execution, shared by the
-    single-device and feature-sharded drivers.  ``B``/``thrw`` are
-    ``(k, p_cols)``, ``R`` ``(k, n)``; returns noise-floor-masked ``H``
-    of shape ``(k, p_cols)``."""
-    from ..ops.block_cd import _PREC, noise_floor_mask
-
-    dt = B.dtype
-    Cg = jnp.dot(R, X, precision=_PREC)
-    # the prox step |soft(B + c/a, t) − B| computed literally cancels at
-    # scale |B| (~4 ulps of a large coefficient exceeds an f32 tol=1e-6);
-    # algebraically B cancels EXACTLY on the un-thresholded branch:
-    # h = c/a − t·sign(z) — a cancellation at scale t ≈ |c/a| instead
-    g = Cg / adiag[None]
-    t = thrw / adiag[None]
-    zv = B + g
-    H = jnp.abs(jnp.where(jnp.abs(zv) > t, g - t * jnp.sign(zv), -B))
-    if jnp.dtype(dt).itemsize < 8:
-        eps = jnp.finfo(dt).eps
-        rnorm = jnp.sqrt(jnp.einsum("kn,kn->k", R, R, precision=_PREC))
-        return noise_floor_mask(
-            H, B, 4 * eps * rnorm[:, None] / xnorm[None, :])
-    return noise_floor_mask(H, B)
-
-
-def _union_priority(B, H, cert, hi):
-    """Two-tier union-working-set priority per column: support
-    coordinates of uncertified lanes strictly above violations, ranked
-    by |B| within the support tier and by H within the violation tier.
-    ``hi`` must be ``2·max(H over uncertified) + 1`` over ALL columns
-    (globally reduced by the sharded caller) — a finfo.max tier offset
-    would absorb the ranks in floating point and degenerate top_k to
-    index order."""
-    Habs = jnp.where(cert[:, None], 0.0, H)
-    Bmag = jnp.max(jnp.where(cert[:, None], 0.0, jnp.abs(B)), axis=0)
-    anynz = jnp.any((B != 0) & ~cert[:, None], axis=0)
-    return jnp.where(anynz, hi * (1.0 + Bmag / (1.0 + Bmag)),
-                     jnp.max(Habs, axis=0))
-
-
-def _union_block_fista(Ks, thr_full, Bs0, cs0, cert, opts: CDOptions,
-                       n_sweeps: int = 8):
-    """Cyclic block-FISTA refinement over a gathered union working set:
-    ``block_size``-wide blocks of the union Gram ``Ks`` with per-block
-    Gershgorin majorizers (the proven ``block_cd._visit_block`` scheme; a
-    single whole-union majorizer is ~C/√n too loose and never certifies)
-    and cross-block gradient maintenance.  Gram-sized — the sharded
-    driver runs it replicated on every shard.  ``Bs0``/``cs0`` are
-    ``(k, Cp)`` lane coefficients and gradients ``Xs'R``; certified lanes
-    (``cert``) are frozen.  Returns the refined ``bs``."""
-    from ..ops.block_cd import _PREC
-    from ..ops.prox import soft_threshold
-
-    dt = Bs0.dtype
-    Cp = Ks.shape[0]
-    Bb = int(opts.block_size)
-    ncb = Cp // Bb
-    Kd = Ks.reshape(ncb, Bb, ncb, Bb)
-    Kdiag = Kd[jnp.arange(ncb), :, jnp.arange(ncb), :]    # (ncb, Bb, Bb)
-    Lb = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Kdiag), axis=2), axis=1),
-                     jnp.asarray(1e-30, dt))              # (ncb,)
-
-    def sweep(carry, _):
-        bs, cs = carry              # (k, Cp) coeffs; cs = Xs'R(bs)
-
-        def blk(carry2, b):
-            bs, cs = carry2
-            o = b * Bb
-            bs_b = lax.dynamic_slice_in_dim(bs, o, Bb, 1)
-            cs_b = lax.dynamic_slice_in_dim(cs, o, Bb, 1)
-            thr_b = lax.dynamic_slice_in_dim(thr_full, o, Bb, 1)
-            Kbb = Kdiag[b]
-            L = Lb[b]
-
-            def fista(c3, _):
-                z, v, t = c3
-                gv = cs_b - jnp.dot(v - bs_b, Kbb, precision=_PREC)
-                z_new = soft_threshold(v + gv / L, thr_b / L)
-                t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-                v_new = z_new + ((t - 1.0) / t_new) * (z_new - z)
-                return (z_new, v_new, t_new), None
-
-            (b_new, _, _), _ = lax.scan(
-                fista, (bs_b, bs_b, jnp.ones((), dt)), None,
-                length=opts.block_iters)
-            b_new = jnp.where(cert[:, None], bs_b, b_new)
-            d = b_new - bs_b
-            # cross-block gradient maintenance: cs -= d·Ks[rows b]
-            Krows = lax.dynamic_slice_in_dim(Ks, o, Bb, 0)
-            cs = cs - jnp.dot(d, Krows, precision=_PREC)
-            bs = lax.dynamic_update_slice_in_dim(bs, b_new, o, 1)
-            return (bs, cs), None
-
-        return lax.scan(blk, (bs, cs), jnp.arange(ncb))[0], None
-
-    # several cyclic sweeps per certify: sweeps are Gram-sized (cheap);
-    # the certify GEMM is the O(n·p) X read to amortize
-    (bs, _), _ = lax.scan(sweep, (Bs0, cs0), None, length=n_sweeps)
-    return bs
-
-
-def _stall_escape_update(cert, best, stall, mx, patience, tol,
-                         frozen=None):
-    """Per-lane f32 stall escape shared by EVERY batched certify/refine
-    loop (λ-path single-device + sharded, locpolyl1 z-grid, batched
-    LOO-CV).  f32 lanes can limit-cycle a hair above ``tol`` — the scan
-    path exits such points via its stall detector, so the batched
-    certify holds itself to the same bar, not a stricter one.  The
-    escape accepts only NEAR-TOL finite plateaus (the f32 limit cycle
-    sits within ~2·tol): a lane stuck far from optimality — saturated
-    union support, FISTA divergence on an underestimated Lipschitz
-    bound, NaN — must stay uncertified so the documented scan fallback
-    fires.  ``mx`` is the per-lane certificate max this round; returns
-    the updated ``(cert, best, stall)``."""
-    improved = mx < best
-    stall = jnp.where(cert, stall, jnp.where(improved, 0, stall + 1))
-    best = jnp.minimum(best, mx)
-    stall_ok = (stall >= patience) & (mx < 4 * tol) & jnp.isfinite(mx)
-    cert = cert | (mx < tol) | stall_ok
-    if frozen is not None:
-        cert = cert | frozen
-    return cert, best, stall
-
-
 @functools.partial(jax.jit, static_argnames=("opts", "stride", "batch"))
 def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
                              opts: CDOptions, stride: int, batch: int):
@@ -257,14 +137,18 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     any violation they develop.  Every point's final certify is the
     engine's order-independent full KKT sweep with the f32 noise floor.
 
-    Returns ``(betas, valids, all_cert)``.  ``all_cert`` is False when any
-    refined lane exhausted its round budget without passing the certify
-    sweep (e.g. a chunk's union support saturating ``compact_size``) — the
-    caller MUST then discard the batched result and fall back to the scan
-    path, which handles those regimes; certified outputs match the scan to
-    solver tolerance.  Lanes past the coarse scan's ``max_hat_s`` stop are
-    frozen (their anchors are stale by construction); they are truncated
-    by the final prefix rule exactly like the scan's post-stop points."""
+    Returns ``(betas, valids, all_cert, n_escaped)``.  ``all_cert`` is
+    False when any refined lane exhausted its round budget without passing
+    the certify sweep (e.g. a chunk's union support saturating
+    ``compact_size``) — the caller MUST then discard the batched result
+    and fall back to the scan path, which handles those regimes; certified
+    outputs match the scan to solver tolerance.  ``n_escaped`` counts the
+    lanes accepted via the near-tol stall escape rather than the strict
+    ``mx < tol`` rule (always 0 at f64 — see
+    ``ops.batched_certify.stall_escape_update``).  Lanes past the coarse
+    scan's ``max_hat_s`` stop are frozen (their anchors are stale by
+    construction); they are truncated by the final prefix rule exactly
+    like the scan's post-stop points."""
     from ..ops.block_cd import _PREC
 
     n, p = X.shape
@@ -291,7 +175,7 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     Cp = -(-C // Bb) * Bb
 
     def certify(B, R, thrw):
-        return _kkt_violation_lanes(B, R, thrw, X, adiag, xnorm)
+        return kkt_violation_lanes(B, R, thrw, X, adiag, xnorm)
 
     def refine(args):
         lam_k, B0, frozen = args                           # (k,), (k,p), (k,)
@@ -307,16 +191,17 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
         patience = (opts.stall_patience if sub_f64
                     else np.iinfo(np.int32).max)
         stall0 = jnp.zeros(mx0.shape, jnp.int32)
+        esc0 = jnp.zeros(mx0.shape, bool)
 
         def cond(s):
-            B, R, H, cert, best, stall, rounds = s
+            B, R, H, cert, best, stall, esc, rounds = s
             return jnp.logical_and(~jnp.all(cert),
                                    rounds < 2 * opts.compact_rounds)
 
         def body(s):
-            B, R, H, cert, best, stall, rounds = s
+            B, R, H, cert, best, stall, esc, rounds = s
             hi = 2.0 * jnp.max(jnp.where(cert[:, None], 0.0, H)) + 1.0
-            pri = _union_priority(B, H, cert, hi)
+            pri = union_priority(B, H, cert, hi)
             _, idx = lax.top_k(pri, C)
             idx = jnp.sort(idx)
             if Cp != C:                       # pad → zero columns below
@@ -330,19 +215,19 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
             thr_full = jnp.take(thrw, idx, axis=1, mode="fill",
                                 fill_value=jnp.finfo(dt).max / 8)
             cs0 = jnp.dot(R, Xs, precision=_PREC)          # (k, Cp) = Xs'R
-            bs = _union_block_fista(Ks, thr_full, Bs0, cs0, cert, opts)
+            bs = union_block_fista(Ks, thr_full, Bs0, cs0, cert, opts)
             R = R - jnp.dot(bs - Bs0, Xs.T, precision=_PREC)
             B = B.at[:, idx].set(bs, mode="drop")
             H = certify(B, R, thrw)
             mx = jnp.max(H, axis=1)
-            cert, best, stall = _stall_escape_update(
-                cert, best, stall, mx, patience, tol, frozen)
-            return (B, R, H, cert, best, stall, rounds + 1)
+            cert, best, stall, esc = stall_escape_update(
+                cert, best, stall, esc, mx, patience, tol, frozen)
+            return (B, R, H, cert, best, stall, esc, rounds + 1)
 
-        B, _, _, cert, _, _, _ = lax.while_loop(
-            cond, body, (B0, R, H0, cert0, mx0, stall0,
+        B, _, _, cert, _, _, esc, _ = lax.while_loop(
+            cond, body, (B0, R, H0, cert0, mx0, stall0, esc0,
                          jnp.zeros((), jnp.int32)))
-        return B, cert
+        return B, cert, esc
 
     if rest.size:
         seg = np.searchsorted(cidx, rest) - 1
@@ -373,36 +258,39 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
             frozen = jnp.concatenate(
                 [frozen, jnp.ones((pad,), bool)])
         if nchunks == 1:
-            refined_all, certs = refine((lam_r, starts, frozen))
+            refined_all, certs, escs = refine((lam_r, starts, frozen))
         else:
-            refined_all, certs = lax.map(
+            refined_all, certs, escs = lax.map(
                 refine, (lam_r.reshape(nchunks, k),
                          starts.reshape(nchunks, k, p),
                          frozen.reshape(nchunks, k)))
             refined_all = refined_all.reshape(nchunks * k, p)
             certs = certs.reshape(nchunks * k)
+            escs = escs.reshape(nchunks * k)
         refined = refined_all[:rest.size]
         all_cert = jnp.all(certs[:rest.size] | frozen[:rest.size])
+        n_escaped = jnp.sum(escs[:rest.size].astype(jnp.int32))
         betas = (jnp.zeros((g, p), dt)
                  .at[jnp.asarray(cidx)].set(betas_c)
                  .at[jnp.asarray(rest)].set(refined))
     else:
         betas = betas_c
         all_cert = jnp.ones((), bool)
+        n_escaped = jnp.zeros((), jnp.int32)
 
     # reference early-stop semantics: the first point whose support
     # exceeds max_hat_s is still recorded, later points are dropped
     exceed = jnp.sum(betas != 0, axis=1) > max_hat_s
     stopped_before = jnp.concatenate(
         [jnp.zeros((1,), bool), jnp.cumsum(exceed)[:-1] > 0])
-    return betas, ~stopped_before, all_cert
+    return betas, ~stopped_before, all_cert, n_escaped
 
 
 def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
                max_hat_s: float = np.inf, standardize_X: bool = True,
                path_batch: int | None = None,
                coarse_stride: int | None = None,
-               seed: int = 0) -> LassoPath:
+               seed: int = 0, stats: dict | None = None) -> LassoPath:
     """Solve the Lasso along a **decreasing** λ grid with warm starts.
 
     Reference ``LassoPath`` (lasso.jl:229-260).  With ``standardize_X`` the
@@ -432,6 +320,13 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
     its certify sweep falls back to the scan automatically (warning), so
     the auto mode never changes semantics — every returned point is
     certified by the same order-independent full-KKT rule either way.
+
+    ``stats``, if a dict, is populated with run accounting:
+    ``used_batched`` (bool), ``batched_certified`` (bool — False both on
+    fallback and when the batched mode never ran), and
+    ``stall_escaped_lanes`` (int — lanes of the RETURNED batched result
+    accepted via the near-tol stall escape instead of the strict rule;
+    0 whenever the scan result is returned, and always 0 at f64).
     """
     X = jnp.asarray(X)
     y = jnp.asarray(y, X.dtype)
@@ -448,11 +343,15 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
     lamw = std_X(X) if standardize_X else jnp.ones((X.shape[1],), X.dtype)
     key = jax.random.PRNGKey(seed)
     batched_ok = False
+    used_batched = False
+    n_escaped = 0
     if path_batch and lam_path.shape[0] > max(2, coarse_stride):
-        betas, valids, all_cert = _lasso_path_batched_core(
+        used_batched = True
+        betas, valids, all_cert, n_esc = _lasso_path_batched_core(
             X, y, lam_path, lamw, key, jnp.asarray(max_hat_s, X.dtype),
             options, int(coarse_stride), int(path_batch))
         batched_ok = bool(all_cert)
+        n_escaped = int(n_esc) if batched_ok else 0
         if not batched_ok:
             # a refined lane exhausted its round budget without passing
             # the certify sweep (typically a chunk's union support
@@ -467,6 +366,10 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
         betas, valids = _lasso_path_core(
             X, y, lam_path, lamw, key, jnp.asarray(max_hat_s, X.dtype),
             options)
+    if stats is not None:
+        stats["used_batched"] = used_batched and batched_ok
+        stats["batched_certified"] = batched_ok
+        stats["stall_escaped_lanes"] = n_escaped
     valids = np.asarray(valids)
     k = int(valids.sum())
     return LassoPath(lam_path[:k], betas[:k])

@@ -43,7 +43,7 @@ from ..ops.block_cd import (
 from ..utils.helpers import get_sigma, std_X
 from ..utils.options import (CDOptions, auto_batch_lanes,
                              resolve_extrapolate)
-from .lasso_path import _stall_escape_update
+from ..ops.batched_certify import stall_escape_update
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +351,7 @@ class _VcBatchOps:
         Cg = jnp.einsum("knd,np->kpd", U, self.X,
                         precision=_PREC).reshape(self.k, self.ep)
         # cancellation-safe prox step (see
-        # lasso_path._kkt_violation_lanes): B cancels algebraically
+        # batched_certify.kkt_violation_lanes): B cancels algebraically
         gq = Cg / self.adiag
         tq = thrw / self.adiag
         zq = B + gq
@@ -401,7 +401,10 @@ class _VcBatchOps:
     def solve(self, B0, thrw, frozen=None):
         """Certify/refine loop to the engine's KKT criterion (noise
         floor + f32 per-lane stall escape — see
-        _locpolyl1_batched_core).  Returns ``(B, R, cert)``."""
+        _locpolyl1_batched_core).  Returns ``(B, R, cert, escaped)``
+        where ``escaped`` marks the lanes accepted via the near-tol
+        stall escape rather than the strict rule (always all-False at
+        f64)."""
         opts = self.opts
         tol = opts.opt_tol
         if frozen is None:
@@ -413,14 +416,15 @@ class _VcBatchOps:
         patience = (opts.stall_patience if self.sub_f64
                     else np.iinfo(np.int32).max)
         stall0 = jnp.zeros((self.k,), jnp.int32)
+        esc0 = jnp.zeros((self.k,), bool)
 
         def cond(s):
-            B, R, cert, best, stall, rounds = s
+            B, R, cert, best, stall, esc, rounds = s
             return jnp.logical_and(~jnp.all(cert),
                                    rounds < 2 * opts.compact_rounds)
 
         def body(s):
-            B, R, cert, best, stall, rounds = s
+            B, R, cert, best, stall, esc, rounds = s
             B = self.fista_phase(B, cert, thrw)
             # residual recomputed fresh each certify (an incrementally
             # maintained R would accumulate exactly the f32 drift the
@@ -428,14 +432,14 @@ class _VcBatchOps:
             R = self.residual(B)
             H = self.certify(B, R, thrw)
             mx = jnp.max(H, axis=1)
-            cert, best, stall = _stall_escape_update(
-                cert, best, stall, mx, patience, tol)
-            return (B, R, cert, best, stall, rounds + 1)
+            cert, best, stall, esc = stall_escape_update(
+                cert, best, stall, esc, mx, patience, tol)
+            return (B, R, cert, best, stall, esc, rounds + 1)
 
-        B, R, cert, _, _, _ = lax.while_loop(
-            cond, body, (B0, R0, cert0, mx0, stall0,
+        B, R, cert, _, _, esc, _ = lax.while_loop(
+            cond, body, (B0, R0, cert0, mx0, stall0, esc0,
                          jnp.zeros((), jnp.int32)))
-        return B, R, cert
+        return B, R, cert, esc
 
 
 @functools.partial(jax.jit, static_argnames=("degree", "opts", "refit",
@@ -463,8 +467,9 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
     PERF.md).  Every point's final certificate is the same
     order-independent wls KKT sweep (noise-floor-masked) the scan's
     solver uses, so certified outputs match the scan to solver tolerance.
-    Returns ``(out, out_r, all_cert)``; on ``all_cert == False`` the
-    caller MUST fall back to the scan."""
+    Returns ``(out, out_r, all_cert, n_escaped)``; on ``all_cert ==
+    False`` the caller MUST fall back to the scan.  ``n_escaped`` counts
+    the lanes accepted via the near-tol stall escape (always 0 at f64)."""
     from ..ops.block_cd import _PREC
 
     n, p = X.shape
@@ -489,8 +494,8 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
         z0, B0 = args                   # (k,), (k, ep)
         ops = _VcBatchOps(X, z, y, kernel, z0, degree, opts)
         thrw = ops.lamw * (lam0 * n_scale)
-        B, _, cert = ops.solve(B0, thrw)
-        return B, cert
+        B, _, cert, esc = ops.solve(B0, thrw)
+        return B, cert, esc
 
     def lane_tensors(z0):
         """Per-lane kernel weights (k, n) and the power tensor
@@ -517,21 +522,24 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
             starts = jnp.concatenate(
                 [starts, jnp.repeat(starts[-1:], pad, axis=0)])
         if nchunks == 1:
-            refined_all, certs = refine((z_r, starts))
+            refined_all, certs, escs = refine((z_r, starts))
         else:
-            refined_all, certs = lax.map(
+            refined_all, certs, escs = lax.map(
                 refine, (z_r.reshape(nchunks, k),
                          starts.reshape(nchunks, k, ep)))
             refined_all = refined_all.reshape(nchunks * k, ep)
             certs = certs.reshape(nchunks * k)
+            escs = escs.reshape(nchunks * k)
         refined = refined_all[:rest.size]
         all_cert = jnp.all(certs[:rest.size])
+        n_escaped = jnp.sum(escs[:rest.size].astype(jnp.int32))
         betas = (jnp.zeros((g, ep), dt)
                  .at[jnp.asarray(cidx)].set(betas_c)
                  .at[jnp.asarray(rest)].set(refined))
     else:
         betas = betas_c
         all_cert = jnp.ones((), bool)
+        n_escaped = jnp.zeros((), jnp.int32)
 
     if refit:
         def refit_chunk(args):
@@ -558,13 +566,14 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
         out_r = out_r[:g]
     else:
         out_r = jnp.zeros((g, ep), dt)
-    return betas.T, out_r.T, all_cert
+    return betas.T, out_r.T, all_cert, n_escaped
 
 
 def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
               refit: bool = True, options: CDOptions = CDOptions(), *,
               grid_batch: int | None = None,
-              coarse_stride: int | None = None, seed: int = 0):
+              coarse_stride: int | None = None, seed: int = 0,
+              stats: dict | None = None):
     """Varying-coefficient lasso on a grid of evaluation points.
 
     Reference ``locpolyl1`` (:30-79): at each z0, kernel weights + expanded
@@ -592,6 +601,11 @@ def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
     ~4e-10).  Defaults auto-resolve from that measurement: ``None``
     enables 128-lane batching with endpoint-ish anchors for sub-f64
     dtypes off-CPU on grids of ≥ 16 points; f64/CPU keep the scan.
+
+    ``stats``, if a dict, receives ``used_batched``,
+    ``batched_certified`` and ``stall_escaped_lanes`` — the same run
+    accounting contract as ``lasso_path`` (escaped lanes are 0 whenever
+    the scan result is returned, and always 0 at f64).
     """
     import warnings
 
@@ -610,12 +624,18 @@ def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
         raise ValueError("coarse_stride must be >= 1")
     if grid_batch < 0:
         raise ValueError("grid_batch must be >= 0")
+    if stats is not None:
+        stats.update(used_batched=False, batched_certified=False,
+                     stall_escaped_lanes=0)
     if grid_batch and L > max(2, coarse_stride):
-        out, out_r, all_cert = _locpolyl1_batched_core(
+        out, out_r, all_cert, n_esc = _locpolyl1_batched_core(
             X, z, y, zgrid, jnp.asarray(kernel.h, X.dtype),
             jnp.asarray(lam0, X.dtype), key, degree, type(kernel), opts,
             refit, int(coarse_stride), int(grid_batch))
         if bool(all_cert):
+            if stats is not None:
+                stats.update(used_batched=True, batched_certified=True,
+                             stall_escaped_lanes=int(n_esc))
             return out, out_r
         warnings.warn(
             "locpolyl1(grid_batch=...): batched refinement did not "
@@ -729,7 +749,9 @@ def _lvocv_locpolyl1_one_h_batched(X, z, y, h, lam0, degree: int,
     The per-point λ·σ fixed point (:118-127) batches too: thrw is
     per-lane, σ-converged lanes freeze, the loop runs until every lane's
     σ moved < 1e-2 rel (≤ ``sigma_iters`` rounds).  Returns
-    ``(sum of squared held-out errors, all_cert)``."""
+    ``(sum of squared held-out errors, all_cert, n_escaped)`` where
+    ``n_escaped`` counts held-out lanes whose inner solve (any σ round)
+    was accepted via the near-tol stall escape (always 0 at f64)."""
     from ..ops.block_cd import _PREC
 
     n, p = X.shape
@@ -773,24 +795,26 @@ def _lvocv_locpolyl1_one_h_batched(X, z, y, h, lam0, degree: int,
 
         # batched λ·σ fixed point: converged lanes freeze
         def body(carry):
-            B, sig, done, it, ok = carry
+            B, sig, done, it, ok, esc = carry
             thrw = ops.lamw * (lam0 * n_scale) * sig[:, None]
-            B, R, cert = ops.solve(B, thrw, frozen=done)
+            B, R, cert, esc_i = ops.solve(B, thrw, frozen=done)
             ok = ok & jnp.all(cert)
+            esc = esc | esc_i
             signew = jnp.sqrt(jnp.einsum("kn,kn->k", w * R, R,
                                          precision=_PREC) / wsum)
             conv = jnp.abs(signew - sig) / jnp.maximum(sig, 1e-30) < 1e-2
             sig = jnp.where(done | conv, sig, signew)
-            return (B, sig, done | conv, it + 1, ok)
+            return (B, sig, done | conv, it + 1, ok, esc)
 
         def cond(carry):
-            _, _, done, it, _ = carry
+            _, _, done, it, _, _ = carry
             return jnp.logical_and(~jnp.all(done), it < sigma_iters)
 
         B0 = jnp.zeros((k, ep), dt)
-        B, sig, _, _, ok = lax.while_loop(
+        B, sig, _, _, ok, esc = lax.while_loop(
             cond, body, (B0, sig, jnp.zeros((k,), bool),
-                         jnp.zeros((), jnp.int32), jnp.ones((), bool)))
+                         jnp.zeros((), jnp.int32), jnp.ones((), bool),
+                         jnp.zeros((k,), bool)))
 
         # group-support weighted refit + held-out prediction (:130-134);
         # the held-out row has (z_i − z0) = 0, so only its degree-0
@@ -799,27 +823,30 @@ def _lvocv_locpolyl1_one_h_batched(X, z, y, h, lam0, degree: int,
         bm = (br * mask).reshape(k, p, q1)[:, :, 0]        # (k, p)
         yh = jnp.einsum("kp,kp->k", jnp.take(X, idx, axis=0), bm,
                         precision=_PREC)
-        return (yh - y[idx]) ** 2, ok
+        return (yh - y[idx]) ** 2, ok, esc
 
     k = min(batch, n)
     nchunks = -(-n // k)
     pad = nchunks * k - n
-    # padded lanes repeat row 0; their errors are dropped below
+    # padded lanes repeat row 0; their errors/escapes are dropped below
     lanes = jnp.concatenate([jnp.arange(n),
                              jnp.zeros((pad,), jnp.int32)])
     if nchunks == 1:
-        errs, oks = chunk_stats(lanes)
+        errs, oks, escs = chunk_stats(lanes)
         errs = errs[None]
         oks = oks[None]
+        escs = escs[None]
     else:
-        errs, oks = lax.map(chunk_stats, lanes.reshape(nchunks, k))
+        errs, oks, escs = lax.map(chunk_stats, lanes.reshape(nchunks, k))
     errs = errs.reshape(-1)[:n]
-    return jnp.sum(errs), jnp.all(oks)
+    n_escaped = jnp.sum(escs.reshape(-1)[:n].astype(jnp.int32))
+    return jnp.sum(errs), jnp.all(oks), n_escaped
 
 
 def lvocv_locpolyl1(X, z, y, degree: int, h_arr, kernel_type, lam0,
                     options: CDOptions = CDOptions(), *, seed: int = 0,
-                    cv_batch: int | None = None):
+                    cv_batch: int | None = None,
+                    stats: dict | None = None):
     """Leave-one-out CV for the bandwidth of ``locpolyl1``
     (reference ``lvocv_locpolyl1``, :82-137).  Returns the MSE per
     bandwidth.  Held-out points are vmapped; bandwidths loop on the host
@@ -832,7 +859,12 @@ def lvocv_locpolyl1(X, z, y, degree: int, h_arr, kernel_type, lam0,
     certified-or-fallback contract as ``locpolyl1(grid_batch=…)`` — a
     bandwidth whose batched run fails to certify recomputes via the
     sequential per-point path (warning).  ``None`` auto-enables 128 lanes
-    for sub-f64 dtypes off-CPU."""
+    for sub-f64 dtypes off-CPU.
+
+    ``stats``, if a dict, receives ``batched_certified`` (True iff every
+    bandwidth's batched run certified) and ``stall_escaped_lanes`` (total
+    held-out lanes accepted via the near-tol stall escape across the
+    RETURNED batched bandwidths; 0 at f64 and for sequential runs)."""
     import warnings
 
     X = jnp.asarray(X)
@@ -843,16 +875,21 @@ def lvocv_locpolyl1(X, z, y, degree: int, h_arr, kernel_type, lam0,
     if cv_batch is None:
         cv_batch = auto_batch_lanes(X.dtype)
     mses = []
+    all_cert = True
+    n_escaped = 0
     for h in np.asarray(h_arr):
         hj = jnp.asarray(h, X.dtype)
         lj = jnp.asarray(lam0, X.dtype)
         done = False
         if cv_batch:
-            mse, ok = _lvocv_locpolyl1_one_h_batched(
+            mse, ok, n_esc = _lvocv_locpolyl1_one_h_batched(
                 X, z, y, hj, lj, degree, kernel_type, opts,
                 batch=int(cv_batch))
             done = bool(ok)
-            if not done:
+            if done:
+                n_escaped += int(n_esc)
+            else:
+                all_cert = False
                 warnings.warn(
                     "lvocv_locpolyl1(cv_batch=...): batched LOO run for "
                     f"h={float(h):g} did not certify; recomputing via "
@@ -861,6 +898,9 @@ def lvocv_locpolyl1(X, z, y, degree: int, h_arr, kernel_type, lam0,
             mse = _lvocv_locpolyl1_one_h(
                 X, z, y, hj, lj, key, degree, kernel_type, opts)
         mses.append(mse)
+    if stats is not None:
+        stats["batched_certified"] = bool(cv_batch) and all_cert
+        stats["stall_escaped_lanes"] = n_escaped
     return jnp.stack(mses)
 
 

@@ -243,8 +243,9 @@ def _make_lvocv_l1_batch(degree: int, kernel_type, opts: CDOptions,
         if cv_batch:
             # batched held-out lanes per bandwidth (the 32× on-chip
             # lever, models/varying_coefficient.py); per-bandwidth
-            # certification flags ride back so the wrapper can recompute
-            # any uncertified bandwidth sequentially
+            # certification flags + stall-escape counts ride back so
+            # the wrapper can recompute any uncertified bandwidth
+            # sequentially and surface escape accounting
             def one(h):
                 return _lvocv_locpolyl1_one_h_batched(
                     X, z, y, h, lam0, degree, kernel_type, opts,
@@ -255,19 +256,21 @@ def _make_lvocv_l1_batch(degree: int, kernel_type, opts: CDOptions,
             lambda h: _lvocv_locpolyl1_one_h(X, z, y, h, lam0, key,
                                              degree, kernel_type, opts),
             hs_local)
-        return mses, jnp.ones(hs_local.shape, bool)
+        return (mses, jnp.ones(hs_local.shape, bool),
+                jnp.zeros(hs_local.shape, jnp.int32))
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(axis)),
-        out_specs=(P(axis), P(axis)), check_vma=False)
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
     return jax.jit(fn)
 
 
 def lvocv_locpolyl1_batch(X, z, y, degree, h_arr, kernel_type, lam0,
                           mesh: Mesh, options: CDOptions = CDOptions(), *,
                           batch_axis: str = "batch", seed: int = 0,
-                          cv_batch: int | None = None):
+                          cv_batch: int | None = None,
+                          stats: dict | None = None):
     """Penalized-fit bandwidth LOO-CV (reference ``lvocv_locpolyl1``'s
     serial ``hArr`` loop, :82-137) with the bandwidth sweep sharded over
     the batch axis — the most expensive CV surface (each bandwidth is n
@@ -278,7 +281,9 @@ def lvocv_locpolyl1_batch(X, z, y, degree, h_arr, kernel_type, lam0,
     ``cv_batch`` composes the held-out-lane batching of
     ``lvocv_locpolyl1(cv_batch=…)`` with the bandwidth sharding (same
     auto default and certified-or-fallback contract: any bandwidth whose
-    batched run fails to certify is recomputed sequentially)."""
+    batched run fails to certify is recomputed sequentially).  ``stats``,
+    if a dict, receives ``batched_certified`` and ``stall_escaped_lanes``
+    with the same semantics as ``lvocv_locpolyl1``."""
     import warnings
 
     X = jnp.asarray(X)
@@ -294,8 +299,13 @@ def lvocv_locpolyl1_batch(X, z, y, degree, h_arr, kernel_type, lam0,
                                   batch_axis, int(cv_batch))
     key = jax.random.PRNGKey(seed)
     lam0j = jnp.asarray(lam0, X.dtype)
-    mses, oks = solver(X, z, y, lam0j, key, hs)
+    mses, oks, escs = solver(X, z, y, lam0j, key, hs)
     mses, oks = mses[:L], np.asarray(oks[:L])
+    escs = np.asarray(escs[:L])
+    if stats is not None:
+        stats["batched_certified"] = bool(cv_batch) and bool(oks.all())
+        # only certified (returned-batched) bandwidths count
+        stats["stall_escaped_lanes"] = int(escs[oks].sum())
     if not oks.all():
         from ..models.varying_coefficient import _lvocv_locpolyl1_one_h
 

@@ -838,11 +838,11 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
     scan path, so a certified batched run satisfies exactly the scan's
     certificate."""
     import numpy as np
-    from ..models.lasso_path import (
-        _kkt_violation_lanes,
-        _stall_escape_update,
-        _union_block_fista,
-        _union_priority,
+    from ..ops.batched_certify import (
+        kkt_violation_lanes,
+        stall_escape_update,
+        union_block_fista,
+        union_priority,
     )
     from ..ops.block_cd import _PREC
 
@@ -880,7 +880,7 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
         def certify(Bl, R, thrwl):
             # each shard certifies its own columns — the R @ X_s GEMM is
             # the sharded form of the batched core's one X read per round
-            return _kkt_violation_lanes(Bl, R, thrwl, Xl, adiag, xnorm)
+            return kkt_violation_lanes(Bl, R, thrwl, Xl, adiag, xnorm)
 
         def gmax_lanes(H):
             # per-lane certificate max over ALL columns (gather + max —
@@ -906,21 +906,22 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
                         if jnp.dtype(Xl.dtype).itemsize < 8
                         else np.iinfo(np.int32).max)
             stall0 = jnp.zeros(mx0.shape, jnp.int32)
+            esc0 = jnp.zeros(mx0.shape, bool)
 
             def cond(st):
-                B, R, H, cert, best, stall, rounds = st
+                B, R, H, cert, best, stall, esc, rounds = st
                 return jnp.logical_and(~jnp.all(cert),
                                        rounds < 2 * opts.compact_rounds)
 
             def body(st):
-                B, R, H, cert, best, stall, rounds = st
+                B, R, H, cert, best, stall, esc, rounds = st
                 # same two-tier priority as the single-device core
                 # (support above violations), computed per local column;
                 # the tier offset must use the GLOBAL violation max so
                 # every shard ranks on the same scale
                 hi = 2.0 * _pmax_scalar(
                     jnp.max(jnp.where(cert[:, None], 0.0, H)), axis) + 1.0
-                pri = _union_priority(B, H, cert, hi)        # (chunk,)
+                pri = union_priority(B, H, cert, hi)         # (chunk,)
                 # distributed top-k: the global top-C contains at most C
                 # columns per shard, so local top-Cl → gather → top-C of
                 # the D·Cl candidates is exact; every shard computes the
@@ -953,8 +954,8 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
                 cs0 = jnp.dot(R, Xs, precision=_PREC)        # (k, Cp)
                 # from here the refinement is Gram-sized and replicated:
                 # every shard runs the identical FISTA block sweeps
-                bs = _union_block_fista(Ks, thr_full, Bs0, cs0, cert,
-                                        opts)
+                bs = union_block_fista(Ks, thr_full, Bs0, cs0, cert,
+                                       opts)
                 # Xs is replicated, so the residual update needs no
                 # collective; B takes back only the shard's own columns
                 R = R - jnp.dot(bs - Bs0, Xs.T, precision=_PREC)
@@ -964,14 +965,14 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
                 H = certify(B, R, thrwl)
                 mx = gmax_lanes(H)
                 # all inputs are post-collective → shard-consistent
-                cert, best, stall = _stall_escape_update(
-                    cert, best, stall, mx, patience, tol, frozen)
-                return (B, R, H, cert, best, stall, rounds + 1)
+                cert, best, stall, esc = stall_escape_update(
+                    cert, best, stall, esc, mx, patience, tol, frozen)
+                return (B, R, H, cert, best, stall, esc, rounds + 1)
 
-            B, _, _, cert, _, _, _ = lax.while_loop(
-                cond, body, (B0, R, H0, cert0, mx0, stall0,
+            B, _, _, cert, _, _, esc, _ = lax.while_loop(
+                cond, body, (B0, R, H0, cert0, mx0, stall0, esc0,
                              jnp.zeros((), jnp.int32)))
-            return B, cert
+            return B, cert, esc
 
         if rest.size:
             seg = np.searchsorted(cidx, rest) - 1
@@ -1015,12 +1016,13 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
             else:
                 nc_local = nchunks
             if nc_local == 1:
-                refined_all, certs = refine(
+                refined_all, certs, escs = refine(
                     (lam_s[0], starts_s[0], frozen_s[0]))
                 refined_all = refined_all[None]
                 certs = certs[None]
+                escs = escs[None]
             else:
-                refined_all, certs = lax.map(
+                refined_all, certs, escs = lax.map(
                     refine, (lam_s, starts_s, frozen_s))
             if batch_axis:
                 # chunk c = b·nc_local + j → the gather's leading (batch)
@@ -1028,29 +1030,33 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
                 # restores global lane order
                 refined_all = lax.all_gather(refined_all, batch_axis)
                 certs = lax.all_gather(certs, batch_axis)
+                escs = lax.all_gather(escs, batch_axis)
             refined_all = refined_all.reshape(nchunks * k, chunk)
             certs = certs.reshape(nchunks * k)
+            escs = escs.reshape(nchunks * k)
             refined = refined_all[:rest.size]
             all_cert = jnp.all(certs[:rest.size] | frozen[:rest.size])
+            n_escaped = jnp.sum(escs[:rest.size].astype(jnp.int32))
             betas = (jnp.zeros((g, chunk), dt)
                      .at[jnp.asarray(cidx)].set(betas_c)
                      .at[jnp.asarray(rest)].set(refined))
         else:
             betas = betas_c
             all_cert = jnp.ones((), bool)
+            n_escaped = jnp.zeros((), jnp.int32)
 
         # reference early-stop semantics on the GLOBAL support count
         nnz = lax.psum(jnp.sum(betas != 0, axis=1), axis)
         exceed = nnz > max_hat_s
         stopped_before = jnp.concatenate(
             [jnp.zeros((1,), bool), jnp.cumsum(exceed)[:-1] > 0])
-        return betas, ~stopped_before, all_cert
+        return betas, ~stopped_before, all_cert, n_escaped
 
     fn = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(None, axis), P(), P(axis), P(), P(), P()),
-        out_specs=(P(None, axis), P(), P()),
+        out_specs=(P(None, axis), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -1063,7 +1069,7 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
                        path_batch: int | None = None,
                        coarse_stride: int | None = None,
                        batch_axis: str | None = None,
-                       seed: int = 0):
+                       seed: int = 0, stats: dict | None = None):
     """Feature-sharded warm-started Lasso path (reference ``LassoPath``,
     lasso.jl:229-260): β warm-starts across the decreasing λ grid on device;
     the support-size early stop uses a psum'd nonzero count.
@@ -1079,7 +1085,12 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
     refinement's λ-lane chunks over that axis (each batch row of the mesh
     refines its own lanes with its own feature-axis collectives), so the
     refine phase scales with both mesh axes; the coarse anchor scan runs
-    replicated over ``batch_axis``."""
+    replicated over ``batch_axis``.
+
+    ``stats``, if a dict, receives the same run accounting as the
+    single-device ``lasso_path``: ``used_batched``, ``batched_certified``
+    and ``stall_escaped_lanes`` (0 whenever the scan result is returned,
+    and always 0 at f64)."""
     import warnings
 
     import numpy as np
@@ -1107,6 +1118,8 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
             lam_path, jnp.asarray(max_hat_s, X.dtype),
             jax.random.PRNGKey(seed))
     batched_ok = False
+    used_batched = False
+    n_escaped = 0
     if batch_axis is not None:
         if batch_axis not in mesh.shape:
             raise ValueError(f"batch_axis {batch_axis!r} not in mesh "
@@ -1121,8 +1134,10 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
         solver_b = _make_sharded_path_batched(
             options, mesh, axis, int(coarse_stride), int(path_batch),
             batch_axis)
-        betas, valids, all_cert = solver_b(*args)
+        betas, valids, all_cert, n_esc = solver_b(*args)
+        used_batched = True
         batched_ok = bool(all_cert)
+        n_escaped = int(n_esc) if batched_ok else 0
         if not batched_ok:
             warnings.warn(
                 "lasso_path_sharded(path_batch=...): batched refinement "
@@ -1133,6 +1148,10 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
     if not batched_ok:
         solver = _make_sharded_path(options, mesh, axis)
         betas, valids = solver(*args)
+    if stats is not None:
+        stats["used_batched"] = used_batched and batched_ok
+        stats["batched_certified"] = batched_ok
+        stats["stall_escaped_lanes"] = n_escaped
     valids = np.asarray(valids)
     k = int(valids.sum())
     return LassoPath(lam_path[:k], betas[:k, :p])

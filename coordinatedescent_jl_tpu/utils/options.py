@@ -16,6 +16,9 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass, field
 
+import jax
+import numpy as np
+
 
 @dataclass(frozen=True)
 class CDOptions:
@@ -145,13 +148,9 @@ def auto_batch_lanes(dtype, n_points: int | None = None,
     schedule has at least ``min_points`` entries.  Returns 0 (the
     sequential scan) otherwise.  Single-sourced so every surface
     engages batching under identical conditions."""
-    import numpy as _np
-
-    import jax as _jax
-
-    if _np.dtype(dtype).itemsize >= 8:
+    if np.dtype(dtype).itemsize >= 8:
         return 0
-    if _jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu":
         return 0
     if n_points is not None and n_points < min_points:
         return 0

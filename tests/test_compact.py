@@ -223,12 +223,17 @@ def test_batched_path_matches_scan():
     lams = lam_max * np.logspace(-0.1, -2, 25)
     opts = cd.CDOptions(opt_tol=1e-10, randomize=False)
     p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    st = {}
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         p2 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
-                           path_batch=6, coarse_stride=5)
+                           path_batch=6, coarse_stride=5, stats=st)
         p4 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
                            max_hat_s=15, path_batch=6, coarse_stride=5)
+    # f64 runs must NEVER use the near-tol stall escape (the escape is
+    # gated on stall_patience, pinned to INT32_MAX at f64)
+    assert st == {"used_batched": True, "batched_certified": True,
+                  "stall_escaped_lanes": 0}
     np.testing.assert_allclose(np.asarray(p2.beta_path),
                                np.asarray(p1.beta_path), atol=1e-7)
     p3 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
@@ -253,11 +258,15 @@ def test_batched_path_saturated_working_set_falls_back():
     lams = lam_max * np.logspace(-0.1, -2.5, 20)
     opts = cd.CDOptions(opt_tol=1e-9, compact_size=64, randomize=False)
     p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    st = {}
     with warnings.catch_warnings(record=True) as ws:
         warnings.simplefilter("always")
         p2 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
-                           path_batch=8)
+                           path_batch=8, stats=st)
         assert any("falling back" in str(w.message) for w in ws)
+    # a fallback run reports not-certified and no escape acceptance
+    assert st == {"used_batched": False, "batched_certified": False,
+                  "stall_escaped_lanes": 0}
     np.testing.assert_array_equal(np.asarray(p2.beta_path),
                                   np.asarray(p1.beta_path))
 

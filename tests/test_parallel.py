@@ -154,11 +154,15 @@ def test_sharded_batched_path_matches_scan(feature_mesh):
     lams = lam_max * np.logspace(-0.1, -2, 12)
     opts = OPTS.replace(opt_tol=1e-10, randomize=False)
     p1 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False)
+    st = {}
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         p8 = lasso_path_sharded(X, y, lams, feature_mesh, options=opts,
                                 standardize_X=False, path_batch=4,
-                                coarse_stride=4)
+                                coarse_stride=4, stats=st)
+    # f64: strict certification only — the stall escape never fires
+    assert st == {"used_batched": True, "batched_certified": True,
+                  "stall_escaped_lanes": 0}
     assert p8.beta_path.shape == p1.beta_path.shape
     np.testing.assert_allclose(p8.beta_path, p1.beta_path, atol=1e-7)
 
@@ -435,11 +439,14 @@ def test_lvocv_locpolyl1_batch_matches_serial(batch_mesh):
     # held-out-lane batching composed with the bandwidth sharding
     import warnings
 
+    st = {}
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         m8b = lvocv_locpolyl1_batch(X, z, y, 1, hs, cd.GaussianKernel,
                                     0.05, batch_mesh, options=opts,
-                                    cv_batch=16)
+                                    cv_batch=16, stats=st)
+    # f64: strict certification only — the stall escape never fires
+    assert st == {"batched_certified": True, "stall_escaped_lanes": 0}
     np.testing.assert_allclose(np.asarray(m8b), np.asarray(m1),
                                rtol=1e-8)
 

@@ -399,11 +399,15 @@ def test_locpolyl1_grid_batch_matches_scan():
     for deg, kern in [(1, cd.GaussianKernel(0.1)),
                       (2, cd.EpanechnikovKernel(0.2))]:
         o1, r1 = cd.locpolyl1(X, z, y, zg, deg, kern, 0.05, options=opts)
+        st = {}
         with warnings.catch_warnings():
             warnings.simplefilter("error", RuntimeWarning)
             o2, r2 = cd.locpolyl1(X, z, y, zg, deg, kern, 0.05,
                                   options=opts, grid_batch=16,
-                                  coarse_stride=8)
+                                  coarse_stride=8, stats=st)
+        # f64: strict certification only — the stall escape never fires
+        assert st == {"used_batched": True, "batched_certified": True,
+                      "stall_escaped_lanes": 0}
         np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
                                    atol=1e-7)
         np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
@@ -427,9 +431,11 @@ def test_lvocv_locpolyl1_batched_matches_sequential():
     opts = cd.CDOptions(opt_tol=1e-9, randomize=False)
     m1 = cd.lvocv_locpolyl1(X, z, y, 1, hs, cd.GaussianKernel, 0.1,
                             options=opts, cv_batch=0)
+    st = {}
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         m2 = cd.lvocv_locpolyl1(X, z, y, 1, hs, cd.GaussianKernel, 0.1,
-                                options=opts, cv_batch=32)
+                                options=opts, cv_batch=32, stats=st)
+    assert st == {"batched_certified": True, "stall_escaped_lanes": 0}
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
                                rtol=1e-10)
