@@ -67,6 +67,20 @@ class ShardedPathCheckpoint(NamedTuple):
     n_shards: int            # mesh size the state was captured under
 
 
+def _to_host(a) -> np.ndarray:
+    """Host value of a (possibly multi-process-sharded) array.  In a
+    single-controller run this is a plain ``np.asarray``; in a
+    multi-process run a feature-sharded leaf is not fully addressable, so
+    the global value is assembled via ``process_allgather`` (every
+    process gets the full array — the checkpoint is then written by
+    process 0 only, see ``lasso_path_resumable_sharded``)."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
 def save_sharded_checkpoint(path: str, ck: ShardedPathCheckpoint) -> None:
     """Atomic write (tmp + rename) of the sharded checkpoint."""
     tmp = path + ".tmp.npz"
@@ -432,28 +446,33 @@ def lasso_path_resumable_sharded(X, y, lam_path, checkpoint_file: str,
                                 jnp.asarray(lam_k, X.dtype),
                                 jnp.asarray(lam_km1, X.dtype))
         beta_prev_b, lam_km1, lam_k = beta_k_b, lam_k, float(lam_np[i])
-        beta_i = np.asarray(st.beta.reshape(-1)[:p])
+        beta_i = _to_host(st.beta.reshape(-1)[:p])
         betas.append(beta_i)
         if (i + 1) % checkpoint_every == 0 or i == lam_np.shape[0] - 1:
-            save_sharded_checkpoint(checkpoint_file, ShardedPathCheckpoint(
+            # multi-process: every process gathers the same host values
+            # (the allgathers in _to_host are collective — ALL processes
+            # must execute them), process 0 alone writes the file
+            ck_out = ShardedPathCheckpoint(
                 lam_path=lam_np,
                 next_index=i + 1,
                 beta_path=np.stack(betas) if betas else
                 np.zeros((0, p), lam_np.dtype),
                 beta_warm=beta_i,
-                residuals=np.asarray(st.r),
-                key=np.asarray(st.key),
-                c=np.asarray(st.c),
-                drift=np.asarray(st.drift),
-                active=np.asarray(st.active),
-                ws_idx=(np.asarray(cache_g.idx).reshape(D, C) if nc
+                residuals=_to_host(st.r),
+                key=_to_host(st.key),
+                c=_to_host(st.c),
+                drift=_to_host(st.drift),
+                active=_to_host(st.active),
+                ws_idx=(_to_host(cache_g.idx).reshape(D, C) if nc
                         else np.zeros((D, 0), np.int32)),
-                ws_ok=(np.asarray(cache_g.ok) if nc
+                ws_ok=(_to_host(cache_g.ok) if nc
                        else np.zeros((D,), bool)),
-                beta_prev=np.asarray(beta_prev_b.reshape(-1)[:p]),
+                beta_prev=_to_host(beta_prev_b.reshape(-1)[:p]),
                 lam_k=float(lam_k),
                 lam_km1=float(lam_km1),
                 n_shards=D,
-            ))
+            )
+            if jax.process_index() == 0:
+                save_sharded_checkpoint(checkpoint_file, ck_out)
 
     return LassoPath(jnp.asarray(lam_np), jnp.asarray(np.stack(betas)))
