@@ -165,3 +165,66 @@ def test_gradient_value_match_numpy_f64():
           - np.linalg.norm(y64 - X64 @ bm)) / (2 * eps)
     g = np.asarray(cd.gradient(cd.SqrtLassoLoss(yd, Xd), bd))[j]
     np.testing.assert_allclose(g, fd, rtol=1e-3)
+
+
+def test_compensated_gap_matches_numpy_oracle():
+    """ops/compensated: the f64-accumulated device gap must equal an
+    all-NumPy float64 recomputation to ~1e-12 on f32 inputs (this is the
+    measurement-grade certificate polish_lasso optimizes against)."""
+    X, y = _gen(200, 300, 8, seed=3)
+    rng = np.random.default_rng(4)
+    beta = np.zeros(300, np.float32)
+    beta[rng.choice(300, 12, replace=False)] = rng.standard_normal(
+        12).astype(np.float32)
+    lam = 0.2
+    w = np.abs(rng.standard_normal(300)).astype(np.float32) + 0.5
+    gap, primal = cd.lasso_duality_gap_compensated(X, y, beta, lam, w)
+    # NumPy float64 oracle (same Fenchel certificate)
+    X64 = X.astype(np.float64)
+    y64 = y.astype(np.float64)
+    b64 = beta.astype(np.float64)
+    w64 = w.astype(np.float64)
+    n = X.shape[0]
+    r = y64 - X64 @ b64
+    g = X64.T @ r
+    ratio = np.max(np.abs(g) / (n * lam * w64))
+    theta = r * min(1.0, 1.0 / ratio)
+    primal_o = r @ r / (2 * n) + lam * np.sum(w64 * np.abs(b64))
+    dual_o = (y64 @ y64 - (y64 - theta) @ (y64 - theta)) / (2 * n)
+    np.testing.assert_allclose(primal, primal_o, rtol=1e-12)
+    np.testing.assert_allclose(gap, primal_o - dual_o,
+                               rtol=1e-10, atol=1e-13)
+    # ragged col_chunk path (p=300 not a multiple of 128)
+    gap2, _ = cd.lasso_duality_gap_compensated(X, y, beta, lam, w,
+                                               col_chunk=128)
+    np.testing.assert_allclose(gap2, gap, rtol=1e-12)
+
+
+def test_polish_reaches_target_gap():
+    """models/polish: starting from an f32-precision solve (KKT satisfied
+    only to ~1e-6), the f64 active-set polish must certify rel gap ≤ 1e-7
+    (BASELINE.json's metric; SURVEY §7(d)) — including picking up support
+    changes via the compensated full sweep."""
+    X, y = _gen(300, 800, 10, seed=11)
+    lam = 0.05 * float(np.max(np.abs(X.astype(np.float64).T
+                                     @ y.astype(np.float64))) / 300)
+    opts = cd.CDOptions(opt_tol=1e-5, randomize=False)  # a COARSE solve
+    sol = cd.lasso(jnp.asarray(X), jnp.asarray(y), lam, options=opts)
+    gap0, primal0 = cd.lasso_duality_gap_compensated(X, y, sol.x, lam)
+    res = cd.polish_lasso(X, y, sol.x, lam, target_rel_gap=1e-7)
+    assert res.converged, (res.rel_gap, res.rounds)
+    assert res.rel_gap <= 1e-7
+    assert res.gap <= gap0
+    # the polished point is a genuine lasso solution: verify with the
+    # independent NumPy oracle gap too
+    gap_chk, primal_chk = cd.lasso_duality_gap_compensated(
+        X, y, res.beta, lam)
+    assert gap_chk / primal_chk <= 1.1e-7
+    # weighted variant
+    rng = np.random.default_rng(5)
+    w = (np.abs(rng.standard_normal(800)) + 0.5).astype(np.float32)
+    solw = cd.lasso(jnp.asarray(X), jnp.asarray(y), lam,
+                    weights=jnp.asarray(w), options=opts)
+    resw = cd.polish_lasso(X, y, solw.x, lam, weights=w,
+                           target_rel_gap=1e-7)
+    assert resw.converged and resw.rel_gap <= 1e-7
