@@ -270,6 +270,22 @@ def main():
         extra["scaled_lasso_s"] = round(t_sc, 4)
         _log(f"bench: scaled-lasso {extra['scaled_lasso_s']}s sig={sig:.3f}")
 
+        # feasible (heteroscedastic) lasso at the same shape — the last
+        # untimed L4 estimator (VERDICT r3 item 5); loadings fixed point
+        # with the screening init, reference lasso.jl:154-194
+        sol = cd.feasible_lasso(X, y, lam_sc)  # compile
+        float(jnp.sum(sol.x))
+        t_fe = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            sol = cd.feasible_lasso(X, y,
+                                    lam_sc * (1.0 + 1e-7 * (rep + 1)))
+            nnz_fe = int(jnp.sum(sol.x != 0))
+            t_fe = min(t_fe, time.perf_counter() - t0)
+        extra["feasible_lasso_s"] = round(t_fe, 4)
+        _log(f"bench: feasible-lasso {extra['feasible_lasso_s']}s "
+             f"nnz={nnz_fe}")
+
         # varying-coefficient grid scan (PERF.md config: 1000 eval points)
         nv, pv, gv = (200, 20, 100) if small else (500, 50, 1000)
         kv = jax.random.split(jax.random.PRNGKey(7), 3)
@@ -329,6 +345,68 @@ def main():
              f"{extra['locpolyl1_scan_s']}s, batched "
              f"{extra.get('locpolyl1_batched_s', 'not-recorded')}s "
              f"certified={vb_cert}) finite={ok}")
+
+        # unpenalized local polynomial on the same grid (reference
+        # locpoly_bench.jl:188-288 config family; batched weighted lstsq)
+        out_lp = cd.locpoly(Xv, zv, yv, zgrid, 1, kern)  # compile
+        float(jnp.sum(out_lp))
+        t_lp = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            out_lp = cd.locpoly(Xv, zv, yv, zgrid, 1,
+                                cd.GaussianKernel(0.1 + 1e-7 * (rep + 1)))
+            float(jnp.sum(out_lp))
+            t_lp = min(t_lp, time.perf_counter() - t0)
+        extra["locpoly_s"] = round(t_lp, 4)
+        _log(f"bench: locpoly {extra['locpoly_s']}s")
+
+        # bandwidth LOO-CV — the most expensive reference surface (each
+        # bandwidth = n held-out weighted-lasso fits, :82-137) and the
+        # 32x batched win of round 3 (VERDICT item 5: previously only in
+        # PERF.md).  Sequential timed once (it IS the expensive path);
+        # batched min-of-2 with the certified-or-fallback discipline
+        h_arr = [0.08, 0.12, 0.2, 0.3]
+        ncv = min(nv, 500)
+        Xcv, zcv, ycv = Xv[:ncv], zv[:ncv], yv[:ncv]
+        t0 = time.perf_counter()
+        mse_seq = cd.lvocv_locpolyl1(Xcv, zcv, ycv, 1, h_arr,
+                                     cd.GaussianKernel, 0.05, cv_batch=0)
+        float(jnp.sum(mse_seq))
+        extra["lvocv_locpolyl1_seq_s"] = round(time.perf_counter() - t0, 4)
+        cvst = {}
+        cv_esc = 0
+        t_cvb = float("inf")
+        with _wv.catch_warnings(record=True) as _wcv:
+            _wv.simplefilter("always")
+            mse_b = cd.lvocv_locpolyl1(Xcv, zcv, ycv, 1, h_arr,
+                                       cd.GaussianKernel, 0.05,
+                                       cv_batch=128, stats=cvst)
+            float(jnp.sum(mse_b))
+            cv_esc = max(cv_esc, cvst.get("stall_escaped_lanes", 0))
+            for rep in range(2):
+                t0 = time.perf_counter()
+                mse_b = cd.lvocv_locpolyl1(
+                    Xcv, zcv, ycv, 1,
+                    [h * (1.0 + 1e-7 * (rep + 1)) for h in h_arr],
+                    cd.GaussianKernel, 0.05, cv_batch=128, stats=cvst)
+                float(jnp.sum(mse_b))
+                t_cvb = min(t_cvb, time.perf_counter() - t0)
+                cv_esc = max(cv_esc, cvst.get("stall_escaped_lanes", 0))
+            cv_cert = not any("recomputing" in str(w.message)
+                              for w in _wcv)
+        extra["lvocv_locpolyl1_batched_certified"] = bool(cv_cert)
+        extra["lvocv_stall_escaped_lanes"] = int(cv_esc)
+        if cv_cert:
+            extra["lvocv_locpolyl1_batched_s"] = round(t_cvb, 4)
+            extra["lvocv_batched_vs_seq_max_rel_diff"] = float(
+                jnp.max(jnp.abs(mse_b - mse_seq) / mse_seq))
+        extra["lvocv_locpolyl1_s"] = round(
+            min(extra["lvocv_locpolyl1_seq_s"],
+                t_cvb if cv_cert else float("inf")), 4)
+        _log(f"bench: lvocv_locpolyl1 {extra['lvocv_locpolyl1_s']}s (seq "
+             f"{extra['lvocv_locpolyl1_seq_s']}s, batched "
+             f"{extra.get('lvocv_locpolyl1_batched_s', 'not-recorded')}s "
+             f"certified={cv_cert})")
 
         # group lasso (AtomIterate surface) at the BASELINE shape
         # (VERDICT r2 item 5): G=8 groups, scattered support, λ at

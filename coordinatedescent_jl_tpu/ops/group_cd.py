@@ -314,25 +314,90 @@ def _group_cd_core(X, y, lam0, lamw_g, beta0, key, G: int,
     return st.beta.reshape(-1)[:p], st.r
 
 
+@functools.partial(jax.jit, static_argnames=("G", "opts"))
+def _group_sqrt_core(X, y, lam0, lamw_g, beta0, key, G: int,
+                     opts: CDOptions):
+    """Group atoms × sqrt-lasso loss: ``min ‖y − Xβ‖₂ + λ0 Σ_g ω_g ‖β_g‖``
+    — the last loss×iterate cell of the reference's loss-generic driver
+    (coordinate_descent.jl:8 accepts any loss with any iterate; the
+    scalar sqrt minimizer is cd_differentiable_function.jl:242-291).
+
+    MM via the variational identity ``‖r‖ = min_ρ (‖r‖²/(2ρ) + ρ/2)``:
+    with ``ρ = ‖r‖`` fixed, the majorized subproblem is exactly the LS
+    group engine's objective ``½‖r‖² + ρ·λ0·Σ ω_g‖β_g‖`` — i.e. one call
+    to ``_group_solve_at_lambda`` with ``n_scale := ρ`` (the same lever
+    the scalar engine's scaled-lasso σ rounds use, models/lasso.py).
+    Each round is certified by the order-independent group-KKT sweep at
+    the UPDATED ρ, so the declared fixed point satisfies the true sqrt
+    group-KKT conditions: ``‖X_g'r‖ ≤ λ0·ω_g·‖r‖`` on zero groups,
+    ``X_g'r = λ0·ω_g·‖r‖·β_g/‖β_g‖`` on active ones — the group analogue
+    of the engine's ``|X_j'r| ≤ λ·‖r‖`` rule (block_cd._sqrt_candidate).
+    ``warm_start=False`` zeroes β first (the subproblems then warm-start
+    across MM rounds, matching the reference-default direct-solve
+    semantics of ``sqrtLasso``, utils.jl:19)."""
+    n, p = X.shape
+    dtype = X.dtype
+    prob = _build_group_problem(X, y, lamw_g, G, None)
+    nb, B = prob.valid.shape
+    if not opts.warm_start:
+        beta0 = jnp.zeros_like(beta0)
+    beta_g = jnp.pad(beta0, (0, nb * B - p)).reshape(nb, B)
+    lam0 = jnp.asarray(lam0, dtype)
+    tol = opts.opt_tol
+
+    r0 = prob.y - jnp.einsum("bnk,bk->n", prob.Xb, beta_g,
+                             precision=_PREC)
+    st0 = GroupState(beta=beta_g, r=r0,
+                     active=jnp.any(beta_g != 0, axis=1), key=key,
+                     it=jnp.zeros((), jnp.int32),
+                     conv=jnp.ones((), bool), done=jnp.zeros((), bool))
+
+    def rho(s):
+        return jnp.sqrt(jnp.maximum(
+            jnp.dot(s.r, s.r, precision=_PREC), 1e-30))
+
+    def cond(c):
+        _, it, done = c
+        return jnp.logical_and(~done, it < opts.max_iter)
+
+    def body(c):
+        s, it, done = c
+        s = _group_solve_at_lambda(opts, prob, lam0, s, rho(s))
+        # certify at the POST-solve ρ: zero sweep step there means the
+        # true sqrt group-KKT holds, not just the majorizer's
+        _, maxh = _group_full_check(prob, s, lam0, rho(s), tol)
+        return (s, it + 1, maxh < tol)
+
+    st, _, _ = lax.while_loop(cond, body,
+                              (st0, jnp.zeros((), jnp.int32),
+                               jnp.zeros((), bool)))
+    return st.beta.reshape(-1)[:p], st.r
+
+
 def group_coordinate_descent(beta0, loss, penalty: ProxL1Group,
                              options: CDOptions = CDOptions(), *,
                              seed: int = 0, key=None):
     """Minimize ``loss(β) + λ0 Σ_g ω_g ‖β_g‖₂`` over equal-size consecutive
     groups — the reference driver with an ``AtomIterate``
-    (coordinate_descent.jl:8; its signature is loss-generic).  Supports
-    the least-squares and weighted-least-squares losses (the latter is
-    the one with a real consumer: group-penalized varying coefficients,
-    where the (degree+1)-sized expanded blocks are literal groups).
-    Returns ``(beta, residuals)``."""
-    from .losses import LeastSquaresLoss, WeightedLSLoss
+    (coordinate_descent.jl:8; its signature is loss-generic).  Accepts
+    the least-squares, weighted-least-squares and sqrt-lasso losses
+    (wls is the one with a real consumer: group-penalized varying
+    coefficients, where the (degree+1)-sized expanded blocks are literal
+    groups; sqrt completes the loss×iterate acceptance matrix via
+    ``_group_sqrt_core``'s MM rounds).  Returns ``(beta, residuals)``."""
+    from .losses import LeastSquaresLoss, SqrtLassoLoss, WeightedLSLoss
 
+    sqrt_loss = False
     if isinstance(loss, WeightedLSLoss):
         w = jnp.asarray(loss.w, loss.X.dtype)
+    elif isinstance(loss, SqrtLassoLoss):
+        w = None
+        sqrt_loss = True
     elif isinstance(loss, LeastSquaresLoss):
         w = None
     else:
-        raise TypeError("group penalty currently supports the "
-                        "least-squares and weighted-LS losses")
+        raise TypeError("group penalty supports the least-squares, "
+                        "weighted-LS and sqrt-lasso losses")
     X, y = loss.X, loss.y
     p = X.shape[1]
     G = int(penalty.group_size)
@@ -347,6 +412,11 @@ def group_coordinate_descent(beta0, loss, penalty: ProxL1Group,
                          f"expected ({ng},)")
     if key is None:
         key = jax.random.PRNGKey(seed)
+    if sqrt_loss:
+        return _group_sqrt_core(X, jnp.asarray(y, dtype),
+                                jnp.asarray(penalty.lam0, dtype), lamw_g,
+                                jnp.asarray(beta0, dtype), key, G,
+                                options)
     return _group_cd_core(X, jnp.asarray(y, dtype),
                           jnp.asarray(penalty.lam0, dtype), lamw_g,
                           jnp.asarray(beta0, dtype), key, G, options, w)

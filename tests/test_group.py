@@ -258,3 +258,73 @@ def test_group_f32_noise_floor_converges():
     assert g32 == g64
     np.testing.assert_allclose(np.asarray(sol32.x), np.asarray(sol64.x),
                                atol=5e-5)
+
+
+def group_sqrt_oracle(X, y, lam, G, w=None, mm_rounds=60, tol=1e-12):
+    """NumPy MM oracle for ``min ‖y−Xβ‖₂ + λ Σ_g ω_g‖β_g‖``: each round
+    fixes ρ = ‖r‖ and solves the LS group lasso with threshold ρ·λ·ω_g
+    via group_cd_oracle (whose threshold is n·lam'·ω ⇒ lam' = λ·ρ/n),
+    warm-started by re-entering with the previous solution folded into a
+    fresh cold solve (the oracle is cold-start; MM still converges)."""
+    n = X.shape[0]
+    rho = float(np.linalg.norm(y))
+    beta = np.zeros(X.shape[1])
+    for _ in range(mm_rounds):
+        beta, r = group_cd_oracle(X, y, lam * rho / n, G, w=w, tol=tol)
+        rho_new = float(np.linalg.norm(r))
+        if abs(rho_new - rho) <= 1e-12 * rho:
+            rho = rho_new
+            break
+        rho = rho_new
+    return beta, r, rho
+
+
+def _group_sqrt_kkt(X, y, beta, lam, G, w=None):
+    """Max sqrt-group-KKT violation (zero rule ‖X_g'r‖ ≤ λ·ω_g·‖r‖)."""
+    p = X.shape[1]
+    ng = p // G
+    w = np.ones(ng) if w is None else np.asarray(w)
+    r = y - X @ beta
+    rho = np.linalg.norm(r)
+    worst = 0.0
+    for g in range(ng):
+        cg = X[:, g * G:(g + 1) * G].T @ r
+        bg = beta[g * G:(g + 1) * G]
+        lvl = lam * w[g] * rho
+        if np.all(bg == 0):
+            worst = max(worst, (np.linalg.norm(cg) - lvl) / lvl)
+        else:
+            want = lvl * bg / np.linalg.norm(bg)
+            worst = max(worst, np.max(np.abs(cg - want)) / lvl)
+    return worst
+
+
+@pytest.mark.parametrize("G", [4, 6])
+def test_group_sqrt_matches_oracle(G):
+    """Group atoms × sqrt loss (VERDICT r3 item 8 — the last cell of the
+    reference driver's loss×iterate acceptance matrix,
+    coordinate_descent.jl:8): the MM engine must match an independent
+    NumPy MM oracle and satisfy the sqrt group-KKT conditions."""
+    X, y, gsup = _gen(150, 48, G, 3, seed=7)
+    lam = 1.1 * np.sqrt(2 * np.log(X.shape[1]) / X.shape[0]) * np.sqrt(
+        X.shape[0])  # λ·‖r‖ scale (engine's plain-‖r‖ normalization)
+    beta_np, r_np, rho = group_sqrt_oracle(X, y, lam, G)
+    loss = cd.SqrtLassoLoss(jnp.asarray(y), jnp.asarray(X))
+    pen = cd.ProxL1Group(lam, G, None)
+    opts = cd.CDOptions(opt_tol=1e-11, randomize=False)
+    beta, r = cd.group_coordinate_descent(
+        jnp.zeros((X.shape[1],)), loss, pen, opts)
+    assert _group_sqrt_kkt(X, y, np.asarray(beta), lam, G) < 1e-7
+    np.testing.assert_allclose(np.asarray(beta), beta_np, atol=5e-8)
+    np.testing.assert_allclose(np.asarray(r), r_np, atol=5e-8)
+    # weighted + warm-start path
+    ng = X.shape[1] // G
+    wg = 0.5 + np.arange(ng) / ng
+    beta_npw, _, _ = group_sqrt_oracle(X, y, lam, G, w=wg)
+    penw = cd.ProxL1Group(lam, G, jnp.asarray(wg))
+    betaw, _ = cd.group_coordinate_descent(
+        jnp.asarray(beta_np), cd.SqrtLassoLoss(jnp.asarray(y),
+                                               jnp.asarray(X)), penw,
+        opts.replace(warm_start=True))
+    assert _group_sqrt_kkt(X, y, np.asarray(betaw), lam, G, w=wg) < 1e-7
+    np.testing.assert_allclose(np.asarray(betaw), beta_npw, atol=5e-8)
