@@ -54,24 +54,43 @@ class LassoPath(NamedTuple):
     beta_path: jnp.ndarray  # (num_lambda, p)
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
+@functools.partial(jax.jit, static_argnames=("opts", "resume"))
 def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
-                     opts: CDOptions):
+                     opts: CDOptions, carry_in=None, resume: bool = False):
+    """One warm-started scan over ``lam_path``.
+
+    Returns ``(betas, valids, carry_out)``.  With ``resume=True`` the scan
+    starts from ``carry_in`` (the ``carry_out`` of a previous segment)
+    instead of the zero state — the host-chunked driver in ``lasso_path``
+    uses this to bound any single device program's execution time (the
+    axon tunnel kills programs running longer than ~2 minutes; see
+    PERF.md round 4) while keeping the exact single-scan trajectory."""
     prob = build_blocked("ls", opts, lamw, X=X, y=y)
     p = X.shape[1]
     n_scale = jnp.asarray(y.shape[0], X.dtype)
-    beta_b0 = _to_blocked_beta(jnp.zeros((p,), X.dtype), opts.block_size)
-    # the FULL solver state is carried across path points: the residual is
-    # maintained exactly by the passes (no per-point re-initialization
-    # sweep over X), and the confirming KKT sweep's cached gradient is
-    # λ-independent, so the next point's first full check is O(p) — two of
-    # the three O(n·p) X reads per path point disappear vs naive warm
-    # starting (the reference re-runs initialize! per point, lasso.jl:250)
-    st0 = _init_state("ls", prob, beta_b0, key)
-    # the compaction working-set cache rides the path carry: the support
-    # only grows along a decreasing λ grid, so most points reuse one gather
     nc = _compact_mode("ls", opts, prob, X.dtype)
-    cache0 = _empty_ws_cache("ls", prob, nc, opts) if nc else None
+    if resume:
+        st0, cache0, beta_prev0, lam_k0, lam_km10, stopped0 = carry_in
+    else:
+        beta_b0 = _to_blocked_beta(jnp.zeros((p,), X.dtype),
+                                   opts.block_size)
+        # the FULL solver state is carried across path points: the
+        # residual is maintained exactly by the passes (no per-point
+        # re-initialization sweep over X), and the confirming KKT sweep's
+        # cached gradient is λ-independent, so the next point's first full
+        # check is O(p) — two of the three O(n·p) X reads per path point
+        # disappear vs naive warm starting (the reference re-runs
+        # initialize! per point, lasso.jl:250)
+        st0 = _init_state("ls", prob, beta_b0, key)
+        # the compaction working-set cache rides the path carry: the
+        # support only grows along a decreasing λ grid, so most points
+        # reuse one gather
+        cache0 = _empty_ws_cache("ls", prob, nc, opts) if nc else None
+        beta_prev0 = st0.beta
+        # both abscissa carries start at the first path value so the first
+        # two steps skip the shift (block_cd.secant_alpha)
+        lam_k0 = lam_km10 = lam_path[0]
+        stopped0 = jnp.zeros((), bool)
 
     def scan_body(carry, lam):
         st, cache, beta_prev, lam_k, lam_km1, stopped = carry
@@ -106,14 +125,11 @@ def _lasso_path_core(X, y, lam_path, lamw, key, max_hat_s,
         stopped = stopped | (nnz > max_hat_s)
         return (st, cache, beta_k, lam, lam_k, stopped), (st.beta, valid)
 
-    # both abscissa carries start at the first path value so the first two
-    # steps skip the shift (block_cd.secant_alpha)
-    lam_init = lam_path[0]
-    (_, _, _, _, _, _), (betas, valids) = lax.scan(
+    carry_out, (betas, valids) = lax.scan(
         scan_body,
-        (st0, cache0, st0.beta, lam_init, lam_init, jnp.zeros((), bool)),
+        (st0, cache0, beta_prev0, lam_k0, lam_km10, stopped0),
         lam_path)
-    return betas.reshape(betas.shape[0], -1)[:, :p], valids
+    return betas.reshape(betas.shape[0], -1)[:, :p], valids, carry_out
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "stride", "batch"))
@@ -162,8 +178,8 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     if cidx[-1] != g - 1:
         cidx = np.append(cidx, g - 1)
     rest = np.setdiff1d(np.arange(g), cidx)
-    betas_c, valids_c = _lasso_path_core(X, y, lam_path[jnp.asarray(cidx)],
-                                         lamw, key, max_hat_s, opts)
+    betas_c, valids_c, _ = _lasso_path_core(
+        X, y, lam_path[jnp.asarray(cidx)], lamw, key, max_hat_s, opts)
 
     adiag = jnp.maximum(jnp.einsum("nj,nj->j", X, X, precision=_PREC),
                         jnp.asarray(1e-30, dt))
@@ -286,10 +302,59 @@ def _lasso_path_batched_core(X, y, lam_path, lamw, key, max_hat_s,
     return betas, ~stopped_before, all_cert, n_escaped
 
 
+def _lasso_path_scan_chunked(X, y, lam_path, lamw, key, max_hat_s,
+                             opts: CDOptions, chunk: int):
+    """Run the path scan as host-driven segments of ``chunk`` λ points.
+
+    The carry (full solver state + working-set cache + secant abscissae +
+    stop flag) round-trips through the jitted segment program unchanged,
+    so the trajectory is IDENTICAL to the single-scan execution — the
+    split only bounds how long any one device program runs.  Two wins on
+    long/expensive grids: (a) environments that kill long-running device
+    programs (the axon tunnel's ~2-minute execution watchdog — a dense
+    low-λ 100-point scan is one >3-minute program) survive; (b) the
+    ``max_hat_s`` early stop actually skips the remaining segments on the
+    host instead of running them as in-trace no-ops.
+
+    The last segment is padded by repeating the final λ (one compiled
+    program serves every segment); pad outputs are sliced off."""
+    g = int(lam_path.shape[0])
+    nseg = -(-g // chunk)
+    pad = nseg * chunk - g
+    if pad:
+        lam_path = jnp.concatenate(
+            [lam_path, jnp.repeat(lam_path[-1:], pad)])
+    betas_parts = []
+    valids_parts = []
+    carry = None
+    for s in range(nseg):
+        seg = lam_path[s * chunk:(s + 1) * chunk]
+        betas_s, valids_s, carry = _lasso_path_core(
+            X, y, seg, lamw, key, max_hat_s, opts,
+            carry_in=carry, resume=s > 0)
+        betas_parts.append(betas_s)
+        valids_parts.append(valids_s)
+        # carry[-1] is the scan's stop flag: every later point would be an
+        # in-trace no-op, so stop issuing segments (host-side early exit
+        # the monolithic scan cannot do)
+        if bool(carry[-1]):
+            break
+    betas = jnp.concatenate(betas_parts, axis=0)[:g]
+    valids = jnp.concatenate(valids_parts, axis=0)[:g]
+    done = betas.shape[0]
+    if done < g:  # early-exited segments: later points are invalid
+        valids = jnp.concatenate(
+            [valids, jnp.zeros((g - done,), valids.dtype)])
+        betas = jnp.concatenate(
+            [betas, jnp.zeros((g - done, betas.shape[1]), betas.dtype)])
+    return betas, valids
+
+
 def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
                max_hat_s: float = np.inf, standardize_X: bool = True,
                path_batch: int | None = None,
                coarse_stride: int | None = None,
+               scan_chunk: int | None = None,
                seed: int = 0, stats: dict | None = None) -> LassoPath:
     """Solve the Lasso along a **decreasing** λ grid with warm starts.
 
@@ -321,6 +386,17 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
     the auto mode never changes semantics — every returned point is
     certified by the same order-independent full-KKT rule either way.
 
+    ``scan_chunk > 0`` executes the sequential scan (including the
+    automatic fallback from an uncertified batched run) as host-driven
+    segments of that many λ points, warm-start carry round-tripped
+    between segments — the trajectory is identical to the monolithic
+    scan (bitwise at f64; tested).  Use it on grids whose single-program
+    execution would be very long: environments with a device-program
+    execution watchdog (the axon TPU tunnel kills programs after ~2
+    minutes — a dense-support low-λ 100-point scan is one such program)
+    crash the monolithic scan but run the chunked one; it also turns the
+    ``max_hat_s`` stop into a true host-side early exit.
+
     ``stats``, if a dict, is populated with run accounting:
     ``used_batched`` (bool), ``batched_certified`` (bool — False both on
     fallback and when the batched mode never ran), and
@@ -340,6 +416,8 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
         raise ValueError("coarse_stride must be >= 1")
     if path_batch < 0:
         raise ValueError("path_batch must be >= 0")
+    if scan_chunk is not None and scan_chunk <= 0:
+        raise ValueError("scan_chunk must be >= 1")
     lamw = std_X(X) if standardize_X else jnp.ones((X.shape[1],), X.dtype)
     key = jax.random.PRNGKey(seed)
     batched_ok = False
@@ -363,9 +441,14 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
                 "scan (consider a larger options.compact_size or a "
                 "smaller path_batch)", RuntimeWarning)
     if not batched_ok:
-        betas, valids = _lasso_path_core(
-            X, y, lam_path, lamw, key, jnp.asarray(max_hat_s, X.dtype),
-            options)
+        if scan_chunk and L > scan_chunk:
+            betas, valids = _lasso_path_scan_chunked(
+                X, y, lam_path, lamw, key,
+                jnp.asarray(max_hat_s, X.dtype), options, int(scan_chunk))
+        else:
+            betas, valids, _ = _lasso_path_core(
+                X, y, lam_path, lamw, key,
+                jnp.asarray(max_hat_s, X.dtype), options)
     if stats is not None:
         stats["used_batched"] = used_batched and batched_ok
         stats["batched_certified"] = batched_ok

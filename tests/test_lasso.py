@@ -177,3 +177,47 @@ def test_lasso_path_early_stop_and_refit():
             continue
         ref = np.linalg.lstsq(X[:, list(S)], y, rcond=None)[0]
         np.testing.assert_allclose(coef, ref, atol=1e-8)
+
+
+def test_lasso_path_scan_chunked_bitwise():
+    # host-chunked scan execution ≡ the monolithic scan, bitwise: the
+    # full solver carry (state + ws cache + secant abscissae + stop flag)
+    # round-trips between segment programs unchanged.  Covers chunk sizes
+    # that split mid-grid, chunk=1 (one program per point), and a chunk
+    # larger than the grid (must take the monolithic branch).
+    n, p, s = 150, 60, 10
+    X = RNG.standard_normal((n, p))
+    y = X[:, :s] @ RNG.standard_normal(s) + 0.3 * RNG.standard_normal(n)
+    lam_max = np.abs(X.T @ y / n).max()
+    lam_path = lam_max * np.logspace(-0.2, -2, 17)
+    for opts in (OPTS,
+                 CDOptions(opt_tol=1e-12, block_size=16, randomize=True),
+                 CDOptions(opt_tol=1e-12, block_size=16,
+                           compact=True, compact_size=32)):
+        ref = lasso_path(X, y, lam_path, options=opts, path_batch=0)
+        for ch in (1, 5, 17, 40):
+            chunked = lasso_path(X, y, lam_path, options=opts,
+                                 path_batch=0, scan_chunk=ch)
+            assert chunked.beta_path.shape == ref.beta_path.shape
+            assert bool(jnp.all(chunked.beta_path == ref.beta_path)), \
+                f"chunk={ch} diverged from the monolithic scan"
+
+
+def test_lasso_path_scan_chunked_early_stop():
+    # max_hat_s truncation identical under chunking (the chunked driver
+    # stops issuing segments once the carry's stop flag is set)
+    n, p, s = 100, 30, 10
+    X = RNG.standard_normal((n, p))
+    y = X[:, :s] @ RNG.standard_normal(s) + 0.1 * RNG.standard_normal(n)
+    lam_max = np.abs(X.T @ y / n).max()
+    lam_path = lam_max * np.logspace(0, -3, 30)
+    ref = lasso_path(X, y, lam_path, options=OPTS, max_hat_s=6,
+                     standardize_X=False, path_batch=0)
+    for ch in (4, 11):
+        chunked = lasso_path(X, y, lam_path, options=OPTS, max_hat_s=6,
+                             standardize_X=False, path_batch=0,
+                             scan_chunk=ch)
+        assert chunked.beta_path.shape == ref.beta_path.shape
+        assert bool(jnp.all(chunked.beta_path == ref.beta_path))
+    with pytest.raises(ValueError):
+        lasso_path(X, y, lam_path, options=OPTS, scan_chunk=0)
