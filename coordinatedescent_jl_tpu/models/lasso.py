@@ -44,7 +44,7 @@ from ..ops.prox import ProxL1
 from ..utils.helpers import (
     find_init_residuals,
     find_init_sigma,
-    get_loadings,
+    get_loadings_blocked,
     sample_std,
     std_X,
 )
@@ -240,7 +240,11 @@ def _feasible_lasso_core(X, y, lam0, beta0, key, opts: IterLassoOptions,
     else:
         raise ValueError("init_procedure must be one of "
                          "'screening' | 'init_std' | 'warm_start'")
-    gam = get_loadings(X, r)  # Γ = sqrt(mean((X_ij e_i)²)) (lasso.jl:179)
+    # Γ = sqrt(mean((X_ij e_i)²)) (lasso.jl:179) — from the blocked
+    # layout so the loading rounds never keep X-shaped temps live
+    # (helpers.get_loadings_blocked; raw-X form OOMs a v5e at 10K×100K)
+    p = X.shape[1]
+    gam = get_loadings_blocked(prob.Xb, r, p)
 
     n_scale = jnp.asarray(y.shape[0], dtype)
     key, k0 = jax.random.split(key)
@@ -267,7 +271,7 @@ def _feasible_lasso_core(X, y, lam0, beta0, key, opts: IterLassoOptions,
             # reference semantics: cold continuation every loading round
             st = solve_blocked("ls", cd, prob_g, lam0,
                                jnp.zeros_like(st.beta), k1)
-        gam_new = get_loadings(X, st.r)
+        gam_new = get_loadings_blocked(prob.Xb, st.r, p)
         done = (jnp.max(jnp.abs(gam - gam_new)) / jnp.max(gam_new)
                 < opts.opt_tol)
         return (st, cache, gam_new, it + 1, done)

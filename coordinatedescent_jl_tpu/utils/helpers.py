@@ -49,6 +49,29 @@ def get_loadings(X, e):
                                precision=jax.lax.Precision.HIGHEST) / n)
 
 
+def get_loadings_blocked(Xb, e, p: int):
+    """``get_loadings`` computed from the blocked design ``Xb (nb, n, B)``.
+
+    Same contraction, but reduced one column-block at a time under
+    ``lax.map`` so no X-sized elementwise temp (``X∘X``) or transposed
+    layout copy is ever materialized.  The raw-X form inside the
+    feasible-lasso loop kept ~7.5 GB of X-shaped HLO temps live across
+    the loading rounds at n=10K/p=100K, which OOMs a single v5e chip
+    (PERF.md round 4); this form adds only one (n, B) temp per step.
+    Padded blocked columns are all-zero → loading 0; callers slice to
+    ``p`` so those never become penalty weights.
+    """
+    n = Xb.shape[1]
+    ee = e * e
+
+    def one(xb):                                           # (n, B)
+        return jnp.einsum("i,ik->k", ee, xb * xb,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    s = jax.lax.map(one, Xb)                               # (nb, B)
+    return jnp.sqrt(s.reshape(-1)[:p] / n)
+
+
 def get_sigma(w, r):
     """Weighted residual scale ``sqrt(Σ w_i r_i^2 / Σ w_i)``.
 
