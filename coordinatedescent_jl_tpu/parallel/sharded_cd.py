@@ -639,7 +639,7 @@ def scaled_lasso_sharded(X, y, lam, mesh: Mesh, weights=None,
 def _make_sharded_feasible(opts: IterLassoOptions, mesh: Mesh, axis: str,
                            init_procedure: str):
     from ..models.lasso import _blocked_weights
-    from ..utils.helpers import get_loadings
+    from ..utils.helpers import get_loadings_blocked
 
     cd = opts.options_cd
     D = mesh.shape[axis]
@@ -663,8 +663,13 @@ def _make_sharded_feasible(opts: IterLassoOptions, mesh: Mesh, axis: str,
             r = r_init
         # padded (zero) columns get loading 1.0 — their coefficients are
         # structurally zero either way, but a 0 loading would zero the
-        # threshold on a zero-norm column
-        gam = jnp.where(validl, get_loadings(Xl, r), 1.0)
+        # threshold on a zero-norm column.  Loadings come from the
+        # blocked layout (helpers.get_loadings_blocked): the raw-Xl form
+        # keeps shard-X-shaped temps live across the loading rounds —
+        # the same ×3 multiplier that OOM'd the single-device core at
+        # 10K×100K (PERF.md round 4)
+        gam = jnp.where(validl,
+                        get_loadings_blocked(prob.Xb, r, Xl.shape[1]), 1.0)
 
         key, k0 = jax.random.split(key)
         st0 = _sharded_init_state("ls", prob, beta_b, k0, axis)
@@ -690,7 +695,9 @@ def _make_sharded_feasible(opts: IterLassoOptions, mesh: Mesh, axis: str,
                 st = solve_blocked_sharded("ls", cd, prob_g, lam0,
                                            jnp.zeros_like(st.beta), k1,
                                            axis, D)
-            gam_new = jnp.where(validl, get_loadings(Xl, st.r), 1.0)
+            gam_new = jnp.where(
+                validl, get_loadings_blocked(prob.Xb, st.r, Xl.shape[1]),
+                1.0)
             # the stop criterion's maxes are GLOBAL (reference
             # lasso.jl:186-192 computes them over all p) — and over REAL
             # columns only: the padded 1.0 loadings would dominate the
