@@ -207,9 +207,17 @@ def _batched_masked_refit(X, y, w, dpow, B):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("degree", "opts", "refit", "kernel_type"))
+                   static_argnames=("degree", "opts", "refit",
+                                    "kernel_type", "resume"))
 def _locpolyl1_core(X, z, y, zgrid, h, lam0, key, degree: int,
-                    kernel_type, opts: CDOptions, refit: bool):
+                    kernel_type, opts: CDOptions, refit: bool,
+                    carry_in=None, resume: bool = False):
+    """One warm-started scan over ``zgrid``; returns
+    ``(out, out_refit, carry_out)``.  ``resume=True`` starts from a prior
+    segment's ``carry_out`` — used by ``locpolyl1(scan_chunk=…)`` to
+    bound single-device-program runtime (the axon tunnel kills programs
+    executing ≳2 min; PERF.md round 4) with a trajectory identical to
+    the monolithic scan."""
     n, p = X.shape
     ep = p * (degree + 1)
     kernel = kernel_type(h)
@@ -243,14 +251,17 @@ def _locpolyl1_core(X, z, y, zgrid, h, lam0, key, degree: int,
             br = jnp.zeros((ep,), X.dtype)
         return (st.beta, beta_k, z0, z_k, key), (beta, br)
 
-    # initialize both abscissa carries with the FIRST grid value: the
-    # first two steps then see denom == 0 and skip the shift (a 0-sentinel
-    # would make step 2 extrapolate from a fictitious (z=0, β=0) point on
-    # ascending grids)
-    z_init = zgrid[0]
-    (_, _, _, _, _), (out, out_r) = lax.scan(
-        scan_body, (beta_b0, beta_b0, z_init, z_init, key), zgrid)
-    return out.T, out_r.T
+    if resume:
+        carry0 = carry_in
+    else:
+        # initialize both abscissa carries with the FIRST grid value: the
+        # first two steps then see denom == 0 and skip the shift (a
+        # 0-sentinel would make step 2 extrapolate from a fictitious
+        # (z=0, β=0) point on ascending grids)
+        z_init = zgrid[0]
+        carry0 = (beta_b0, beta_b0, z_init, z_init, key)
+    carry_out, (out, out_r) = lax.scan(scan_body, carry0, zgrid)
+    return out.T, out_r.T, carry_out
 
 
 class _VcBatchOps:
@@ -486,7 +497,7 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
         cidx = np.append(cidx, g - 1)
     rest = np.setdiff1d(np.arange(g), cidx)
 
-    out_c, _ = _locpolyl1_core(X, z, y, zgrid[jnp.asarray(cidx)], h, lam0,
+    out_c, _, _ = _locpolyl1_core(X, z, y, zgrid[jnp.asarray(cidx)], h, lam0,
                                key, degree, kernel_type, opts, False)
     betas_c = out_c.T                                   # (g_c, ep)
 
@@ -569,10 +580,38 @@ def _locpolyl1_batched_core(X, z, y, zgrid, h, lam0, key, degree: int,
     return betas.T, out_r.T, all_cert, n_escaped
 
 
+def _locpolyl1_scan_chunked(X, z, y, zgrid, h, lam0, key, degree: int,
+                            kernel_type, opts: CDOptions, refit: bool,
+                            chunk: int):
+    """Host-chunked z-grid scan: segments of ``chunk`` points with the
+    warm-start carry round-tripped between device programs — trajectory
+    identical to the monolithic scan (bitwise at f64; tested), single
+    program runtime bounded (axon watchdog; PERF.md round 4).  The last
+    segment is padded by repeating the final z (one compiled program
+    serves every segment); pad outputs are sliced off."""
+    g = int(zgrid.shape[0])
+    nseg = -(-g // chunk)
+    pad = nseg * chunk - g
+    if pad:
+        zgrid = jnp.concatenate([zgrid, jnp.repeat(zgrid[-1:], pad)])
+    outs, outs_r = [], []
+    carry = None
+    for s in range(nseg):
+        seg = zgrid[s * chunk:(s + 1) * chunk]
+        o, orf, carry = _locpolyl1_core(
+            X, z, y, seg, h, lam0, key, degree, kernel_type, opts, refit,
+            carry_in=carry, resume=s > 0)
+        outs.append(o)
+        outs_r.append(orf)
+    return (jnp.concatenate(outs, axis=1)[:, :g],
+            jnp.concatenate(outs_r, axis=1)[:, :g])
+
+
 def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
               refit: bool = True, options: CDOptions = CDOptions(), *,
               grid_batch: int | None = None,
-              coarse_stride: int | None = None, seed: int = 0,
+              coarse_stride: int | None = None,
+              scan_chunk: int | None = None, seed: int = 0,
               stats: dict | None = None):
     """Varying-coefficient lasso on a grid of evaluation points.
 
@@ -606,6 +645,14 @@ def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
     ``batched_certified`` and ``stall_escaped_lanes`` — the same run
     accounting contract as ``lasso_path`` (escaped lanes are 0 whenever
     the scan result is returned, and always 0 at f64).
+
+    ``scan_chunk > 0`` executes the sequential scan (including the
+    fallback from an uncertified batched run) as host-driven segments of
+    that many grid points with the warm-start carry round-tripped between
+    device programs — identical trajectory, bounded single-program
+    runtime (same contract and rationale as
+    ``lasso_path(scan_chunk=…)``; the axon tunnel kills device programs
+    executing ≳2 minutes).
     """
     import warnings
 
@@ -624,6 +671,8 @@ def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
         raise ValueError("coarse_stride must be >= 1")
     if grid_batch < 0:
         raise ValueError("grid_batch must be >= 0")
+    if scan_chunk is not None and scan_chunk <= 0:
+        raise ValueError("scan_chunk must be >= 1")
     if stats is not None:
         stats.update(used_batched=False, batched_certified=False,
                      stall_escaped_lanes=0)
@@ -642,10 +691,16 @@ def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
             "certify every grid point; falling back to the sequential "
             "scan (consider a larger options.compact_size or a smaller "
             "grid_batch)", RuntimeWarning)
-    return _locpolyl1_core(X, z, y, zgrid,
-                           jnp.asarray(kernel.h, X.dtype),
-                           jnp.asarray(lam0, X.dtype), key, degree,
-                           type(kernel), opts, refit)
+    if scan_chunk and L > scan_chunk:
+        return _locpolyl1_scan_chunked(
+            X, z, y, zgrid, jnp.asarray(kernel.h, X.dtype),
+            jnp.asarray(lam0, X.dtype), key, degree, type(kernel), opts,
+            refit, int(scan_chunk))
+    out, out_r, _ = _locpolyl1_core(X, z, y, zgrid,
+                                    jnp.asarray(kernel.h, X.dtype),
+                                    jnp.asarray(lam0, X.dtype), key,
+                                    degree, type(kernel), opts, refit)
+    return out, out_r
 
 
 def refit_locpolyl1(X, z, y, z0, degree: int, kernel: SmoothingKernel,

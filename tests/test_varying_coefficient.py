@@ -439,3 +439,31 @@ def test_lvocv_locpolyl1_batched_matches_sequential():
     assert st == {"batched_certified": True, "stall_escaped_lanes": 0}
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
                                rtol=1e-10)
+
+
+def test_locpolyl1_scan_chunked_bitwise():
+    """Host-chunked z-grid scan ≡ the monolithic scan bitwise: the
+    warm-start carry (β, secant abscissae, key) round-trips between
+    segment programs unchanged.  Chunk sizes split mid-grid, per-point,
+    and larger-than-grid (monolithic branch)."""
+    import coordinatedescent_jl_tpu as cd
+
+    rng = np.random.default_rng(11)
+    n, p, g = 150, 12, 21
+    z = rng.uniform(0, 1, n)
+    X = rng.standard_normal((n, p))
+    y = np.cos(2 * np.pi * z) * X[:, 1] + 0.2 * rng.standard_normal(n)
+    zg = np.linspace(0.05, 0.95, g)
+    opts = cd.CDOptions(opt_tol=1e-10, randomize=False)
+    o1, r1 = cd.locpolyl1(X, z, y, zg, 1, cd.GaussianKernel(0.15), 0.05,
+                          options=opts, grid_batch=0)
+    for ch in (1, 8, 21, 50):
+        o2, r2 = cd.locpolyl1(X, z, y, zg, 1, cd.GaussianKernel(0.15),
+                              0.05, options=opts, grid_batch=0,
+                              scan_chunk=ch)
+        assert o2.shape == o1.shape and r2.shape == r1.shape
+        assert bool(jnp.all(o2 == o1)), f"chunk={ch} betas diverged"
+        assert bool(jnp.all(r2 == r1)), f"chunk={ch} refits diverged"
+    with pytest.raises(ValueError):
+        cd.locpolyl1(X, z, y, zg, 1, cd.GaussianKernel(0.15), 0.05,
+                     options=opts, scan_chunk=0)
