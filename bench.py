@@ -378,10 +378,15 @@ def main():
         t_cvb = float("inf")
         with _wv.catch_warnings(record=True) as _wcv:
             _wv.simplefilter("always")
-            mse_b = cd.lvocv_locpolyl1(Xcv, zcv, ycv, 1, h_arr,
-                                       cd.GaussianKernel, 0.05,
-                                       cv_batch=128, stats=cvst)
-            float(jnp.sum(mse_b))
+            # unperturbed compile call — also the comparison point for
+            # the vs-seq diff (diffing a perturbed-h timed rep against
+            # the unperturbed sequential MSEs would conflate the h
+            # perturbation with batched-mode disagreement, same as the
+            # path's pb_diff rule)
+            mse_b0 = cd.lvocv_locpolyl1(Xcv, zcv, ycv, 1, h_arr,
+                                        cd.GaussianKernel, 0.05,
+                                        cv_batch=128, stats=cvst)
+            float(jnp.sum(mse_b0))
             cv_esc = max(cv_esc, cvst.get("stall_escaped_lanes", 0))
             for rep in range(2):
                 t0 = time.perf_counter()
@@ -399,7 +404,7 @@ def main():
         if cv_cert:
             extra["lvocv_locpolyl1_batched_s"] = round(t_cvb, 4)
             extra["lvocv_batched_vs_seq_max_rel_diff"] = float(
-                jnp.max(jnp.abs(mse_b - mse_seq) / mse_seq))
+                jnp.max(jnp.abs(mse_b0 - mse_seq) / mse_seq))
         extra["lvocv_locpolyl1_s"] = round(
             min(extra["lvocv_locpolyl1_seq_s"],
                 t_cvb if cv_cert else float("inf")), 4)

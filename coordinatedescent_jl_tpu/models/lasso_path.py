@@ -398,7 +398,10 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
     ``max_hat_s`` stop into a true host-side early exit.
 
     ``stats``, if a dict, is populated with run accounting:
-    ``used_batched`` (bool), ``batched_certified`` (bool — False both on
+    ``used_batched`` (bool — the batched core EXECUTED, whether or not
+    it certified; with ``batched_certified`` False this flags a run that
+    paid the batched attempt and then fell back),
+    ``batched_certified`` (bool — False both on
     fallback and when the batched mode never ran), and
     ``stall_escaped_lanes`` (int — lanes of the RETURNED batched result
     accepted via the near-tol stall escape instead of the strict rule;
@@ -450,7 +453,7 @@ def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,
                 X, y, lam_path, lamw, key,
                 jnp.asarray(max_hat_s, X.dtype), options)
     if stats is not None:
-        stats["used_batched"] = used_batched and batched_ok
+        stats["used_batched"] = used_batched
         stats["batched_certified"] = batched_ok
         stats["stall_escaped_lanes"] = n_escaped
     valids = np.asarray(valids)

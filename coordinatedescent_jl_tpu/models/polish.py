@@ -39,7 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..ops.compensated import (_require_x64, grad_f64, residual_f64)
+from ..ops.compensated import (_require_x64, fenchel_gap_f64, grad_f64,
+                               residual_f64)
 
 _PREC = lax.Precision.HIGHEST
 
@@ -154,12 +155,9 @@ def polish_lasso(X, y, beta, lam0, weights=None, *,
     y2 = float(yn @ yn)
 
     def host_gap(r_np, g_np, beta_full):
-        ratio = np.max(np.abs(g_np) / (n * lam0 * w_np))
-        theta = r_np * min(1.0, 1.0 / max(ratio, 1e-300))
-        primal = float(r_np @ r_np / (2 * n)
-                       + lam0 * np.sum(w_np * np.abs(beta_full)))
-        dual = float((y2 - (yn - theta) @ (yn - theta)) / (2 * n))
-        return primal - dual, primal
+        # single-sourced certificate formula (ops.compensated)
+        return fenchel_gap_f64(r_np, g_np, beta_full, lam0, w_np, n, yn,
+                               y2=y2)
 
     sup = np.nonzero(beta_np)[0]
     C = min(p, min(support_cap,
@@ -170,12 +168,20 @@ def polish_lasso(X, y, beta, lam0, weights=None, *,
     tol_inner = np.float64(
         1e-13 * max(1.0, float(np.max(np.abs(beta_np)) or 1.0)))
     while True:
+        if sup.size > min(support_cap, p):
+            # support exceeds the cap: certify the CURRENT iterate (one
+            # oversized gather — host-driven, once) so the reported gap
+            # is honest, then stop with converged=False
+            r64 = residual_f64(X, y, jnp.asarray(sup),
+                               jnp.asarray(beta_np[sup]))
+            g64 = grad_f64(X, r64, col_chunk=min(col_chunk, p))
+            gap, primal = host_gap(np.asarray(r64), np.asarray(g64),
+                                   beta_np)
+            rel = gap / max(primal, 1e-300)
+            break
         if sup.size > C:
-            C_new = min(p, support_cap,
-                        -(-(sup.size + 128) // 128) * 128)
-            if sup.size > C_new:
-                break  # support exceeds the cap: report best effort
-            C = C_new
+            # re-grow the working-set allocation to the next 128 multiple
+            C = min(p, -(-sup.size // 128) * 128)
         idx_np = np.full((C,), p, np.int64)
         idx_np[:sup.size] = sup
         beta_s0 = np.zeros((C,), np.float64)
@@ -209,7 +215,12 @@ def polish_lasso(X, y, beta, lam0, weights=None, *,
         viol[idx_np[idx_np < p]] = 0.0
         sup_now = np.nonzero(beta_np)[0]
         extra = np.nonzero(viol > 0)[0]
-        extra = extra[np.argsort(-viol[extra])][: max(0, C - sup_now.size)]
+        # the working set may GROW past its current allocation (the loop
+        # top re-sizes C): room is bounded by support_cap, and per-round
+        # additions by max(256, C) so one loose coarse solve cannot force
+        # a single enormous gather — growth is geometric instead
+        room = max(0, min(support_cap, p) - sup_now.size)
+        extra = extra[np.argsort(-viol[extra])][: min(room, max(256, C))]
         new_sup = np.union1d(sup_now, extra)
         if new_sup.size == sup.size and np.array_equal(new_sup, sup):
             # no new candidates and gap still above target: the residual

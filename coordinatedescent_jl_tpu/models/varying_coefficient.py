@@ -677,13 +677,18 @@ def locpolyl1(X, z, y, zgrid, degree: int, kernel: SmoothingKernel, lam0,
         stats.update(used_batched=False, batched_certified=False,
                      stall_escaped_lanes=0)
     if grid_batch and L > max(2, coarse_stride):
+        if stats is not None:
+            # the attempt EXECUTES from here on — used_batched stays True
+            # even on fallback (the run paid the attempt; same contract
+            # as lasso_path)
+            stats["used_batched"] = True
         out, out_r, all_cert, n_esc = _locpolyl1_batched_core(
             X, z, y, zgrid, jnp.asarray(kernel.h, X.dtype),
             jnp.asarray(lam0, X.dtype), key, degree, type(kernel), opts,
             refit, int(coarse_stride), int(grid_batch))
         if bool(all_cert):
             if stats is not None:
-                stats.update(used_batched=True, batched_certified=True,
+                stats.update(batched_certified=True,
                              stall_escaped_lanes=int(n_esc))
             return out, out_r
         warnings.warn(

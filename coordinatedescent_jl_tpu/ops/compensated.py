@@ -86,7 +86,26 @@ def residual_f64(X, y, idx, beta_s64):
     p = X.shape[1]
     Xs = jnp.take(X, idx, axis=1, mode="fill", fill_value=0)
     return (y.astype(jnp.float64)
-            - Xs.astype(jnp.float64) @ beta_s64)
+            - jnp.dot(Xs.astype(jnp.float64), beta_s64,
+                      precision=jax.lax.Precision.HIGHEST))
+
+
+def fenchel_gap_f64(r_np, g_np, beta_np, lam0, w, n, yn, y2=None):
+    """Host-f64 Fenchel gap finish shared by
+    ``lasso_duality_gap_compensated`` and ``models.polish.polish_lasso``
+    (single source — a clamp or weighted-coordinate fix must hit both
+    certificate consumers at once).  ``θ = r · min(1, 1/max_j |g_j|/(nλw_j))``
+    is dual-feasible by construction; the dual uses the cancellation-safe
+    ``(‖y‖² − ‖y−θ‖²)/(2n)`` form.  Returns ``(gap, primal)``."""
+    lam0 = float(lam0)
+    ratio = np.max(np.abs(g_np) / (n * lam0 * w))
+    theta = r_np * min(1.0, 1.0 / max(ratio, 1e-300))
+    primal = float(r_np @ r_np / (2 * n)
+                   + lam0 * np.sum(w * np.abs(beta_np)))
+    if y2 is None:
+        y2 = float(yn @ yn)
+    dual = float((y2 - (yn - theta) @ (yn - theta)) / (2 * n))
+    return primal - dual, primal
 
 
 def lasso_duality_gap_compensated(X, y, beta, lam0, weights=None, *,
@@ -118,12 +137,5 @@ def lasso_duality_gap_compensated(X, y, beta, lam0, weights=None, *,
     r64 = residual_f64(X, jnp.asarray(y), jnp.asarray(idx),
                        jnp.asarray(beta_s))
     g64 = grad_f64(X, r64, col_chunk=min(col_chunk, p))
-    r_np = np.asarray(r64)
-    g_np = np.asarray(g64)
-    ratio = np.max(np.abs(g_np) / (n * float(lam0) * w))
-    theta = r_np * min(1.0, 1.0 / max(ratio, 1e-300))
-    primal = float(r_np @ r_np / (2 * n)
-                   + float(lam0) * np.sum(w * np.abs(beta_np)))
-    yn = np.asarray(y, np.float64)
-    dual = float((yn @ yn - (yn - theta) @ (yn - theta)) / (2 * n))
-    return primal - dual, primal
+    return fenchel_gap_f64(np.asarray(r64), np.asarray(g64), beta_np,
+                           lam0, w, n, np.asarray(y, np.float64))

@@ -114,7 +114,17 @@ def _make_lambda_grid(opts: CDOptions, mesh: Mesh, baxis: str, faxis: str,
         out_specs=P(baxis, faxis),
         check_vma=False,
     )
-    return jax.jit(fn)
+
+    def outer(X, y, lamw, lams_p, key):
+        # pad to the sharded width INSIDE the trace (sharded_cd
+        # _pad_cols_to rationale: an eager pad keeps a second full-size
+        # design live next to the blocked layout)
+        from .sharded_cd import _pad_cols_to, _pad_vec_to, _shard_chunk
+        _, P_tot = _shard_chunk(X.shape[1], df, opts.block_size)
+        return fn(_pad_cols_to(X, P_tot), y,
+                  _pad_vec_to(lamw, P_tot, 1.0), lams_p, key)
+
+    return jax.jit(outer)
 
 
 def lasso_grid_sharded(X, y, lams, mesh: Mesh,
@@ -137,7 +147,6 @@ def lasso_grid_sharded(X, y, lams, mesh: Mesh,
     config-invariance semantics warm starts change only speed, never the
     converged solution.  Returns ``(len(lams), p)`` coefficients.
     """
-    from .sharded_cd import _pad_cols_to, _pad_vec_to, _shard_chunk
     from ..utils.helpers import std_X
 
     X = jnp.asarray(X)
@@ -146,7 +155,6 @@ def lasso_grid_sharded(X, y, lams, mesh: Mesh,
     n, p = X.shape
     db = mesh.shape[batch_axis]
     df = mesh.shape[feature_axis]
-    _, P_tot = _shard_chunk(p, df, options.block_size)
     # explicit weights win over standardization (same precedence as
     # models/lasso.py and lasso_sharded: standardize_X only fills the
     # default when no weights were given)
@@ -159,8 +167,7 @@ def lasso_grid_sharded(X, y, lams, mesh: Mesh,
     lams_p, L = _pad_batch(lams, db)
     opts = options.replace(warm_start=True)  # independent direct solves
     solver = _make_lambda_grid(opts, mesh, batch_axis, feature_axis, df)
-    betas = solver(_pad_cols_to(X, P_tot), y, _pad_vec_to(lamw, P_tot, 1.0),
-                   lams_p, jax.random.PRNGKey(seed))
+    betas = solver(X, y, lamw, lams_p, jax.random.PRNGKey(seed))
     return betas[:L, :p]
 
 

@@ -1204,7 +1204,7 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
         solver = _make_sharded_path(options, mesh, axis)
         betas, valids = solver(*args)
     if stats is not None:
-        stats["used_batched"] = used_batched and batched_ok
+        stats["used_batched"] = used_batched
         stats["batched_certified"] = batched_ok
         stats["stall_escaped_lanes"] = n_escaped
     valids = np.asarray(valids)

@@ -194,7 +194,24 @@ def _make_sharded_group(G: int, opts: CDOptions, mesh: Mesh, axis: str,
         out_specs=(P(axis), P()),
         check_vma=False,
     )
-    return jax.jit(fn)
+
+    def outer(X, y, w, lamw_g, lam0, beta0, key):
+        # pad to the sharded group width INSIDE the trace (same rationale
+        # as sharded_cd._pad_cols_to: an eager pad materializes a second
+        # full-size design on top of the blocked layout — the ×3
+        # multiplier that OOMed the headline shape on one chip)
+        p = X.shape[1]
+        B = _block_width(G)
+        k = B // G
+        ng = -(-p // G)
+        ng_shard = -(-ng // (D * k)) * k
+        G_tot = ng_shard * D
+        P_tot = G_tot * G
+        return fn(_pad_cols_to(X, P_tot), y, w,
+                  _pad_vec_to(lamw_g, G_tot, 1.0), lam0,
+                  _pad_vec_to(beta0, P_tot, 0.0), key)
+
+    return jax.jit(outer)
 
 
 def group_coordinate_descent_sharded(beta0, loss, penalty: ProxL1Group,
@@ -233,24 +250,16 @@ def group_coordinate_descent_sharded(beta0, loss, penalty: ProxL1Group,
         raise ValueError(f"group weight vector has shape {lamw_g.shape}, "
                          f"expected ({ng},)")
 
-    D = mesh.shape[axis]
-    B = _block_width(G)
-    # each shard owns whole blocks of k = B/G groups: pad the group count
-    # to a multiple of D·k, columns to the matching multiple of D·B
-    k = B // G
-    ng_shard = -(-ng // (D * k)) * k
-    G_tot = ng_shard * D
-    P_tot = G_tot * G
-    Xp = _pad_cols_to(jnp.asarray(X, dtype), P_tot)
-    lamwp = _pad_vec_to(lamw_g, G_tot, 1.0)
-    beta0p = _pad_vec_to(jnp.asarray(beta0, dtype), P_tot, 0.0)
     if key is None:
         key = jax.random.PRNGKey(seed)
 
+    # group/column padding to the sharded width happens INSIDE the jitted
+    # solver (the maker's `outer` wrapper) — no eager padded copy
     solver = _make_sharded_group(G, options, mesh, axis, weighted)
-    beta, r = solver(Xp, jnp.asarray(y, dtype),
+    beta, r = solver(jnp.asarray(X, dtype), jnp.asarray(y, dtype),
                      (jnp.zeros((n,), dtype) if w is None else w),
-                     lamwp, jnp.asarray(penalty.lam0, dtype), beta0p, key)
+                     lamw_g, jnp.asarray(penalty.lam0, dtype),
+                     jnp.asarray(beta0, dtype), key)
     return beta[:p], r
 
 

@@ -113,6 +113,64 @@ def load_sharded_checkpoint(path: str) -> Optional[ShardedPathCheckpoint]:
         )
 
 
+def _broadcast_sharded_ck(ck, lam_np, n, p, D, C, P_tot, B):
+    """Process-0-wins broadcast of the sharded checkpoint (or of the
+    decision that there is none).  Called only when
+    ``jax.process_count() > 1``: the checkpoint file is written by
+    process 0 alone, so other processes' local reads are typically
+    missing/stale — resuming from divergent states would invoke the
+    collective solver programs a different number of times per process
+    (distributed hang).  Every array is broadcast in a canonical dtype
+    (f64 / int32 / bool / uint32); the resume code re-casts to the run
+    dtype.  ``ck`` should already be validity-checked by the caller
+    (pass None for "no usable checkpoint")."""
+    from jax.experimental import multihost_utils as mh
+
+    if jax.process_index() != 0:
+        ck = None
+    meta = np.asarray(mh.broadcast_one_to_all(np.asarray(
+        [0 if ck is None else 1, 0 if ck is None else ck.next_index],
+        np.int64)))
+    if int(meta[0]) == 0:
+        return None
+    k = int(meta[1])
+    nb_total = P_tot // B
+
+    def canon(val, shape, dt):
+        if ck is None or np.shape(val) != shape:
+            return np.zeros(shape, dt)
+        return np.asarray(val, dt)
+
+    ws_shape = (D, C)
+    payload = (
+        canon(None if ck is None else ck.beta_path, (k, p), np.float64),
+        canon(None if ck is None else ck.beta_warm, (p,), np.float64),
+        canon(None if ck is None else ck.residuals, (n,), np.float64),
+        canon(None if ck is None else ck.key, (2,), np.uint32),
+        canon(None if ck is None else ck.c, (nb_total, B), np.float64),
+        canon(None if ck is None else ck.drift, (nb_total,), np.float64),
+        canon(None if ck is None else ck.active, (nb_total,), bool),
+        canon(None if ck is None else ck.ws_idx, ws_shape, np.int32),
+        # a shape-mismatched working set must broadcast as not-ok, or the
+        # canonical zero indices would be rebuilt as a "valid" cache
+        canon(None if (ck is None
+                       or np.shape(ck.ws_idx) != ws_shape) else ck.ws_ok,
+              (D,), bool),
+        canon(None if ck is None else ck.beta_prev, (p,), np.float64),
+        np.asarray([0.0, 0.0] if ck is None
+                   else [ck.lam_k, ck.lam_km1], np.float64),
+    )
+    (beta_path, beta_warm, residuals, key, c, drift, active, ws_idx,
+     ws_ok, beta_prev, lamk2) = jax.tree_util.tree_map(
+        np.asarray, mh.broadcast_one_to_all(payload))
+    return ShardedPathCheckpoint(
+        lam_path=np.asarray(lam_np), next_index=k, beta_path=beta_path,
+        beta_warm=beta_warm, residuals=residuals, key=key, c=c,
+        drift=drift, active=active, ws_idx=ws_idx, ws_ok=ws_ok,
+        beta_prev=beta_prev, lam_k=float(lamk2[0]),
+        lam_km1=float(lamk2[1]), n_shards=D)
+
+
 class PathCheckpoint(NamedTuple):
     """Resumable warm-start state of a λ-path solve (SURVEY.md §5.4).
 
@@ -343,8 +401,6 @@ def lasso_path_resumable_sharded(X, y, lam_path, checkpoint_file: str,
     C = nc * B
     lam_np = np.asarray(lam_path, dtype=np.dtype(X.dtype))
     lamw = std_X(X) if standardize_X else jnp.ones((p,), X.dtype)
-    Xp = _pad_cols_to(X, P_tot)
-    lamwp = _pad_vec_to(lamw, P_tot, 1.0)
     n_scale = jnp.asarray(n, X.dtype)
 
     # pytree-of-specs for the globally-stacked solver state: block-indexed
@@ -395,27 +451,62 @@ def lasso_path_resumable_sharded(X, y, lam_path, checkpoint_file: str,
         return st, _wrap_cache(cache)
 
     data_spec = (P(None, axis), P(), P(axis))
-    init_all = jax.jit(jax.shard_map(
+    _init_sm = jax.shard_map(
         _init_local, mesh=mesh, in_specs=data_spec + (P(),),
-        out_specs=(state_spec, cache_spec), check_vma=False))
-    rebuild_all = jax.jit(jax.shard_map(
+        out_specs=(state_spec, cache_spec), check_vma=False)
+    _rebuild_sm = jax.shard_map(
         _rebuild_local, mesh=mesh, in_specs=data_spec + (P(axis), P(axis)),
-        out_specs=cache_spec, check_vma=False))
-    solve_one = jax.jit(jax.shard_map(
+        out_specs=cache_spec, check_vma=False)
+    _solve_sm = jax.shard_map(
         _solve_local, mesh=mesh,
         in_specs=data_spec + (P(), state_spec, cache_spec, P(axis),
                               P(), P()),
-        out_specs=(state_spec, cache_spec), check_vma=False))
+        out_specs=(state_spec, cache_spec), check_vma=False)
+
+    # pad to the sharded width INSIDE each jitted program (sharded_cd
+    # _pad_cols_to rationale: an eager Xp would keep a second full-size
+    # design live across the whole path loop next to the blocked layout)
+    def _padded(Xv, lamwv):
+        return _pad_cols_to(Xv, P_tot), _pad_vec_to(lamwv, P_tot, 1.0)
+
+    @jax.jit
+    def init_all(Xv, yv, lamwv, key):
+        Xp_, lamwp_ = _padded(Xv, lamwv)
+        return _init_sm(Xp_, yv, lamwp_, key)
+
+    @jax.jit
+    def rebuild_all(Xv, yv, lamwv, idx, ok):
+        Xp_, lamwp_ = _padded(Xv, lamwv)
+        return _rebuild_sm(Xp_, yv, lamwp_, idx, ok)
+
+    @jax.jit
+    def solve_one(Xv, yv, lamwv, lam, st, g_cache, beta_prev_b,
+                  lam_k, lam_km1):
+        Xp_, lamwp_ = _padded(Xv, lamwv)
+        return _solve_sm(Xp_, yv, lamwp_, lam, st, g_cache, beta_prev_b,
+                         lam_k, lam_km1)
 
     ck = load_sharded_checkpoint(checkpoint_file)
-    if (ck is not None and ck.n_shards == D
-            and ck.lam_path.shape == lam_np.shape
-            and np.allclose(ck.lam_path, lam_np)):
+    valid = (ck is not None and ck.n_shards == D
+             and ck.lam_path.shape == lam_np.shape
+             and np.allclose(ck.lam_path, lam_np))
+    if jax.process_count() > 1:
+        # multi-process: the checkpoint is WRITTEN by process 0 only and
+        # no shared filesystem is assumed, so each process's local read
+        # may disagree (typically: process 0 has the file, the rest have
+        # nothing).  Every process must resume from the SAME state — the
+        # jitted solve_one programs are cross-process collectives invoked
+        # once per remaining path point, so divergent start indices are a
+        # distributed hang.  Process 0's decision + state win.
+        ck = _broadcast_sharded_ck(ck if valid else None, lam_np, n, p,
+                                   D, C, P_tot, B)
+        valid = ck is not None
+    if valid:
         start = ck.next_index
         betas = [b for b in ck.beta_path]
-        st, cache_g = init_all(Xp, y, lamwp, jnp.asarray(ck.key))
+        st, cache_g = init_all(X, y, lamw, jnp.asarray(ck.key))
         if nc and ck.ws_idx.shape == (D, C):
-            cache_g = rebuild_all(Xp, y, lamwp,
+            cache_g = rebuild_all(X, y, lamw,
                                   jnp.asarray(ck.ws_idx,
                                               jnp.int32).reshape(-1),
                                   jnp.asarray(ck.ws_ok, bool))
@@ -434,13 +525,13 @@ def lasso_path_resumable_sharded(X, y, lam_path, checkpoint_file: str,
     else:
         start = 0
         betas = []
-        st, cache_g = init_all(Xp, y, lamwp, jax.random.PRNGKey(seed))
+        st, cache_g = init_all(X, y, lamw, jax.random.PRNGKey(seed))
         beta_prev_b = st.beta
         lam_k = lam_km1 = float(lam_np[0])
 
     for i in range(start, lam_np.shape[0]):
         beta_k_b = st.beta
-        st, cache_g = solve_one(Xp, y, lamwp,
+        st, cache_g = solve_one(X, y, lamw,
                                 jnp.asarray(lam_np[i], X.dtype), st,
                                 cache_g, beta_prev_b,
                                 jnp.asarray(lam_k, X.dtype),

@@ -264,8 +264,9 @@ def test_batched_path_saturated_working_set_falls_back():
         p2 = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
                            path_batch=8, stats=st)
         assert any("falling back" in str(w.message) for w in ws)
-    # a fallback run reports not-certified and no escape acceptance
-    assert st == {"used_batched": False, "batched_certified": False,
+    # a fallback run reports the attempt (used_batched=True — it paid
+    # the batched-attempt cost), not-certified, and no escape acceptance
+    assert st == {"used_batched": True, "batched_certified": False,
                   "stall_escaped_lanes": 0}
     np.testing.assert_array_equal(np.asarray(p2.beta_path),
                                   np.asarray(p1.beta_path))

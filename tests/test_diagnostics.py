@@ -228,3 +228,31 @@ def test_polish_reaches_target_gap():
     resw = cd.polish_lasso(X, y, solw.x, lam, weights=w,
                            target_rel_gap=1e-7)
     assert resw.converged and resw.rel_gap <= 1e-7
+
+
+def test_polish_working_set_growth_and_cap():
+    """The polish working set must be able to GROW past its initial
+    allocation (start from β=0 at a λ whose optimal support exceeds the
+    initial C=256), and an input whose support already exceeds
+    support_cap must still get an HONEST certificate (finite gap,
+    converged=False) rather than NaN."""
+    X, y = _gen(800, 900, 320, seed=23)
+    lam = 0.02 * float(np.max(np.abs(X.astype(np.float64).T
+                                     @ y.astype(np.float64))) / 800)
+    # β = 0 start: every optimal-support coordinate enters via the
+    # violation augment; the dense planted support (320 > 256) forces at
+    # least one allocation re-grow
+    res = cd.polish_lasso(X, y, np.zeros(900, np.float32), lam,
+                          target_rel_gap=1e-7, max_rounds=10)
+    assert res.converged, (res.rel_gap, res.rounds, res.support_size)
+    assert res.support_size > 256
+    gap_chk, primal_chk = cd.lasso_duality_gap_compensated(
+        X, y, res.beta, lam)
+    assert gap_chk / primal_chk <= 1.1e-7
+    # cap-exceeded input: honest best-effort report
+    rng = np.random.default_rng(3)
+    beta_big = np.zeros(900, np.float64)
+    beta_big[rng.choice(900, 500, replace=False)] = 0.1
+    res2 = cd.polish_lasso(X, y, beta_big, lam, support_cap=256)
+    assert not res2.converged
+    assert np.isfinite(res2.gap) and np.isfinite(res2.rel_gap)

@@ -120,12 +120,31 @@ if pid == 0:
     ck = load_sharded_checkpoint(f2)
     assert ck is not None and ck.next_index == 3, ck and ck.next_index
     save_sharded_checkpoint(f2, ck._replace(lam_path=np.asarray(lams)))
+    # stash the same MID-PATH state under process 0's private path for
+    # the no-shared-filesystem scenario below (process 1 gets nothing)
+    save_sharded_checkpoint(f"{tmpdir}/private_0.npz",
+                            ck._replace(lam_path=np.asarray(lams)))
 multihost_utils.sync_global_devices("checkpoint extended")
 path_resumed = lasso_path_resumable_sharded(
     Xg, jnp.asarray(y), lams, f2, mesh, options=opts,
     standardize_X=False, seed=3)
 multihost_utils.sync_global_devices("resume done")
 assert np.array_equal(np.asarray(path_resumed.beta_path),
+                      np.asarray(path_full.beta_path))
+
+# --- resume WITHOUT a shared filesystem ---------------------------------
+# each process names its OWN checkpoint path; only process 0's exists
+# (the mid-path next_index=3 state stashed above).  The process-0-wins
+# broadcast (checkpoint._broadcast_sharded_ck) must make every process
+# resume from the same index/state — without it process 1 would restart
+# from 0 and the collective solve_one programs would deadlock across
+# processes.  The 3 remaining points then run real cross-process solves.
+f3 = f"{tmpdir}/private_{pid}.npz"
+path_nofs = lasso_path_resumable_sharded(
+    Xg, jnp.asarray(y), lams, f3, mesh, options=opts,
+    standardize_X=False, seed=3)
+multihost_utils.sync_global_devices("no-shared-fs resume done")
+assert np.array_equal(np.asarray(path_nofs.beta_path),
                       np.asarray(path_full.beta_path))
 
 ref_path = cd.lasso_path(X, y, lams, options=opts, standardize_X=False,
