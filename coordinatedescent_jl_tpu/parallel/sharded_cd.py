@@ -789,18 +789,34 @@ def feasible_lasso_sharded(X, y, lam0, mesh: Mesh,
 
 
 def _sharded_path_scan_local(Xl, y, lamwl, lam_path, max_hat_s, key,
-                             opts: CDOptions, axis: str, D: int):
+                             opts: CDOptions, axis: str, D: int,
+                             carry_in=None):
     """Shard-local body of the warm-started sharded path scan (shared by
-    the plain and batched drivers).  Returns ``(betas (g, p_local),
-    valids (g,))``."""
+    the plain, batched, and host-chunked drivers).  Returns ``(betas
+    (g, p_local), valids (g,), carry_out)``; the carry's WsCache rides
+    with its scalar ``ok`` wrapped to shape ``(1,)`` so every leaf has a
+    shard axis for the chunked driver's ``P(axis)`` specs.  With
+    ``carry_in`` (same wrapped form) the scan resumes a previous
+    segment's state — trajectory identical to one monolithic scan."""
     prob = build_blocked("ls", opts, lamwl, X=Xl, y=y)
     p_local = Xl.shape[1]
-    beta_b0 = _to_blocked_beta(jnp.zeros((p_local,), Xl.dtype),
-                               opts.block_size)
     n_scale = jnp.asarray(y.shape[0], Xl.dtype)
-    st0 = _sharded_init_state("ls", prob, beta_b0, key, axis)
     nc = _compact_mode("ls", opts, prob, Xl.dtype)
-    cache0 = _empty_ws_cache("ls", prob, nc, opts) if nc else None
+
+    def _wrap_cache(cache):
+        return cache._replace(ok=cache.ok[None]) if nc else None
+
+    if carry_in is not None:
+        st0, cache_w, beta_prev0, lam_k0, lam_km10, stopped0 = carry_in
+        cache0 = cache_w._replace(ok=cache_w.ok[0]) if nc else None
+    else:
+        beta_b0 = _to_blocked_beta(jnp.zeros((p_local,), Xl.dtype),
+                                   opts.block_size)
+        st0 = _sharded_init_state("ls", prob, beta_b0, key, axis)
+        cache0 = _empty_ws_cache("ls", prob, nc, opts) if nc else None
+        beta_prev0 = st0.beta
+        lam_k0 = lam_km10 = lam_path[0]
+        stopped0 = jnp.zeros((), bool)
 
     def scan_body(carry, lam):
         st, cache, beta_prev, lam_k, lam_km1, stopped = carry
@@ -829,15 +845,14 @@ def _sharded_path_scan_local(Xl, y, lamwl, lam_path, max_hat_s, key,
         return ((st, cache, beta_k, lam, lam_k, stopped),
                 (st.beta.reshape(-1)[:p_local], valid))
 
-    # both abscissa carries start at the first path value so the first
-    # two steps skip the shift (block_cd.secant_alpha)
-    lam_init = lam_path[0]
-    (_, _, _, _, _, _), (betas, valids) = lax.scan(
+    # fresh start: both abscissa carries hold the first path value so the
+    # first two steps skip the shift (block_cd.secant_alpha)
+    (st_f, cache_f, bp_f, lk_f, lkm_f, stop_f), (betas, valids) = lax.scan(
         scan_body,
-        (st0, cache0, st0.beta, lam_init, lam_init,
-         jnp.zeros((), bool)),
+        (st0, cache0, beta_prev0, lam_k0, lam_km10, stopped0),
         lam_path)
-    return betas, valids
+    carry_out = (st_f, _wrap_cache(cache_f), bp_f, lk_f, lkm_f, stop_f)
+    return betas, valids, carry_out
 
 
 @functools.lru_cache(maxsize=None)
@@ -845,8 +860,9 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
     D = mesh.shape[axis]
 
     def local_fn(Xl, y, lamwl, lam_path, max_hat_s, key):
-        return _sharded_path_scan_local(Xl, y, lamwl, lam_path, max_hat_s,
-                                        key, opts, axis, D)
+        betas, valids, _ = _sharded_path_scan_local(
+            Xl, y, lamwl, lam_path, max_hat_s, key, opts, axis, D)
+        return betas, valids
 
     fn = jax.shard_map(
         local_fn,
@@ -862,6 +878,55 @@ def _make_sharded_path(opts: CDOptions, mesh: Mesh, axis: str):
         return fn(_pad_cols_to(X, P_tot), y,
                   _pad_vec_to(lamw, P_tot, 1.0), lam_path, max_hat_s,
                   key)
+
+    return jax.jit(outer)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sharded_path_chunked(opts: CDOptions, mesh: Mesh, axis: str,
+                               resume: bool):
+    """Segment program for the host-chunked sharded path scan
+    (``lasso_path_sharded(scan_chunk=…)``): one warm-started scan over a
+    λ segment whose full carry (sharded CDState + per-shard WsCache +
+    secant abscissae + stop flag) round-trips through the program
+    boundary as sharded global arrays — same contract as the
+    single-device ``lasso_path(scan_chunk=…)``, same watchdog rationale
+    (PERF.md round 4).  ``resume=False`` builds the first-segment program
+    (zero-state init), ``resume=True`` the continuation program."""
+    D = mesh.shape[axis]
+    B = opts.block_size
+
+    def outer(X, y, lamw, lam_path, max_hat_s, key, carry_in):
+        from ..ops.block_cd import CDState, _compact_nc
+
+        _, P_tot = _shard_chunk(X.shape[1], D, B)
+        nb_local = (P_tot // D) // B
+        nc = _compact_nc("ls", opts, nb_local, B, X.dtype)
+        # specs for the carry pytree: block-indexed leaves shard over the
+        # feature axis, replicated scalars/vectors ride P() (the same
+        # layout utils.checkpoint's resumable sharded driver persists)
+        state_spec = CDState(beta=P(axis), r=P(), rsqr=P(),
+                             active=P(axis), key=P(), it=P(), conv=P(),
+                             done=P(), c=P(axis), drift=P(axis))
+        cache_spec = P(axis) if nc else None
+        carry_spec = (state_spec, cache_spec, P(axis), P(), P(), P())
+        data_specs = (P(None, axis), P(), P(axis), P(), P(), P())
+
+        def local_fn(Xl, yv, lamwl, lams, mhs, k, carry):
+            return _sharded_path_scan_local(
+                Xl, yv, lamwl, lams, mhs, k, opts, axis, D,
+                carry_in=(carry if resume else None))
+
+        fn = jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=data_specs + ((carry_spec,) if resume else (P(),)),
+            out_specs=(P(None, axis), P(), carry_spec),
+            check_vma=False,
+        )
+        return fn(_pad_cols_to(X, P_tot), y,
+                  _pad_vec_to(lamw, P_tot, 1.0), lam_path, max_hat_s,
+                  key, carry_in)
 
     return jax.jit(outer)
 
@@ -913,7 +978,7 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
         n_scale = jnp.asarray(n, dt)
         s_idx = lax.axis_index(axis)
 
-        betas_c, valids_c = _sharded_path_scan_local(
+        betas_c, valids_c, _ = _sharded_path_scan_local(
             Xl, y, lamwl, lam_path[jnp.asarray(cidx)], max_hat_s, key,
             opts, axis, D)
 
@@ -1119,6 +1184,43 @@ def _make_sharded_path_batched(opts: CDOptions, mesh: Mesh, axis: str,
     return jax.jit(outer)
 
 
+def _sharded_path_scan_chunked(opts: CDOptions, mesh: Mesh, axis: str,
+                               args, chunk: int):
+    """Host-driven segment loop for ``lasso_path_sharded(scan_chunk=…)``:
+    same mechanics as the single-device ``_lasso_path_scan_chunked`` (pad
+    the last segment with the final λ, round-trip the full carry, stop
+    issuing segments once the ``max_hat_s`` flag is set), with the carry
+    riding between programs as sharded global arrays."""
+    X, y, lamw, lam_path, max_hat_s, key = args
+    g = int(lam_path.shape[0])
+    nseg = -(-g // chunk)
+    pad = nseg * chunk - g
+    if pad:
+        lam_path = jnp.concatenate(
+            [lam_path, jnp.repeat(lam_path[-1:], pad)])
+    fresh = _make_sharded_path_chunked(opts, mesh, axis, False)
+    cont = _make_sharded_path_chunked(opts, mesh, axis, True)
+    betas_parts, valids_parts = [], []
+    carry = jnp.zeros(())  # ignored by the fresh program
+    for s in range(nseg):
+        seg = lam_path[s * chunk:(s + 1) * chunk]
+        b, v, carry = (fresh if s == 0 else cont)(
+            X, y, lamw, seg, max_hat_s, key, carry)
+        betas_parts.append(b)
+        valids_parts.append(v)
+        if bool(carry[-1]):  # stop flag: later segments are all no-ops
+            break
+    betas = jnp.concatenate(betas_parts, axis=0)[:g]
+    valids = jnp.concatenate(valids_parts, axis=0)[:g]
+    done = betas.shape[0]
+    if done < g:
+        valids = jnp.concatenate(
+            [valids, jnp.zeros((g - done,), valids.dtype)])
+        betas = jnp.concatenate(
+            [betas, jnp.zeros((g - done, betas.shape[1]), betas.dtype)])
+    return betas, valids
+
+
 def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
                        options: CDOptions = CDOptions(), *,
                        max_hat_s: float = float("inf"),
@@ -1126,6 +1228,7 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
                        path_batch: int | None = None,
                        coarse_stride: int | None = None,
                        batch_axis: str | None = None,
+                       scan_chunk: int | None = None,
                        seed: int = 0, stats: dict | None = None):
     """Feature-sharded warm-started Lasso path (reference ``LassoPath``,
     lasso.jl:229-260): β warm-starts across the decreasing λ grid on device;
@@ -1143,6 +1246,15 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
     refines its own lanes with its own feature-axis collectives), so the
     refine phase scales with both mesh axes; the coarse anchor scan runs
     replicated over ``batch_axis``.
+
+    ``scan_chunk > 0`` executes the sequential sharded scan (including
+    the fallback from an uncertified batched run) as host-driven
+    ``scan_chunk``-point segments, the full carry (sharded solver state +
+    per-shard working-set cache + secant abscissae + stop flag)
+    round-tripped between programs as sharded global arrays — identical
+    trajectory, bounded single-program runtime (the same
+    watchdog-robustness contract as the single-device
+    ``lasso_path(scan_chunk=…)``; see PERF.md round 4).
 
     ``stats``, if a dict, receives the same run accounting as the
     single-device ``lasso_path``: ``used_batched``, ``batched_certified``
@@ -1169,6 +1281,8 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
         raise ValueError("coarse_stride must be >= 1")
     if path_batch < 0:
         raise ValueError("path_batch must be >= 0")
+    if scan_chunk is not None and scan_chunk <= 0:
+        raise ValueError("scan_chunk must be >= 1")
 
     args = (X, y, lamw, lam_path, jnp.asarray(max_hat_s, X.dtype),
             jax.random.PRNGKey(seed))
@@ -1201,8 +1315,12 @@ def lasso_path_sharded(X, y, lam_path, mesh: Mesh,
                 "options.compact_size or a smaller path_batch)",
                 RuntimeWarning)
     if not batched_ok:
-        solver = _make_sharded_path(options, mesh, axis)
-        betas, valids = solver(*args)
+        if scan_chunk and L > scan_chunk:
+            betas, valids = _sharded_path_scan_chunked(
+                options, mesh, axis, args, int(scan_chunk))
+        else:
+            solver = _make_sharded_path(options, mesh, axis)
+            betas, valids = solver(*args)
     if stats is not None:
         stats["used_batched"] = used_batched
         stats["batched_certified"] = batched_ok

@@ -916,3 +916,35 @@ def test_lvocv_batch_fallback_recompute(batch_mesh):
                                    cv_batch=16)
         assert any("recomputing" in str(w.message) for w in ws)
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-6)
+
+
+def test_sharded_path_scan_chunked_bitwise(feature_mesh):
+    """Host-chunked sharded scan ≡ the monolithic sharded scan bitwise:
+    the full carry (sharded CDState + per-shard WsCache + secant
+    abscissae + stop flag) round-trips between segment programs as
+    sharded global arrays.  Covers compaction (the wrapped cache leaves),
+    mid-grid chunk splits, and the max_hat_s host-side early exit."""
+    X, y = _gen(100, 48, 6, seed=13)
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.05), 9))
+    for opts in (OPTS,
+                 OPTS.replace(compact=True, compact_size=16,
+                              randomize=True)):
+        ref = lasso_path_sharded(X, y, lams, feature_mesh, options=opts,
+                                 standardize_X=False, path_batch=0)
+        for ch in (2, 4, 9):
+            chunked = lasso_path_sharded(
+                X, y, lams, feature_mesh, options=opts,
+                standardize_X=False, path_batch=0, scan_chunk=ch)
+            assert chunked.beta_path.shape == ref.beta_path.shape
+            assert bool(jnp.all(chunked.beta_path == ref.beta_path)), \
+                f"chunk={ch} diverged from the monolithic sharded scan"
+    # max_hat_s truncation identical under chunking
+    lams2 = np.exp(np.linspace(np.log(0.5), np.log(0.01), 10))
+    ref = lasso_path_sharded(X, y, lams2, feature_mesh, options=OPTS,
+                             max_hat_s=10, standardize_X=False,
+                             path_batch=0)
+    chunked = lasso_path_sharded(X, y, lams2, feature_mesh, options=OPTS,
+                                 max_hat_s=10, standardize_X=False,
+                                 path_batch=0, scan_chunk=3)
+    assert chunked.beta_path.shape == ref.beta_path.shape
+    assert bool(jnp.all(chunked.beta_path == ref.beta_path))
