@@ -482,20 +482,32 @@ def lasso_row_sharded(X, y, lam, mesh: Mesh, weights=None,
 
 @functools.lru_cache(maxsize=None)
 def _make_row_sharded_path(opts: CDOptions, mesh: Mesh, axis: str,
-                           feat_axis: str | None):
+                           feat_axis: str | None, resume: bool = False):
+    """Row/tile-sharded path program.  ``resume=True`` builds the
+    continuation variant used by ``lasso_path_row_sharded(scan_chunk=…)``:
+    the scan carry (β blocks, sharded residual, ‖r‖² scalar, active mask,
+    key, stop flag) round-trips through the program boundary — identical
+    trajectory, bounded single-program runtime (same watchdog contract
+    as ``lasso_path(scan_chunk=…)``).  Padding to the sharded widths
+    happens INSIDE the jitted ``outer`` (no eager padded design copy)."""
     n_feat = mesh.shape[feat_axis] if feat_axis else 1
 
-    def local_fn(Xl, yl, lamw, valid, lam_path, max_hat_s, n_true, key):
+    def local_fn(Xl, yl, lamw, valid, lam_path, max_hat_s, n_true, key,
+                 carry_in):
         B = int(opts.block_size)
         nb = Xl.shape[1] // B
         dt = Xl.dtype
         w = jnp.ones((Xl.shape[0],), dt)
         prob = _row_build("ls", Xl, yl, w, lamw.reshape(nb, B),
                           valid.reshape(nb, B), B, axis)
-        beta_b = jnp.zeros((nb, B), dt)
-        r = yl
-        rsqr = jnp.zeros((), dt)
-        active = jnp.zeros((nb,), bool)
+        if resume:
+            beta_b, r, rsqr, active, key, stopped0 = carry_in
+        else:
+            beta_b = jnp.zeros((nb, B), dt)
+            r = yl
+            rsqr = jnp.zeros((), dt)
+            active = jnp.zeros((nb,), bool)
+            stopped0 = jnp.zeros((), bool)
 
         def scan_body(carry, lam):
             beta_b, r, rsqr, active, key, stopped = carry
@@ -516,35 +528,59 @@ def _make_row_sharded_path(opts: CDOptions, mesh: Mesh, axis: str,
             return ((beta_b, r, rsqr, active, key, stopped),
                     (beta_b.reshape(-1), valid_pt))
 
-        _, (betas, valids) = lax.scan(
-            scan_body, (beta_b, r, rsqr, active, key,
-                        jnp.zeros((), bool)), lam_path)
-        return betas, valids
+        carry_out, (betas, valids) = lax.scan(
+            scan_body, (beta_b, r, rsqr, active, key, stopped0), lam_path)
+        return betas, valids, carry_out
 
     fspec = feat_axis
+    carry_spec = (P(fspec), P(axis), P(), P(fspec), P(), P())
     fn = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(axis, fspec), P(axis), P(fspec), P(fspec), P(), P(),
-                  P(), P()),
-        out_specs=(P(None, fspec), P()),
+                  P(), P()) + ((carry_spec,) if resume else (P(),)),
+        out_specs=(P(None, fspec), P(), carry_spec),
         check_vma=False,
     )
-    return jax.jit(fn)
+
+    def outer(X, y, lamw, lam_path, max_hat_s, n_true, key, carry_in):
+        # pad rows/columns to the sharded widths inside the trace (see
+        # sharded_cd._pad_cols_to — an eager pad keeps a second
+        # full-size design live)
+        n, p = X.shape
+        B = int(opts.block_size)
+        if feat_axis is not None:
+            from .sharded_cd import _shard_chunk
+            _, p_pad = _shard_chunk(p, mesh.shape[feat_axis], B)
+        else:
+            p_pad = -(-p // B) * B
+        n_pad = -(-n // mesh.shape[axis]) * mesh.shape[axis]
+        Xp = jnp.pad(X, ((0, n_pad - n), (0, p_pad - p)))
+        yp = _pad_vec_to(y, n_pad, 0.0)
+        lamwp = _pad_vec_to(lamw, p_pad, 1.0)
+        validp = _pad_vec_to(jnp.ones((p,), bool), p_pad, False)
+        return fn(Xp, yp, lamwp, validp, lam_path, max_hat_s, n_true,
+                  key, carry_in)
+
+    return jax.jit(outer)
 
 
 def lasso_path_row_sharded(X, y, lam_path, mesh: Mesh,
                            options: CDOptions = CDOptions(), *,
                            max_hat_s: float = float("inf"),
                            standardize_X: bool = True, axis: str = "obs",
-                           feat_axis: str | None = None, seed: int = 0):
+                           feat_axis: str | None = None,
+                           scan_chunk: int | None = None, seed: int = 0):
     """Warm-started Lasso path on the observation-sharded (or tiled)
     layout — reference ``LassoPath`` (lasso.jl:229-260) for designs whose
     ROWS don't fit one chip.  Same early-stop semantics as
     ``lasso_path_sharded`` (first support-exceeding point kept); the
     per-coordinate loadings of ``standardize_X`` are the cross-shard
     column RMS (the divisor-is-n quirk preserved via utils.std_X on the
-    full matrix before sharding)."""
+    full matrix before sharding).  ``scan_chunk > 0`` runs the scan as
+    host-driven segments with the carry round-tripped between programs —
+    the same watchdog-robustness contract (and identical-trajectory
+    guarantee) as ``lasso_path(scan_chunk=…)``."""
     import numpy as np
     from ..models.lasso_path import LassoPath
     from ..utils.helpers import std_X
@@ -554,8 +590,6 @@ def lasso_path_row_sharded(X, y, lam_path, mesh: Mesh,
     n, p = X.shape
     if y.shape[0] != n:
         raise ValueError(f"y has {y.shape[0]} rows, X has {n}")
-    D = mesh.shape[axis]
-    B = int(options.block_size)
     if feat_axis is not None:
         if feat_axis not in mesh.shape:
             raise ValueError(f"feat_axis {feat_axis!r} not in mesh axes "
@@ -563,24 +597,49 @@ def lasso_path_row_sharded(X, y, lam_path, mesh: Mesh,
         if feat_axis == axis:
             raise ValueError("feat_axis must differ from the obs axis "
                              f"({axis!r})")
-        from .sharded_cd import _shard_chunk
-        _, p_pad = _shard_chunk(p, mesh.shape[feat_axis], B)
-    else:
-        p_pad = -(-p // B) * B
-    n_pad = -(-n // D) * D
+    if scan_chunk is not None and scan_chunk <= 0:
+        raise ValueError("scan_chunk must be >= 1")
     lamw = std_X(X) if standardize_X else jnp.ones((p,), X.dtype)
-
-    Xp = jnp.pad(X, ((0, n_pad - n), (0, p_pad - p)))
-    yp = _pad_vec_to(y, n_pad, 0.0)
-    lamwp = _pad_vec_to(lamw, p_pad, 1.0)
-    validp = _pad_vec_to(jnp.ones((p,), bool), p_pad, False)
     lam_path = jnp.asarray(lam_path, X.dtype)
+    g = int(lam_path.shape[0])
+    mhs = jnp.asarray(max_hat_s, X.dtype)
+    n_true = jnp.asarray(n, X.dtype)
+    key = jax.random.PRNGKey(seed)
 
-    solver = _make_row_sharded_path(options, mesh, axis, feat_axis)
-    betas, valids = solver(Xp, yp, lamwp, validp, lam_path,
-                           jnp.asarray(max_hat_s, X.dtype),
-                           jnp.asarray(n, X.dtype),
-                           jax.random.PRNGKey(seed))
+    if scan_chunk and g > scan_chunk:
+        chunk = int(scan_chunk)
+        nseg = -(-g // chunk)
+        pad = nseg * chunk - g
+        lam_pad = (jnp.concatenate(
+            [lam_path, jnp.repeat(lam_path[-1:], pad)]) if pad
+            else lam_path)
+        fresh = _make_row_sharded_path(options, mesh, axis, feat_axis,
+                                       False)
+        cont = _make_row_sharded_path(options, mesh, axis, feat_axis,
+                                      True)
+        parts_b, parts_v = [], []
+        carry = jnp.zeros(())  # ignored by the fresh program
+        for s in range(nseg):
+            seg = lam_pad[s * chunk:(s + 1) * chunk]
+            b, v, carry = (fresh if s == 0 else cont)(
+                X, y, lamw, seg, mhs, n_true, key, carry)
+            parts_b.append(b)
+            parts_v.append(v)
+            if bool(carry[-1]):
+                break
+        betas = jnp.concatenate(parts_b, axis=0)[:g]
+        valids = jnp.concatenate(parts_v, axis=0)[:g]
+        done = betas.shape[0]
+        if done < g:
+            valids = jnp.concatenate(
+                [valids, jnp.zeros((g - done,), valids.dtype)])
+            betas = jnp.concatenate(
+                [betas, jnp.zeros((g - done, betas.shape[1]),
+                                  betas.dtype)])
+    else:
+        solver = _make_row_sharded_path(options, mesh, axis, feat_axis)
+        betas, valids, _ = solver(X, y, lamw, lam_path, mhs, n_true, key,
+                                  jnp.zeros(()))
     valids = np.asarray(valids)
     k = int(valids.sum())
     return LassoPath(lam_path[:k], betas[:k, :p])

@@ -948,3 +948,36 @@ def test_sharded_path_scan_chunked_bitwise(feature_mesh):
                                  path_batch=0, scan_chunk=3)
     assert chunked.beta_path.shape == ref.beta_path.shape
     assert bool(jnp.all(chunked.beta_path == ref.beta_path))
+
+
+def test_row_sharded_path_scan_chunked_bitwise():
+    """Host-chunked row/tile-sharded path ≡ the monolithic program
+    bitwise, on the obs mesh and the 2-D tiled mesh (carry leaves ride
+    P(feat)/P(obs) specs), incl. the max_hat_s host-side early exit."""
+    from coordinatedescent_jl_tpu.parallel import lasso_path_row_sharded
+
+    X, y = _gen(96, 40, 6, seed=29)
+    lams = np.exp(np.linspace(np.log(0.5), np.log(0.03), 9))
+    devs = np.array(jax.devices())
+    obs_mesh = jax.sharding.Mesh(devs[:4], ("obs",))
+    tile_mesh = jax.sharding.Mesh(devs[:8].reshape(2, 4),
+                                  ("obs", "feature"))
+    for mesh, fa in ((obs_mesh, None), (tile_mesh, "feature")):
+        ref = lasso_path_row_sharded(X, y, lams, mesh, options=OPTS,
+                                     standardize_X=False, feat_axis=fa)
+        for ch in (3, 9):
+            chunked = lasso_path_row_sharded(
+                X, y, lams, mesh, options=OPTS, standardize_X=False,
+                feat_axis=fa, scan_chunk=ch)
+            assert chunked.beta_path.shape == ref.beta_path.shape
+            assert bool(jnp.all(chunked.beta_path == ref.beta_path)), \
+                f"mesh={mesh.shape} chunk={ch} diverged"
+        stop = lasso_path_row_sharded(X, y, lams, mesh, options=OPTS,
+                                      standardize_X=False, feat_axis=fa,
+                                      max_hat_s=8)
+        stop_ch = lasso_path_row_sharded(X, y, lams, mesh, options=OPTS,
+                                         standardize_X=False,
+                                         feat_axis=fa, max_hat_s=8,
+                                         scan_chunk=2)
+        assert stop_ch.beta_path.shape == stop.beta_path.shape
+        assert bool(jnp.all(stop_ch.beta_path == stop.beta_path))
