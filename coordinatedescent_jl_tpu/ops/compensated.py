@@ -77,6 +77,69 @@ def grad_f64(X, r64, col_chunk: int = 4096):
     return lax.map(one, jnp.arange(ncol)).reshape(-1)[:p]
 
 
+@jax.jit
+def _grad32_and_mag(X, r32):
+    """One fast pass: the f32 gradient estimate ``X' r32`` and the
+    magnitude sweep ``|X|' |r32|`` that feeds its rigorous error bound.
+    Two HIGHEST-pinned f32 matvecs — MXU speed, no f64 emulation."""
+    g32 = jnp.einsum("nj,n->j", X, r32, precision=_PREC)
+    mag = jnp.einsum("nj,n->j", jnp.abs(X), jnp.abs(r32), precision=_PREC)
+    return g32, mag
+
+
+def grad_f64_certified(X, r64, nlamw, *, col_chunk: int = 4096,
+                       cap: int = 8192):
+    """``X' r`` exact (f64-accumulated) wherever it can matter for the
+    Fenchel certificate, f32 elsewhere — a drop-in for ``grad_f64`` in
+    both certificate consumers, at a fraction of the cost.
+
+    The certificate uses the gradient only through (a) the dual scaling
+    ``ratio = max_j |g_j| / (nλw_j)`` and (b) the violation ranking
+    ``max(|g_j|/n − λw_j, 0)``.  One f32 HIGHEST matvec gives ``g32``;
+    a second magnitude matvec ``a = |X|'|r32|`` gives the rigorous
+    any-summation-order error bound ``|g32_j − g_j| ≤ (n+4)·eps32·a_j``
+    (n·eps for the dot in any reduction order, +2 terms for the
+    ``r64 → r32`` truncation, +margin).  Columns whose certified UPPER
+    bound ``u_j = (|g32_j|+b_j)/(nλw_j)`` falls below BOTH the best
+    certified lower bound ``max_k l_k`` and 1.0 can neither attain the
+    ratio max nor hold a violation — for those the f32 value is
+    returned (its ratio is ≤ u_j < the exact max, and its clipped
+    violation is exactly 0, so both consumers see exact results).  Every
+    other column — the near-max "edge set", typically O(100) — is
+    recomputed exactly by one (n, |S|) gathered f64 contraction.
+
+    Falls back to the full ``grad_f64`` sweep when the edge set exceeds
+    ``cap`` (pathological near-tie designs).  Host-driven, like the rest
+    of this module.  Requires x64.
+    """
+    _require_x64("grad_f64_certified")
+    n, p = X.shape
+    r32 = jnp.asarray(r64, jnp.float32)
+    g32, mag = _grad32_and_mag(X, r32)
+    g32_np = np.asarray(g32, np.float64)
+    eps = float(np.finfo(np.float32).eps)
+    # 1.01 inflation covers the magnitude sweep's own f32 rounding
+    # (it may under-read Σ|x||r| by ~n·eps relative)
+    bnd = 1.01 * (n + 4) * eps * np.asarray(mag, np.float64)
+    nlamw = np.asarray(nlamw, np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = (np.abs(g32_np) + bnd) / nlamw
+        l_best = float(np.max((np.abs(g32_np) - bnd) / nlamw))
+    thr = min(l_best, 1.0)
+    sel = np.nonzero(~(u < thr))[0]       # keeps NaN/inf rows (w_j = 0)
+    if sel.size > cap:
+        return grad_f64(X, r64, col_chunk=col_chunk)
+    C = max(128, -(-max(1, sel.size) // 128) * 128)
+    idx = np.full((C,), p, np.int64)
+    idx[:sel.size] = sel
+    Xs = jnp.take(X, jnp.asarray(idx), axis=1, mode="fill", fill_value=0)
+    g_sel = jnp.einsum("nj,n->j", Xs, r64, precision=_PREC,
+                       preferred_element_type=jnp.float64)
+    out = g32_np.copy()
+    out[sel] = np.asarray(g_sel, np.float64)[: sel.size]
+    return jnp.asarray(out)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def residual_f64(X, y, idx, beta_s64):
     """Exact f64 residual ``y − X[:, idx] @ beta_s`` of a sparse β whose
@@ -136,6 +199,10 @@ def lasso_duality_gap_compensated(X, y, beta, lam0, weights=None, *,
     beta_s[:sup.size] = beta_np[sup]
     r64 = residual_f64(X, jnp.asarray(y), jnp.asarray(idx),
                        jnp.asarray(beta_s))
-    g64 = grad_f64(X, r64, col_chunk=min(col_chunk, p))
+    # hybrid sweep: exact f64 on the near-max edge set, bounded-f32
+    # elsewhere — the ratio/violation consumers see exact values (see
+    # grad_f64_certified; pure f64 emulation costs ~6× more on TPU)
+    g64 = grad_f64_certified(X, r64, n * float(lam0) * w,
+                             col_chunk=min(col_chunk, p))
     return fenchel_gap_f64(np.asarray(r64), np.asarray(g64), beta_np,
                            lam0, w, n, np.asarray(y, np.float64))

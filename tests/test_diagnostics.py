@@ -256,3 +256,74 @@ def test_polish_working_set_growth_and_cap():
     res2 = cd.polish_lasso(X, y, beta_big, lam, support_cap=256)
     assert not res2.converged
     assert np.isfinite(res2.gap) and np.isfinite(res2.rel_gap)
+
+
+def test_grad_certified_hybrid_matches_full_f64():
+    """The hybrid certificate sweep (grad_f64_certified) must give the
+    SAME Fenchel gap and the same violation ranking as the full f64
+    sweep: exact values on the near-max edge set, and provably
+    can't-matter columns elsewhere.  Covers random designs, a
+    near-tie design (many columns at the max — large edge set), and the
+    cap fallback."""
+    from coordinatedescent_jl_tpu.ops.compensated import (
+        fenchel_gap_f64, grad_f64, grad_f64_certified, residual_f64)
+
+    rng = np.random.default_rng(41)
+    n, p = 400, 1200
+    X, y = _gen(n, p, 25, seed=41)
+    lam = 0.1 * float(np.max(np.abs(X.astype(np.float64).T
+                                    @ y.astype(np.float64))) / n)
+    sol = cd.lasso(jnp.asarray(X), jnp.asarray(y), lam,
+                   options=cd.CDOptions(opt_tol=1e-6))
+    w = np.ones(p)
+    bx = np.asarray(sol.x, np.float64)
+    sup = np.nonzero(bx)[0]
+    C = max(128, -(-sup.size // 128) * 128)
+    idx = np.full((C,), p)
+    idx[:sup.size] = sup
+    bs = np.zeros(C)
+    bs[:sup.size] = bx[sup]
+    r64 = residual_f64(jnp.asarray(X), jnp.asarray(y), jnp.asarray(idx),
+                       jnp.asarray(bs))
+    g_full = np.asarray(grad_f64(jnp.asarray(X), r64))
+    g_hyb = np.asarray(grad_f64_certified(jnp.asarray(X), r64,
+                                          n * lam * w))
+    gap_f, primal_f = fenchel_gap_f64(np.asarray(r64), g_full, bx, lam,
+                                      w, n, y.astype(np.float64))
+    gap_h, primal_h = fenchel_gap_f64(np.asarray(r64), g_hyb, bx, lam,
+                                      w, n, y.astype(np.float64))
+    assert primal_h == primal_f
+    np.testing.assert_allclose(gap_h, gap_f, rtol=1e-12, atol=1e-18)
+    # violation ranking (the augment consumer): clipped viols identical
+    v_full = np.maximum(np.abs(g_full) / n - lam * w, 0.0)
+    v_hyb = np.maximum(np.abs(g_hyb) / n - lam * w, 0.0)
+    np.testing.assert_allclose(v_hyb, v_full, rtol=1e-12, atol=1e-20)
+    # near-tie design: duplicate the max column many times
+    jmax = int(np.argmax(np.abs(g_full)))
+    Xt = X.copy()
+    Xt[:, :50] = X[:, [jmax]] * (1 + 1e-9 * np.arange(50))[None, :]
+    g_full_t = np.asarray(grad_f64(jnp.asarray(Xt), r64))
+    g_hyb_t = np.asarray(grad_f64_certified(jnp.asarray(Xt), r64,
+                                            n * lam * w))
+    rat_f = np.max(np.abs(g_full_t) / (n * lam * w))
+    rat_h = np.max(np.abs(g_hyb_t) / (n * lam * w))
+    np.testing.assert_allclose(rat_h, rat_f, rtol=1e-13)
+    # cap fallback path: cap=0 forces the full sweep — bitwise equal
+    g_cap = np.asarray(grad_f64_certified(jnp.asarray(X), r64,
+                                          n * lam * w, cap=0))
+    np.testing.assert_array_equal(g_cap, g_full)
+
+
+def test_polish_hybrid_still_reaches_target():
+    """polish_lasso with the hybrid sweep still certifies ≤1e-7 and the
+    result cross-checks against the full-f64 public certificate."""
+    X, y = _gen(300, 800, 10, seed=11)
+    lam = 0.05 * float(np.max(np.abs(X.astype(np.float64).T
+                                     @ y.astype(np.float64))) / 300)
+    sol = cd.lasso(jnp.asarray(X), jnp.asarray(y), lam,
+                   options=cd.CDOptions(opt_tol=1e-5, randomize=False))
+    res = cd.polish_lasso(X, y, sol.x, lam, target_rel_gap=1e-7)
+    assert res.converged and res.rel_gap <= 1e-7
+    gap_chk, primal_chk = cd.lasso_duality_gap_compensated(
+        X, y, res.beta, lam)
+    assert gap_chk / primal_chk <= 1.1e-7
