@@ -193,13 +193,30 @@ def main():
                 X, y, path.beta_path[-1], float(lams[-1]))
             pol["final_point_rel_gap_compensated"] = float(
                 gap_c / max(primal_c, 1e-300))
-            t0 = time.perf_counter()
-            res = cd.polish_lasso(X, y, path.beta_path[-1],
-                                  float(lams[-1]), target_rel_gap=1e-7)
-        pol["polish_s"] = round(time.perf_counter() - t0, 4)
+            t_pol = float("inf")
+            for rep in range(2):   # min-of-2: the first call may absorb
+                t0 = time.perf_counter()   # compiles / tunnel re-uploads
+                res = cd.polish_lasso(X, y, path.beta_path[-1],
+                                      float(lams[-1]) * (1.0 + 1e-9 * rep),
+                                      target_rel_gap=1e-7)
+                t_pol = min(t_pol, time.perf_counter() - t0)
+        pol["polish_s"] = round(t_pol, 4)
         pol["final_point_rel_gap_polished"] = float(res.rel_gap)
         pol["polish_rounds"] = int(res.rounds)
         pol["polish_converged"] = bool(res.converged)
+        # BASELINE.json's stated metric is time-to-1e-7 gap: one warm
+        # single solve at the final λ plus the certifying polish, as one
+        # legible number
+        sol_t = cd.lasso(X, y, float(lams[-1]) * (1.0 + 1e-7))  # compile
+        float(jnp.sum(sol_t.x))
+        t0 = time.perf_counter()
+        sol_t = cd.lasso(X, y, float(lams[-1]) * (1.0 + 2e-7))
+        float(jnp.sum(sol_t.x))
+        t_single = time.perf_counter() - t0
+        pol["single_solve_s"] = round(t_single, 4)
+        if res.converged:
+            pol["time_to_1e7_gap_s"] = round(t_single + pol["polish_s"],
+                                             4)
         _log(f"bench: polish rel_gap {res.rel_gap:.2e} "
              f"(from {pol['final_point_rel_gap_compensated']:.2e}) in "
              f"{pol['polish_s']}s, {res.rounds} rounds, "
