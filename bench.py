@@ -194,10 +194,13 @@ def main():
             pol["final_point_rel_gap_compensated"] = float(
                 gap_c / max(primal_c, 1e-300))
             t_pol = float("inf")
-            for rep in range(2):   # min-of-2: the first call may absorb
-                t0 = time.perf_counter()   # compiles / tunnel re-uploads
+            # min-of-2 (first call may absorb compiles / tunnel
+            # re-uploads); the perturbed-λ rep runs FIRST so the recorded
+            # certificate fields belong to the exact λ
+            for lam_fac in (1.0 + 1e-9, 1.0):
+                t0 = time.perf_counter()
                 res = cd.polish_lasso(X, y, path.beta_path[-1],
-                                      float(lams[-1]) * (1.0 + 1e-9 * rep),
+                                      float(lams[-1]) * lam_fac,
                                       target_rel_gap=1e-7)
                 t_pol = min(t_pol, time.perf_counter() - t0)
         pol["polish_s"] = round(t_pol, 4)
@@ -205,18 +208,26 @@ def main():
         pol["polish_rounds"] = int(res.rounds)
         pol["polish_converged"] = bool(res.converged)
         # BASELINE.json's stated metric is time-to-1e-7 gap: one warm
-        # single solve at the final λ plus the certifying polish, as one
-        # legible number
+        # single solve plus the certifying polish of ITS OWN output (not
+        # the path point's — a cold single solve may need more polish
+        # work than a 100-point warm-path iterate), as one legible number
+        lam_t = float(lams[-1]) * (1.0 + 2e-7)
         sol_t = cd.lasso(X, y, float(lams[-1]) * (1.0 + 1e-7))  # compile
         float(jnp.sum(sol_t.x))
         t0 = time.perf_counter()
-        sol_t = cd.lasso(X, y, float(lams[-1]) * (1.0 + 2e-7))
+        sol_t = cd.lasso(X, y, lam_t)
         float(jnp.sum(sol_t.x))
         t_single = time.perf_counter() - t0
         pol["single_solve_s"] = round(t_single, 4)
-        if res.converged:
-            pol["time_to_1e7_gap_s"] = round(t_single + pol["polish_s"],
-                                             4)
+        t_pol2 = float("inf")
+        with jax.enable_x64(True):
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res2 = cd.polish_lasso(X, y, sol_t.x, lam_t,
+                                       target_rel_gap=1e-7)
+                t_pol2 = min(t_pol2, time.perf_counter() - t0)
+        if res2.converged:
+            pol["time_to_1e7_gap_s"] = round(t_single + t_pol2, 4)
         _log(f"bench: polish rel_gap {res.rel_gap:.2e} "
              f"(from {pol['final_point_rel_gap_compensated']:.2e}) in "
              f"{pol['polish_s']}s, {res.rounds} rounds, "

@@ -27,6 +27,7 @@ from jax import lax
 
 from ..ops.batched_certify import (
     kkt_violation_lanes,
+    run_chunked_segments,
     stall_escape_update,
     union_block_fista,
     union_priority,
@@ -316,38 +317,14 @@ def _lasso_path_scan_chunked(X, y, lam_path, lamw, key, max_hat_s,
     ``max_hat_s`` early stop actually skips the remaining segments on the
     host instead of running them as in-trace no-ops.
 
-    The last segment is padded by repeating the final λ (one compiled
-    program serves every segment); pad outputs are sliced off."""
-    g = int(lam_path.shape[0])
-    nseg = -(-g // chunk)
-    pad = nseg * chunk - g
-    if pad:
-        lam_path = jnp.concatenate(
-            [lam_path, jnp.repeat(lam_path[-1:], pad)])
-    betas_parts = []
-    valids_parts = []
-    carry = None
-    for s in range(nseg):
-        seg = lam_path[s * chunk:(s + 1) * chunk]
-        betas_s, valids_s, carry = _lasso_path_core(
-            X, y, seg, lamw, key, max_hat_s, opts,
-            carry_in=carry, resume=s > 0)
-        betas_parts.append(betas_s)
-        valids_parts.append(valids_s)
-        # carry[-1] is the scan's stop flag: every later point would be an
-        # in-trace no-op, so stop issuing segments (host-side early exit
-        # the monolithic scan cannot do)
-        if bool(carry[-1]):
-            break
-    betas = jnp.concatenate(betas_parts, axis=0)[:g]
-    valids = jnp.concatenate(valids_parts, axis=0)[:g]
-    done = betas.shape[0]
-    if done < g:  # early-exited segments: later points are invalid
-        valids = jnp.concatenate(
-            [valids, jnp.zeros((g - done,), valids.dtype)])
-        betas = jnp.concatenate(
-            [betas, jnp.zeros((g - done, betas.shape[1]), betas.dtype)])
-    return betas, valids
+    Mechanics (pad/early-exit/truncation) are single-sourced in
+    ``ops.batched_certify.run_chunked_segments``."""
+
+    def run_segment(s, seg, carry):
+        return _lasso_path_core(X, y, seg, lamw, key, max_hat_s, opts,
+                                carry_in=carry, resume=s > 0)
+
+    return run_chunked_segments(lam_path, chunk, run_segment)
 
 
 def lasso_path(X, y, lam_path, options: CDOptions = CDOptions(), *,

@@ -156,3 +156,44 @@ def stall_escape_update(cert, best, stall, escaped, mx, patience, tol,
     if frozen is not None:
         cert = cert | frozen
     return cert, best, stall, escaped
+
+
+def run_chunked_segments(lam_path, chunk: int, run_segment):
+    """Host-driven segment loop shared by every λ-path ``scan_chunk``
+    driver (single-device, feature-sharded, row/tile-sharded) — single
+    source for the chunking mechanics so the drivers cannot diverge:
+    pad the last segment by repeating the final λ (one compiled program
+    serves every segment), stop issuing segments once the carry's stop
+    flag is set (later points are in-trace no-ops anyway), slice off pad
+    outputs, and mark never-issued points invalid.
+
+    ``run_segment(s, seg, carry)`` runs segment ``s`` over the λ slice
+    ``seg`` from ``carry`` (``None`` for the first segment) and returns
+    ``(betas_seg, valids_seg, carry_out)``; ``carry_out[-1]`` must be
+    the scan's stop flag.  Returns ``(betas (g, …), valids (g,))``.
+    """
+    g = int(lam_path.shape[0])
+    nseg = -(-g // chunk)
+    pad = nseg * chunk - g
+    if pad:
+        lam_path = jnp.concatenate(
+            [lam_path, jnp.repeat(lam_path[-1:], pad)])
+    parts_b, parts_v = [], []
+    carry = None
+    for s in range(nseg):
+        seg = lam_path[s * chunk:(s + 1) * chunk]
+        b, v, carry = run_segment(s, seg, carry)
+        parts_b.append(b)
+        parts_v.append(v)
+        if bool(carry[-1]):
+            break
+    betas = jnp.concatenate(parts_b, axis=0)[:g]
+    valids = jnp.concatenate(parts_v, axis=0)[:g]
+    done = betas.shape[0]
+    if done < g:  # early-exited segments: later points are invalid
+        valids = jnp.concatenate(
+            [valids, jnp.zeros((g - done,), valids.dtype)])
+        betas = jnp.concatenate(
+            [betas, jnp.zeros((g - done,) + betas.shape[1:],
+                              betas.dtype)])
+    return betas, valids

@@ -607,37 +607,25 @@ def lasso_path_row_sharded(X, y, lam_path, mesh: Mesh,
     key = jax.random.PRNGKey(seed)
 
     if scan_chunk and g > scan_chunk:
-        chunk = int(scan_chunk)
-        nseg = -(-g // chunk)
-        pad = nseg * chunk - g
-        lam_pad = (jnp.concatenate(
-            [lam_path, jnp.repeat(lam_path[-1:], pad)]) if pad
-            else lam_path)
+        from ..ops.batched_certify import run_chunked_segments
+
         fresh = _make_row_sharded_path(options, mesh, axis, feat_axis,
                                        False)
         cont = _make_row_sharded_path(options, mesh, axis, feat_axis,
                                       True)
-        parts_b, parts_v = [], []
-        carry = jnp.zeros(())  # ignored by the fresh program
-        for s in range(nseg):
-            seg = lam_pad[s * chunk:(s + 1) * chunk]
-            b, v, carry = (fresh if s == 0 else cont)(
-                X, y, lamw, seg, mhs, n_true, key, carry)
-            parts_b.append(b)
-            parts_v.append(v)
-            if bool(carry[-1]):
-                break
-        betas = jnp.concatenate(parts_b, axis=0)[:g]
-        valids = jnp.concatenate(parts_v, axis=0)[:g]
-        done = betas.shape[0]
-        if done < g:
-            valids = jnp.concatenate(
-                [valids, jnp.zeros((g - done,), valids.dtype)])
-            betas = jnp.concatenate(
-                [betas, jnp.zeros((g - done, betas.shape[1]),
-                                  betas.dtype)])
+
+        def run_segment(s, seg, carry):
+            return (fresh if s == 0 else cont)(
+                X, y, lamw, seg, mhs, n_true, key,
+                jnp.zeros(()) if s == 0 else carry)
+
+        betas, valids = run_chunked_segments(lam_path, int(scan_chunk),
+                                             run_segment)
     else:
-        solver = _make_row_sharded_path(options, mesh, axis, feat_axis)
+        # resume=False passed explicitly: same lru_cache entry (and the
+        # same compiled program) as the chunked branch's fresh segment
+        solver = _make_row_sharded_path(options, mesh, axis, feat_axis,
+                                        False)
         betas, valids, _ = solver(X, y, lamw, lam_path, mhs, n_true, key,
                                   jnp.zeros(()))
     valids = np.asarray(valids)

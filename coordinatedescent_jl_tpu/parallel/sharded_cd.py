@@ -1191,34 +1191,19 @@ def _sharded_path_scan_chunked(opts: CDOptions, mesh: Mesh, axis: str,
     the last segment with the final λ, round-trip the full carry, stop
     issuing segments once the ``max_hat_s`` flag is set), with the carry
     riding between programs as sharded global arrays."""
+    from ..ops.batched_certify import run_chunked_segments
+
     X, y, lamw, lam_path, max_hat_s, key = args
-    g = int(lam_path.shape[0])
-    nseg = -(-g // chunk)
-    pad = nseg * chunk - g
-    if pad:
-        lam_path = jnp.concatenate(
-            [lam_path, jnp.repeat(lam_path[-1:], pad)])
     fresh = _make_sharded_path_chunked(opts, mesh, axis, False)
     cont = _make_sharded_path_chunked(opts, mesh, axis, True)
-    betas_parts, valids_parts = [], []
-    carry = jnp.zeros(())  # ignored by the fresh program
-    for s in range(nseg):
-        seg = lam_path[s * chunk:(s + 1) * chunk]
-        b, v, carry = (fresh if s == 0 else cont)(
-            X, y, lamw, seg, max_hat_s, key, carry)
-        betas_parts.append(b)
-        valids_parts.append(v)
-        if bool(carry[-1]):  # stop flag: later segments are all no-ops
-            break
-    betas = jnp.concatenate(betas_parts, axis=0)[:g]
-    valids = jnp.concatenate(valids_parts, axis=0)[:g]
-    done = betas.shape[0]
-    if done < g:
-        valids = jnp.concatenate(
-            [valids, jnp.zeros((g - done,), valids.dtype)])
-        betas = jnp.concatenate(
-            [betas, jnp.zeros((g - done, betas.shape[1]), betas.dtype)])
-    return betas, valids
+
+    def run_segment(s, seg, carry):
+        return (fresh if s == 0 else cont)(
+            X, y, lamw, seg, max_hat_s, key,
+            # the fresh program takes (and ignores) a dummy scalar carry
+            jnp.zeros(()) if s == 0 else carry)
+
+    return run_chunked_segments(lam_path, chunk, run_segment)
 
 
 def lasso_path_sharded(X, y, lam_path, mesh: Mesh,

@@ -55,17 +55,18 @@ def main():
     # sequential scan (identical solutions, more wall time) — alert on it
     # in production if you sized compact_size for the batched mode.
 
-    # -- 2. measurement-grade certification (needs x64 for the f64 tier) -
-    if jax.config.jax_enable_x64:
-        lam = float(lams[-1])
-        sol = cd.lasso(X, y, lam)
+    # -- 2. measurement-grade certification (scoped x64) -----------------
+    # the f64 tier needs x64, but a GLOBAL x64 flip breaks the f32
+    # engine's index-dtype assumptions — scope it (bench.py does the
+    # same); the f32 solve itself runs outside the scope
+    lam = float(lams[-1])
+    sol = cd.lasso(X, y, lam)
+    with jax.enable_x64(True):
         gap0, primal0 = cd.lasso_duality_gap_compensated(X, y, sol.x, lam)
         res = cd.polish_lasso(X, y, sol.x, lam, target_rel_gap=1e-7)
-        print(f"certified: rel gap {gap0 / primal0:.2e} -> "
-              f"{res.rel_gap:.2e} in {res.rounds} round(s), "
-              f"converged={res.converged}")
-    else:
-        print("certification demo skipped (enable jax_enable_x64)")
+    print(f"certified: rel gap {gap0 / primal0:.2e} -> "
+          f"{res.rel_gap:.2e} in {res.rounds} round(s), "
+          f"converged={res.converged}")
 
     # -- 3. host-chunked scan: bounded per-program runtime ---------------
     # scan_chunk splits the scan into 10-point device programs with the
