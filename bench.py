@@ -283,6 +283,16 @@ def main():
         extra["sqrt_lasso_s"] = round(t_sq, 4)
         extra["sqrt_lasso_nnz"] = nnz_sq
         extra["sqrt_lasso_kkt_residual"] = kkt_sq
+        # measurement-grade (f64-accumulated, hybrid-sweep) relative
+        # sqrt-KKT — the f32 on-device certificate above saturates at
+        # the dtype floor; this records the true value
+        try:
+            with jax.enable_x64(True):
+                kkt_c, _ = cd.sqrt_lasso_kkt_compensated(
+                    X, y, sol.x, lam_rep_sq)
+            extra["sqrt_lasso_kkt_rel_compensated"] = float(kkt_c)
+        except Exception as e:  # pragma: no cover - backend-specific
+            extra["sqrt_kkt_compensated_error"] = str(e)[:120]
         _log(f"bench: sqrt-lasso {extra['sqrt_lasso_s']}s nnz={nnz_sq} "
              f"kkt={kkt_sq:.2e}")
 

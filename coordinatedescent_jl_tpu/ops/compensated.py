@@ -88,7 +88,7 @@ def _grad32_and_mag(X, r32):
 
 
 def grad_f64_certified(X, r64, nlamw, *, col_chunk: int = 4096,
-                       cap: int = 8192):
+                       cap: int = 8192, force=None):
     """``X' r`` exact (f64-accumulated) wherever it can matter for the
     Fenchel certificate, f32 elsewhere — a drop-in for ``grad_f64`` in
     both certificate consumers, at a fraction of the cost.
@@ -109,8 +109,11 @@ def grad_f64_certified(X, r64, nlamw, *, col_chunk: int = 4096,
     recomputed exactly by one (n, |S|) gathered f64 contraction.
 
     Falls back to the full ``grad_f64`` sweep when the edge set exceeds
-    ``cap`` (pathological near-tie designs).  Host-driven, like the rest
-    of this module.  Requires x64.
+    ``cap`` (pathological near-tie designs).  ``force`` (optional int
+    index array) marks coordinates that must be exact regardless — for
+    consumers that read ``g`` beyond the two certified uses (e.g. the
+    sqrt-KKT on-support deviation).  Host-driven, like the rest of this
+    module.  Requires x64.
     """
     _require_x64("grad_f64_certified")
     n, p = X.shape
@@ -126,7 +129,13 @@ def grad_f64_certified(X, r64, nlamw, *, col_chunk: int = 4096,
         u = (np.abs(g32_np) + bnd) / nlamw
         l_best = float(np.max((np.abs(g32_np) - bnd) / nlamw))
     thr = min(l_best, 1.0)
-    sel = np.nonzero(~(u < thr))[0]       # keeps NaN/inf rows (w_j = 0)
+    keep = ~(u < thr)                     # keeps NaN/inf rows (w_j = 0)
+    if force is not None:
+        # consumers that read g at specific coordinates beyond the two
+        # ratio/violation uses (e.g. the sqrt-KKT on-support deviation)
+        # force those exact
+        keep[np.asarray(force, np.int64)] = True
+    sel = np.nonzero(keep)[0]
     if sel.size > cap:
         return grad_f64(X, r64, col_chunk=col_chunk)
     C = max(128, -(-max(1, sel.size) // 128) * 128)
@@ -151,6 +160,48 @@ def residual_f64(X, y, idx, beta_s64):
     return (y.astype(jnp.float64)
             - jnp.dot(Xs.astype(jnp.float64), beta_s64,
                       precision=jax.lax.Precision.HIGHEST))
+
+
+def sqrt_lasso_kkt_compensated(X, y, beta, lam0, weights=None, *,
+                               col_chunk: int = 4096):
+    """Measurement-grade sqrt-lasso KKT residual, relative to the
+    threshold scale.
+
+    The sqrt-lasso zero rule thresholds ``|X_j'r|`` at ``λ·‖r‖·w_j``
+    (reference ``cd_differentiable_function.jl:277-283``), so the
+    certificate is ``max(off-support excess, on-support stationarity
+    deviation) / (λ‖r‖)`` — 0 at an exact solution.  Exact f64 residual
+    via the gathered support, hybrid gradient sweep
+    (``grad_f64_certified``) with the support coordinates forced exact
+    (their deviation is read directly, beyond the two certified
+    consumers), every scalar f64.  The f32 engine's own residual-based
+    certificate sits at its ~1e-5 floor; this one measures the true
+    value.  Returns ``(kkt_rel, norm_r)``.  Requires x64.
+    """
+    _require_x64("sqrt_lasso_kkt_compensated")
+    X = jnp.asarray(X)
+    n, p = X.shape
+    beta_np = np.asarray(beta, np.float64)
+    w = (np.ones((p,), np.float64) if weights is None
+         else np.asarray(weights, np.float64))
+    sup = np.nonzero(beta_np)[0]
+    C = min(p, max(128, -(-max(1, sup.size) // 128) * 128))
+    idx = np.full((C,), p, np.int64)
+    idx[:sup.size] = sup
+    beta_s = np.zeros((C,), np.float64)
+    beta_s[:sup.size] = beta_np[sup]
+    r64 = residual_f64(X, jnp.asarray(y), jnp.asarray(idx),
+                       jnp.asarray(beta_s))
+    r_np = np.asarray(r64)
+    rn = float(np.sqrt(r_np @ r_np))
+    t = float(lam0) * rn * w
+    g64 = grad_f64_certified(X, r64, t, col_chunk=min(col_chunk, p),
+                             force=sup)
+    g_np = np.asarray(g64)
+    off = np.maximum(np.abs(g_np) - t, 0.0)
+    on = np.abs(g_np[sup] - t[sup] * np.sign(beta_np[sup]))
+    kkt = max(float(np.max(off)), float(np.max(on)) if sup.size else 0.0)
+    return kkt / max(float(lam0) * rn, 1e-300), rn
 
 
 def fenchel_gap_f64(r_np, g_np, beta_np, lam0, w, n, yn, y2=None):
