@@ -486,8 +486,18 @@ def main():
         extra["group_lasso_s"] = round(t_g, 4)
         extra["group_lasso_shape"] = {"n": ngrp, "p": pgrp, "G": Ggrp,
                                       "active_groups": n_act}
+        # measurement-grade relative group-KKT (f64-accumulated hybrid
+        # sweep) — the third iterate kind's certificate
+        try:
+            with jax.enable_x64(True):
+                kkt_g, _ = cd.group_lasso_kkt_compensated(
+                    Xg, yg, sol.x, lam_g * (1.0 + 2e-7), Ggrp)
+            extra["group_kkt_rel_compensated"] = float(kkt_g)
+        except Exception as e:  # pragma: no cover - backend-specific
+            extra["group_kkt_compensated_error"] = str(e)[:120]
         _log(f"bench: group-lasso {extra['group_lasso_s']}s "
-             f"(n={ngrp}, p={pgrp}) nnz_groups={nzg}")
+             f"(n={ngrp}, p={pgrp}) nnz_groups={nzg} kkt_c="
+             f"{extra.get('group_kkt_rel_compensated', 'n/a')}")
 
         # fused-pass roofline at the headline shape (the north-star
         # kernel-level metric, VERDICT r3 weak 1: pass_roofline existed

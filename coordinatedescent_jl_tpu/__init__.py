@@ -52,7 +52,8 @@ from .models.lasso import (
 )
 from .models.lasso_path import LassoPath, lasso_path, refit_lasso_path
 from .models.polish import PolishResult, polish_lasso
-from .ops.compensated import (lasso_duality_gap_compensated,
+from .ops.compensated import (group_lasso_kkt_compensated,
+                              lasso_duality_gap_compensated,
                               sqrt_lasso_kkt_compensated)
 from .utils.checkpoint import (
     PathCheckpoint,
@@ -111,6 +112,7 @@ __all__ = [
     "symmetric_coordinate_descent",
     "lasso_duality_gap", "lasso_duality_gap_f64", "lasso_kkt_residual",
     "lasso_duality_gap_compensated", "sqrt_lasso_kkt_compensated",
+    "group_lasso_kkt_compensated",
     "polish_lasso", "PolishResult",
     # estimators
     "LassoSolution", "lasso", "sqrt_lasso", "scaled_lasso", "feasible_lasso",

@@ -204,6 +204,89 @@ def sqrt_lasso_kkt_compensated(X, y, beta, lam0, weights=None, *,
     return kkt / max(float(lam0) * rn, 1e-300), rn
 
 
+def group_lasso_kkt_compensated(X, y, beta, lam0, group_size: int,
+                                weights=None, *, col_chunk: int = 4096):
+    """Measurement-grade group-lasso KKT residual, relative to the
+    threshold scale — the third iterate kind's certificate (vector:
+    ``lasso_duality_gap_compensated``; sqrt: ``sqrt_lasso_kkt_compensated``).
+
+    Group-KKT (``ops.group_cd._group_full_check`` convention, reference
+    ``AtomIterate`` prox semantics): zero groups ``‖X_g'r‖₂ ≤ n·λ0·ω_g``,
+    active groups ``X_g'r = n·λ0·ω_g·β_g/‖β_g‖``.  Exact f64 residual via
+    the gathered support-group columns; the f32 hybrid sweep's
+    per-coordinate bounds roll up per group (``‖g−ĝ‖₂ ≤ ‖b_g‖₂``), zero
+    groups whose certified upper bound stays under both the best lower
+    bound and 1.0 are provably violation-free, and every other group
+    (plus all active groups) is recomputed exactly in f64.  Returns
+    ``(kkt_rel, n_exact_groups)``.  Requires x64.
+    """
+    _require_x64("group_lasso_kkt_compensated")
+    X = jnp.asarray(X)
+    n, p = X.shape
+    G = int(group_size)
+    ng = -(-p // G)
+    beta_np = np.asarray(beta, np.float64)
+    w = (np.ones((ng,), np.float64) if weights is None
+         else np.asarray(weights, np.float64))
+    gidx = np.minimum(np.arange(ng * G) // G, ng - 1)[:p]  # col → group
+    act = np.zeros((ng,), bool)
+    np.logical_or.at(act, gidx, beta_np != 0)
+    sup = np.nonzero(beta_np)[0]
+    C = min(p, max(128, -(-max(1, sup.size) // 128) * 128))
+    idx = np.full((C,), p, np.int64)
+    idx[:sup.size] = sup
+    beta_s = np.zeros((C,), np.float64)
+    beta_s[:sup.size] = beta_np[sup]
+    r64 = residual_f64(X, jnp.asarray(y), jnp.asarray(idx),
+                       jnp.asarray(beta_s))
+    g32, mag = _grad32_and_mag(X, jnp.asarray(r64, jnp.float32))
+    g32_np = np.asarray(g32, np.float64)
+    eps = float(np.finfo(np.float32).eps)
+    b = 1.01 * (n + 4) * eps * np.asarray(mag, np.float64)
+    # per-group norm estimate + rolled-up bound
+    gn = np.zeros((ng,))
+    bn = np.zeros((ng,))
+    np.add.at(gn, gidx, g32_np * g32_np)
+    np.add.at(bn, gidx, b * b)
+    gn = np.sqrt(gn)
+    bn = np.sqrt(bn)
+    t = n * float(lam0) * w
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = (gn + bn) / t
+        l_best = float(np.max((gn - bn) / t))
+    thr = min(l_best, 1.0)
+    selg = np.nonzero(~((u < thr) & ~act))[0]     # near-max ∪ active
+    cols = np.nonzero(np.isin(gidx, selg))[0]
+    if cols.size > 8192:
+        # pathological near-tie: full f64 sweep (no oversized gather)
+        g_np = np.asarray(grad_f64(X, r64,
+                                   col_chunk=min(col_chunk, p)))
+    else:
+        Ce = min(p, max(128, -(-max(1, cols.size) // 128) * 128))
+        idx_e = np.full((Ce,), p, np.int64)
+        idx_e[:cols.size] = cols
+        Xs = jnp.take(X, jnp.asarray(idx_e), axis=1, mode="fill",
+                      fill_value=0)
+        g_e = np.asarray(jnp.einsum("nj,n->j", Xs, r64, precision=_PREC,
+                                    preferred_element_type=jnp.float64))
+        g_np = g32_np.copy()
+        g_np[cols] = g_e[: cols.size]
+    # certificate: off-excess on all groups (non-selected are provably
+    # 0), stationarity deviation on active groups (exact columns)
+    gn2 = np.zeros((ng,))
+    np.add.at(gn2, gidx, g_np * g_np)
+    gn2 = np.sqrt(gn2)
+    off_rel = float(np.max(np.maximum(gn2 - t, 0.0) / t))
+    on_rel = 0.0
+    for gi in np.nonzero(act)[0]:
+        cg = np.nonzero(gidx == gi)[0]
+        bg = beta_np[cg]
+        dir_g = bg / np.linalg.norm(bg)
+        on_rel = max(on_rel, float(
+            np.linalg.norm(g_np[cg] - t[gi] * dir_g) / t[gi]))
+    return max(off_rel, on_rel), int(selg.size)
+
+
 def fenchel_gap_f64(r_np, g_np, beta_np, lam0, w, n, yn, y2=None):
     """Host-f64 Fenchel gap finish shared by
     ``lasso_duality_gap_compensated`` and ``models.polish.polish_lasso``

@@ -356,3 +356,58 @@ def test_sqrt_kkt_compensated_matches_numpy_oracle():
     # (the coordinate-change rule at 1e-7 lands near ~1e-5 KKT — that
     # TRUE value is exactly what this measurement exposes)
     assert 0.0 <= kkt_rel < 1e-3
+
+
+def test_group_kkt_compensated_matches_numpy_oracle():
+    """ops/compensated.group_lasso_kkt_compensated ≡ an all-NumPy f64
+    recomputation of the group-KKT certificate, on a solved group lasso
+    (plain + weighted), with the group-roll-up exclusion sound."""
+    rng = np.random.default_rng(17)
+    n, p, G = 200, 480, 8
+    ng = p // G
+    X = rng.standard_normal((n, p)).astype(np.float32)
+    beta = np.zeros(p, np.float32)
+    for g in rng.choice(ng, 6, replace=False):
+        beta[g * G:(g + 1) * G] = rng.standard_normal(G)
+    y = (X @ beta + 0.3 * rng.standard_normal(n)).astype(np.float32)
+    lam_max = float(np.max([np.linalg.norm(
+        X[:, g * G:(g + 1) * G].astype(np.float64).T
+        @ y.astype(np.float64)) for g in range(ng)]) / n)
+    lam = 0.3 * lam_max
+    bsol = np.asarray(cd.group_lasso(
+        X, y, lam, G,
+        options=cd.CDOptions(opt_tol=1e-10, randomize=False)).x,
+        np.float64)
+    for w in (None, (np.abs(rng.standard_normal(ng)) + 0.5)):
+        if w is not None:
+            bchk = np.asarray(cd.group_lasso(
+                X, y, lam, G, weights=w.astype(np.float32),
+                options=cd.CDOptions(opt_tol=1e-10,
+                                     randomize=False)).x, np.float64)
+        else:
+            bchk = bsol
+        kkt_rel, n_exact = cd.group_lasso_kkt_compensated(
+            X, y, bchk, lam, G, weights=w)
+        # NumPy f64 oracle
+        X64 = X.astype(np.float64)
+        r = y.astype(np.float64) - X64 @ bchk
+        g64 = X64.T @ r
+        wv = np.ones(ng) if w is None else w
+        off = on = 0.0
+        for gi in range(ng):
+            sl = slice(gi * G, (gi + 1) * G)
+            t = n * lam * wv[gi]
+            nrm = np.linalg.norm(g64[sl])
+            bg = bchk[sl]
+            if np.any(bg != 0):
+                d = np.linalg.norm(g64[sl] - t * bg / np.linalg.norm(bg))
+                on = max(on, d / t)
+            else:
+                off = max(off, max(nrm - t, 0.0) / t)
+        kkt_o = max(off, on)
+        np.testing.assert_allclose(kkt_rel, kkt_o, rtol=1e-9,
+                                   atol=1e-12)
+        assert n_exact <= ng
+        # sanity: small relative residual at a converged solve (the
+        # step-size rule at 1e-10 lands near ~1e-6 relative group-KKT)
+        assert 0.0 <= kkt_rel < 1e-4
