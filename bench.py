@@ -477,9 +477,9 @@ def main():
         float(jnp.sum(sol.x))
         t_g = float("inf")
         for rep in range(2):
+            lam_rep_g = lam_g * (1.0 + 1e-7 * (rep + 1))
             t0 = time.perf_counter()
-            sol = cd.group_lasso(Xg, yg, lam_g * (1.0 + 1e-7 * (rep + 1)),
-                                 Ggrp, options=og)
+            sol = cd.group_lasso(Xg, yg, lam_rep_g, Ggrp, options=og)
             nzg = int(jnp.sum(jnp.any(
                 jnp.reshape(sol.x, (-1, Ggrp)) != 0, axis=1)))
             t_g = min(t_g, time.perf_counter() - t0)
@@ -491,7 +491,7 @@ def main():
         try:
             with jax.enable_x64(True):
                 kkt_g, _ = cd.group_lasso_kkt_compensated(
-                    Xg, yg, sol.x, lam_g * (1.0 + 2e-7), Ggrp)
+                    Xg, yg, sol.x, lam_rep_g, Ggrp)
             extra["group_kkt_rel_compensated"] = float(kkt_g)
         except Exception as e:  # pragma: no cover - backend-specific
             extra["group_kkt_compensated_error"] = str(e)[:120]

@@ -87,6 +87,49 @@ def _grad32_and_mag(X, r32):
     return g32, mag
 
 
+def _hybrid_estimate(X, r64):
+    """f32 gradient estimate + rigorous per-coordinate error bound —
+    the single source of the ``1.01·(n+4)·eps32·(|X|'|r32|)_j`` constant
+    (n·eps for the dot in any reduction order, +2 terms for the
+    ``r64 → r32`` truncation, 1% inflation for the magnitude sweep's own
+    f32 rounding).  Shared by every hybrid certificate consumer."""
+    n = X.shape[0]
+    g32, mag = _grad32_and_mag(X, jnp.asarray(r64, jnp.float32))
+    eps = float(np.finfo(np.float32).eps)
+    bnd = 1.01 * (n + 4) * eps * np.asarray(mag, np.float64)
+    return np.asarray(g32, np.float64), bnd
+
+
+def _exact_cols(X, r64, cols):
+    """Exact f64 ``X[:, cols]' r`` via one padded gather contraction
+    (shared edge-set recompute)."""
+    p = X.shape[1]
+    Ce = min(p, max(128, -(-max(1, cols.size) // 128) * 128))
+    idx = np.full((Ce,), p, np.int64)
+    idx[:cols.size] = cols
+    Xs = jnp.take(X, jnp.asarray(idx), axis=1, mode="fill", fill_value=0)
+    g = jnp.einsum("nj,n->j", Xs, r64, precision=_PREC,
+                   preferred_element_type=jnp.float64)
+    return np.asarray(g, np.float64)[: cols.size]
+
+
+def _support_residual(X, y, beta_np):
+    """Exact f64 residual via the gathered support — the shared entry
+    step of all three certificate functions.  Returns ``(r64, sup)``."""
+    p = X.shape[1]
+    sup = np.nonzero(beta_np)[0]
+    C = min(p, max(128, -(-max(1, sup.size) // 128) * 128))
+    if sup.size > C:  # cannot happen (C >= nnz), defensive
+        raise ValueError("support larger than working set")
+    idx = np.full((C,), p, np.int64)
+    idx[:sup.size] = sup
+    beta_s = np.zeros((C,), np.float64)
+    beta_s[:sup.size] = beta_np[sup]
+    r64 = residual_f64(X, jnp.asarray(y), jnp.asarray(idx),
+                       jnp.asarray(beta_s))
+    return r64, sup
+
+
 def grad_f64_certified(X, r64, nlamw, *, col_chunk: int = 4096,
                        cap: int = 8192, force=None):
     """``X' r`` exact (f64-accumulated) wherever it can matter for the
@@ -117,13 +160,7 @@ def grad_f64_certified(X, r64, nlamw, *, col_chunk: int = 4096,
     """
     _require_x64("grad_f64_certified")
     n, p = X.shape
-    r32 = jnp.asarray(r64, jnp.float32)
-    g32, mag = _grad32_and_mag(X, r32)
-    g32_np = np.asarray(g32, np.float64)
-    eps = float(np.finfo(np.float32).eps)
-    # 1.01 inflation covers the magnitude sweep's own f32 rounding
-    # (it may under-read Σ|x||r| by ~n·eps relative)
-    bnd = 1.01 * (n + 4) * eps * np.asarray(mag, np.float64)
+    g32_np, bnd = _hybrid_estimate(X, r64)
     nlamw = np.asarray(nlamw, np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         u = (np.abs(g32_np) + bnd) / nlamw
@@ -138,14 +175,8 @@ def grad_f64_certified(X, r64, nlamw, *, col_chunk: int = 4096,
     sel = np.nonzero(keep)[0]
     if sel.size > cap:
         return grad_f64(X, r64, col_chunk=col_chunk)
-    C = max(128, -(-max(1, sel.size) // 128) * 128)
-    idx = np.full((C,), p, np.int64)
-    idx[:sel.size] = sel
-    Xs = jnp.take(X, jnp.asarray(idx), axis=1, mode="fill", fill_value=0)
-    g_sel = jnp.einsum("nj,n->j", Xs, r64, precision=_PREC,
-                       preferred_element_type=jnp.float64)
     out = g32_np.copy()
-    out[sel] = np.asarray(g_sel, np.float64)[: sel.size]
+    out[sel] = _exact_cols(X, r64, sel)
     return jnp.asarray(out)
 
 
@@ -169,14 +200,18 @@ def sqrt_lasso_kkt_compensated(X, y, beta, lam0, weights=None, *,
 
     The sqrt-lasso zero rule thresholds ``|X_j'r|`` at ``λ·‖r‖·w_j``
     (reference ``cd_differentiable_function.jl:277-283``), so the
-    certificate is ``max(off-support excess, on-support stationarity
-    deviation) / (λ‖r‖)`` — 0 at an exact solution.  Exact f64 residual
-    via the gathered support, hybrid gradient sweep
-    (``grad_f64_certified``) with the support coordinates forced exact
-    (their deviation is read directly, beyond the two certified
-    consumers), every scalar f64.  The f32 engine's own residual-based
-    certificate sits at its ~1e-5 floor; this one measures the true
-    value.  Returns ``(kkt_rel, norm_r)``.  Requires x64.
+    certificate is the max PER-COORDINATE relative violation
+    ``max_j max(|X_j'r| − t_j, 0)/t_j`` (off-support) /
+    ``|X_j'r − t_j·sign β_j|/t_j`` (on-support) with ``t_j = λ‖r‖w_j`` —
+    0 at an exact solution, and weight-correct (a violation at a
+    low-weight coordinate is measured against ITS OWN threshold, not the
+    unweighted scale).  Exact f64 residual via the gathered support,
+    hybrid gradient sweep (``grad_f64_certified``) with the support
+    coordinates forced exact (their deviation is read directly, beyond
+    the two certified consumers), every scalar f64.  The f32 engine's
+    own residual-based certificate sits at its ~1e-5 floor; this one
+    measures the true value.  Returns ``(kkt_rel, norm_r)``.
+    Requires x64.
     """
     _require_x64("sqrt_lasso_kkt_compensated")
     X = jnp.asarray(X)
@@ -184,28 +219,23 @@ def sqrt_lasso_kkt_compensated(X, y, beta, lam0, weights=None, *,
     beta_np = np.asarray(beta, np.float64)
     w = (np.ones((p,), np.float64) if weights is None
          else np.asarray(weights, np.float64))
-    sup = np.nonzero(beta_np)[0]
-    C = min(p, max(128, -(-max(1, sup.size) // 128) * 128))
-    idx = np.full((C,), p, np.int64)
-    idx[:sup.size] = sup
-    beta_s = np.zeros((C,), np.float64)
-    beta_s[:sup.size] = beta_np[sup]
-    r64 = residual_f64(X, jnp.asarray(y), jnp.asarray(idx),
-                       jnp.asarray(beta_s))
+    r64, sup = _support_residual(X, y, beta_np)
     r_np = np.asarray(r64)
     rn = float(np.sqrt(r_np @ r_np))
-    t = float(lam0) * rn * w
+    t = np.maximum(float(lam0) * rn * w, 1e-300)
     g64 = grad_f64_certified(X, r64, t, col_chunk=min(col_chunk, p),
                              force=sup)
     g_np = np.asarray(g64)
-    off = np.maximum(np.abs(g_np) - t, 0.0)
-    on = np.abs(g_np[sup] - t[sup] * np.sign(beta_np[sup]))
-    kkt = max(float(np.max(off)), float(np.max(on)) if sup.size else 0.0)
-    return kkt / max(float(lam0) * rn, 1e-300), rn
+    off_rel = float(np.max(np.maximum(np.abs(g_np) - t, 0.0) / t))
+    on_rel = (float(np.max(
+        np.abs(g_np[sup] - t[sup] * np.sign(beta_np[sup])) / t[sup]))
+        if sup.size else 0.0)
+    return max(off_rel, on_rel), rn
 
 
 def group_lasso_kkt_compensated(X, y, beta, lam0, group_size: int,
-                                weights=None, *, col_chunk: int = 4096):
+                                weights=None, *, col_chunk: int = 4096,
+                                cap: int = 8192):
     """Measurement-grade group-lasso KKT residual, relative to the
     threshold scale — the third iterate kind's certificate (vector:
     ``lasso_duality_gap_compensated``; sqrt: ``sqrt_lasso_kkt_compensated``).
@@ -228,49 +258,33 @@ def group_lasso_kkt_compensated(X, y, beta, lam0, group_size: int,
     beta_np = np.asarray(beta, np.float64)
     w = (np.ones((ng,), np.float64) if weights is None
          else np.asarray(weights, np.float64))
-    gidx = np.minimum(np.arange(ng * G) // G, ng - 1)[:p]  # col → group
+    gidx = np.arange(p) // G                       # col → group
     act = np.zeros((ng,), bool)
     np.logical_or.at(act, gidx, beta_np != 0)
-    sup = np.nonzero(beta_np)[0]
-    C = min(p, max(128, -(-max(1, sup.size) // 128) * 128))
-    idx = np.full((C,), p, np.int64)
-    idx[:sup.size] = sup
-    beta_s = np.zeros((C,), np.float64)
-    beta_s[:sup.size] = beta_np[sup]
-    r64 = residual_f64(X, jnp.asarray(y), jnp.asarray(idx),
-                       jnp.asarray(beta_s))
-    g32, mag = _grad32_and_mag(X, jnp.asarray(r64, jnp.float32))
-    g32_np = np.asarray(g32, np.float64)
-    eps = float(np.finfo(np.float32).eps)
-    b = 1.01 * (n + 4) * eps * np.asarray(mag, np.float64)
-    # per-group norm estimate + rolled-up bound
+    r64, _ = _support_residual(X, y, beta_np)
+    g32_np, b = _hybrid_estimate(X, r64)
+    # per-group norm estimate + rolled-up bound (‖g−ĝ‖₂ ≤ ‖b_g‖₂)
     gn = np.zeros((ng,))
     bn = np.zeros((ng,))
     np.add.at(gn, gidx, g32_np * g32_np)
     np.add.at(bn, gidx, b * b)
     gn = np.sqrt(gn)
     bn = np.sqrt(bn)
-    t = n * float(lam0) * w
-    with np.errstate(divide="ignore", invalid="ignore"):
-        u = (gn + bn) / t
-        l_best = float(np.max((gn - bn) / t))
+    t = np.maximum(n * float(lam0) * w, 1e-300)
+    u = (gn + bn) / t
+    l_best = float(np.max((gn - bn) / t))
     thr = min(l_best, 1.0)
     selg = np.nonzero(~((u < thr) & ~act))[0]     # near-max ∪ active
     cols = np.nonzero(np.isin(gidx, selg))[0]
-    if cols.size > 8192:
-        # pathological near-tie: full f64 sweep (no oversized gather)
-        g_np = np.asarray(grad_f64(X, r64,
-                                   col_chunk=min(col_chunk, p)))
+    if cols.size > cap:
+        # pathological near-tie: full f64 sweep (no oversized gather) —
+        # EVERY group is then exact
+        g_np = np.asarray(grad_f64(X, r64, col_chunk=min(col_chunk, p)))
+        n_exact = ng
     else:
-        Ce = min(p, max(128, -(-max(1, cols.size) // 128) * 128))
-        idx_e = np.full((Ce,), p, np.int64)
-        idx_e[:cols.size] = cols
-        Xs = jnp.take(X, jnp.asarray(idx_e), axis=1, mode="fill",
-                      fill_value=0)
-        g_e = np.asarray(jnp.einsum("nj,n->j", Xs, r64, precision=_PREC,
-                                    preferred_element_type=jnp.float64))
         g_np = g32_np.copy()
-        g_np[cols] = g_e[: cols.size]
+        g_np[cols] = _exact_cols(X, r64, cols)
+        n_exact = int(selg.size)
     # certificate: off-excess on all groups (non-selected are provably
     # 0), stationarity deviation on active groups (exact columns)
     gn2 = np.zeros((ng,))
@@ -279,12 +293,12 @@ def group_lasso_kkt_compensated(X, y, beta, lam0, group_size: int,
     off_rel = float(np.max(np.maximum(gn2 - t, 0.0) / t))
     on_rel = 0.0
     for gi in np.nonzero(act)[0]:
-        cg = np.nonzero(gidx == gi)[0]
-        bg = beta_np[cg]
+        sl = slice(gi * G, min((gi + 1) * G, p))  # groups are consecutive
+        bg = beta_np[sl]
         dir_g = bg / np.linalg.norm(bg)
         on_rel = max(on_rel, float(
-            np.linalg.norm(g_np[cg] - t[gi] * dir_g) / t[gi]))
-    return max(off_rel, on_rel), int(selg.size)
+            np.linalg.norm(g_np[sl] - t[gi] * dir_g) / t[gi]))
+    return max(off_rel, on_rel), n_exact
 
 
 def fenchel_gap_f64(r_np, g_np, beta_np, lam0, w, n, yn, y2=None):

@@ -356,6 +356,26 @@ def test_sqrt_kkt_compensated_matches_numpy_oracle():
     # (the coordinate-change rule at 1e-7 lands near ~1e-5 KKT — that
     # TRUE value is exactly what this measurement exposes)
     assert 0.0 <= kkt_rel < 1e-3
+    # weighted variant: the certificate must be PER-COORDINATE relative
+    # (each violation measured against its own threshold λ‖r‖w_j)
+    rngw = np.random.default_rng(5)
+    wv = (np.abs(rngw.standard_normal(400)) + 0.2).astype(np.float64)
+    solw = cd.sqrt_lasso(X, y, lam, weights=wv.astype(np.float32),
+                         standardize_X=False,
+                         options=cd.CDOptions(opt_tol=1e-7,
+                                              randomize=False))
+    bw = np.asarray(solw.x, np.float64)
+    kkt_w, rn_w = cd.sqrt_lasso_kkt_compensated(X, y, bw, lam,
+                                                weights=wv)
+    rw = y.astype(np.float64) - X.astype(np.float64) @ bw
+    gw = X.astype(np.float64).T @ rw
+    tw = lam * np.linalg.norm(rw) * wv
+    supw = np.nonzero(bw)[0]
+    offw = np.max(np.maximum(np.abs(gw) - tw, 0.0) / tw)
+    onw = (np.max(np.abs(gw[supw] - tw[supw] * np.sign(bw[supw]))
+                  / tw[supw]) if supw.size else 0.0)
+    np.testing.assert_allclose(kkt_w, max(offw, onw), rtol=1e-9,
+                               atol=1e-12)
 
 
 def test_group_kkt_compensated_matches_numpy_oracle():
