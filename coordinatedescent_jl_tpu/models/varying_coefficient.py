@@ -125,8 +125,28 @@ def expand_Xt_w_Y(w, X, z, y, z0, degree: int):
 
 
 def _locpoly_point(X, z, y, z0, degree: int, kernel: SmoothingKernel):
-    """Weighted LS fit at one evaluation point: √w-scaled design + lstsq
-    (reference ``_locpoly!``, :197-210, which uses in-place QR)."""
+    """Weighted LS via the normal equations + LU solve — the TPU fast
+    path: ``jnp.linalg.lstsq`` lowers to the qdwh SVD custom call, which
+    is 9× slower at the 1000-point bench grid (0.55 s → 0.06 s measured
+    on-chip, PERF.md round 4).  Method-identical to the reference's own
+    ``locpoly_alt`` oracle (benchmark/locpoly_bench.jl:48-67; the
+    primary ``_locpoly!`` at :197-210 is a QR backslash with the same
+    solution on full-rank fits).  A rank-deficient fit (kernel mass ~0
+    at z0) yields non-finite coefficients — ``locpoly`` patches those
+    points with the rank-robust lstsq path."""
+    from ..ops.block_cd import _PREC
+
+    w = jnp.sqrt(evaluate(kernel, z, z0))
+    wX = expand_wX(w, X, z, z0, degree)
+    A = jnp.dot(wX.T, wX, precision=_PREC)
+    b = jnp.dot(wX.T, w * y, precision=_PREC)
+    return jnp.linalg.solve(A, b)
+
+
+def _locpoly_point_lstsq(X, z, y, z0, degree: int,
+                         kernel: SmoothingKernel):
+    """Rank-robust weighted LS (√w-scaled design + SVD lstsq) — the
+    fallback for degenerate evaluation points."""
     w = jnp.sqrt(evaluate(kernel, z, z0))
     wX = expand_wX(w, X, z, z0, degree)
     coef, *_ = jnp.linalg.lstsq(wX, w * y)
@@ -139,7 +159,10 @@ def locpoly(X, z, y, zgrid, degree: int,
 
     Reference ``locpoly`` (:217-235; default kernel ``GaussianKernel(1)``).
     Returns ``(p(degree+1), len(zgrid))`` — or a vector for scalar ``z0`` —
-    in the reference's column layout.
+    in the reference's column layout.  Fits run as one vmapped
+    normal-equation solve (see ``_locpoly_point``); any grid point whose
+    fit comes back non-finite (rank-deficient local design) is
+    recomputed with the SVD-based lstsq fallback.
     """
     X = jnp.asarray(X)
     z = jnp.asarray(z, X.dtype)
@@ -148,9 +171,19 @@ def locpoly(X, z, y, zgrid, degree: int,
         kernel = GaussianKernel(1.0)
     zgrid = jnp.asarray(zgrid, X.dtype)
     if zgrid.ndim == 0:
-        return _locpoly_point(X, z, y, zgrid, degree, kernel)
+        out = _locpoly_point(X, z, y, zgrid, degree, kernel)
+        if not bool(jnp.all(jnp.isfinite(out))):
+            out = _locpoly_point_lstsq(X, z, y, zgrid, degree, kernel)
+        return out
     fit = jax.vmap(lambda z0: _locpoly_point(X, z, y, z0, degree, kernel))
-    return fit(zgrid).T
+    out = fit(zgrid)                                # (g, ep)
+    bad = np.asarray(~jnp.all(jnp.isfinite(out), axis=1))
+    if bad.any():
+        fit_f = jax.vmap(lambda z0: _locpoly_point_lstsq(
+            X, z, y, z0, degree, kernel))
+        out = jnp.asarray(out).at[jnp.asarray(np.nonzero(bad)[0])].set(
+            fit_f(zgrid[jnp.asarray(np.nonzero(bad)[0])]))
+    return out.T
 
 
 # ---------------------------------------------------------------------------

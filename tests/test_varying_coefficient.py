@@ -467,3 +467,31 @@ def test_locpolyl1_scan_chunked_bitwise():
     with pytest.raises(ValueError):
         cd.locpolyl1(X, z, y, zg, 1, cd.GaussianKernel(0.15), 0.05,
                      options=opts, scan_chunk=0)
+
+
+def test_locpoly_degenerate_point_falls_back_to_lstsq():
+    """A grid point with zero kernel mass (compact-support kernel, z0 far
+    outside the data) makes the normal-equation fast path non-finite;
+    locpoly must patch it with the rank-robust lstsq fallback (min-norm
+    solution — all zeros here) while fast-path points stay untouched."""
+    import coordinatedescent_jl_tpu as cd
+
+    rng = np.random.default_rng(3)
+    n, p = 120, 4
+    z = rng.uniform(0, 1, n)
+    X = rng.standard_normal((n, p))
+    y = X[:, 0] * np.sin(2 * np.pi * z) + 0.1 * rng.standard_normal(n)
+    kern = cd.EpanechnikovKernel(0.1)
+    zg = np.array([0.5, 50.0])          # second point: zero kernel mass
+    out = np.asarray(cd.locpoly(X, z, y, zg, 1, kern))
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out[:, 1], 0.0, atol=1e-12)
+    # the good point matches the normal-equation oracle
+    from coordinatedescent_jl_tpu.models.varying_coefficient import expand_X
+    w = np.asarray(cd.evaluate(kern, z, 0.5))
+    eX = np.asarray(expand_X(jnp.asarray(X), jnp.asarray(z), 0.5, 1))
+    ref = np.linalg.solve(eX.T @ np.diag(w) @ eX, eX.T @ (w * y))
+    np.testing.assert_allclose(out[:, 0], ref, atol=1e-6)
+    # scalar-z0 degenerate path too
+    out_s = np.asarray(cd.locpoly(X, z, y, jnp.asarray(50.0), 1, kern))
+    assert np.all(np.isfinite(out_s))
