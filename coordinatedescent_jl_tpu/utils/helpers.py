@@ -98,9 +98,10 @@ def find_largest_correlations(X, y, s: int, w=None):
     a TPU requirement). For generic (continuous) data the two agree.
     """
     if w is None:
-        c = jnp.abs(X.T @ y)
+        c = jnp.abs(jnp.dot(y, X, precision=jax.lax.Precision.HIGHEST))
     else:
-        c = jnp.abs(X.T @ (w * y))
+        c = jnp.abs(jnp.dot(w * y, X,
+                            precision=jax.lax.Precision.HIGHEST))
     _, idx = jax.lax.top_k(c, s)
     return idx
 
@@ -115,13 +116,21 @@ def find_init_residuals(X, y, s: int, w=None):
     """
     idx = find_largest_correlations(X, y, s, w)
     Xs = jnp.take(X, idx, axis=1)
-    if w is None:
-        coef, *_ = jnp.linalg.lstsq(Xs, y)
-    else:
-        A = Xs.T @ (w[:, None] * Xs)
-        b = Xs.T @ (w * y)
-        coef = jnp.linalg.solve(A, b)
-    return y - Xs @ coef
+    prec = jax.lax.Precision.HIGHEST
+    # normal equations + LU, not lstsq: jnp.linalg.lstsq lowers to the
+    # qdwh SVD custom call on TPU — slow to compile and the one op the
+    # axon AOT compile helper has crashed on (PERF.md round 4); this is
+    # a screening INIT, and the eps-scaled jitter keeps the solve
+    # defined even when the top-s columns are collinear (duplicated
+    # features) at a perturbation far below the heuristic's own noise
+    A = (jnp.dot(Xs.T, Xs, precision=prec) if w is None
+         else jnp.dot(Xs.T, w[:, None] * Xs, precision=prec))
+    b = (jnp.dot(y, Xs, precision=prec) if w is None
+         else jnp.dot(w * y, Xs, precision=prec))
+    jitter = (10 * jnp.finfo(X.dtype).eps
+              * jnp.trace(A) / s) * jnp.eye(s, dtype=A.dtype)
+    coef = jnp.linalg.solve(A + jitter, b)
+    return y - jnp.dot(Xs, coef, precision=prec)
 
 
 def find_init_sigma(X, y, s: int):
