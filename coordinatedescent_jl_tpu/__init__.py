@@ -75,6 +75,8 @@ from .utils.profiling import (
     scaled_lasso_with_trace,
     group_solve_with_trace,
     pass_roofline,
+    solve_x_traffic,
+    XTrafficReport,
     debug_nans,
 )
 from .models.varying_coefficient import (
@@ -124,7 +126,8 @@ __all__ = [
     "lasso_path_resumable", "EpochTrace", "RooflineReport", "simple_timeit",
     "solve_with_trace", "lasso_sharded_with_trace",
     "scaled_lasso_with_trace", "group_solve_with_trace",
-    "SigmaRoundTrace", "pass_roofline", "debug_nans",
+    "SigmaRoundTrace", "pass_roofline", "solve_x_traffic",
+    "XTrafficReport", "debug_nans",
     # helpers
     "std_X", "get_loadings", "get_sigma", "sample_std",
     "find_largest_correlations", "find_init_residuals", "find_init_sigma",

@@ -848,7 +848,8 @@ def _ws_cache_from_idx(kind, prob: BlockedProblem, nc: int,
 
 
 def _compact_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
-                  opts: CDOptions, nc: int, cache: WsCache):
+                  opts: CDOptions, nc: int, cache: WsCache,
+                  count_x: bool = False):
     """One working-set round: solve a dense ``(n, C)`` subproblem over the
     top-``C`` priority coordinates (entire support + largest stale-KKT
     steps) with the ordinary engine, and scatter the result back.
@@ -873,11 +874,17 @@ def _compact_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
     ``compact_rounds`` fall back to the ordinary dense active pass).
 
     Returns ``(state, maxh, cache)`` with ``maxh = 0`` for a compact round
-    so the next outer pass is always the confirming full check.
+    so the next outer pass is always the confirming full check.  With
+    ``count_x=True`` a fourth element is appended: design elements read
+    this round (gather C·n on a coverage miss + the inner solve's own
+    traffic over the gathered (C, n) copy; a cache-hit round reads no
+    large X at all) — the production X-traffic accounting behind
+    ``utils.profiling.solve_x_traffic``.
     """
     nb, B = prob.lamw.shape
     C = nc * B
     dt = st.beta.dtype
+    n = prob.y.shape[0]
     key, ksub = jax.random.split(st.key)
 
     # stale-gradient potential steps (fresh right after the full check that
@@ -931,20 +938,33 @@ def _compact_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
             active=jnp.any(beta_ws != 0, axis=1), key=ksub,
             it=jnp.zeros((), jnp.int32), conv=jnp.ones((), bool),
             done=jnp.zeros((), bool), c=sub_c, drift=sub_drift)
-        sub = _solve_at_lambda(kind, opts.replace(compact=False), sub_prob,
-                               lam0, sub_st, n_scale)
+        sub_opts = opts.replace(compact=False)
+        if count_x:
+            sub, _, xe_in = _solve_at_lambda_ws(kind, sub_opts, sub_prob,
+                                                lam0, sub_st, n_scale, None,
+                                                count_x=True)
+            xe = jnp.where(reuse, 0.0, float(C) * float(n)) + xe_in
+        else:
+            sub = _solve_at_lambda(kind, sub_opts, sub_prob, lam0, sub_st,
+                                   n_scale)
         beta2 = st.beta.at[bi, li].set(sub.beta.reshape(-1))
         dnorm = jnp.sqrt(jnp.sum((sub.r - st.r) ** 2))
-        return (st._replace(
+        out = (st._replace(
             beta=beta2, r=sub.r, rsqr=sub.rsqr,
             active=jnp.any(beta2 != 0, axis=1), key=key,
             drift=st.drift + dnorm), jnp.zeros((), dt), cache)
+        return out + (xe,) if count_x else out
 
     def dense(args):
         st, cache = args
         st2, maxh = _active_pass(kind, prob, st, lam0, n_scale,
                                  opts.randomize, opts)
-        return (st2, maxh, cache)
+        out = (st2, maxh, cache)
+        if count_x:
+            xe = (jnp.sum(st.active).astype(jnp.float32)
+                  * jnp.float32(float(n) * B))
+            out = out + (xe,)
+        return out
 
     return lax.cond(use, compact, dense, (st, cache))
 
@@ -955,7 +975,7 @@ def _compact_pass(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
 
 
 def _solve_at_lambda_ws(kind, opts: CDOptions, prob: BlockedProblem, lam0,
-                        st: CDState, n_scale, cache):
+                        st: CDState, n_scale, cache, count_x: bool = False):
     """Reference ``_coordinateDescent!`` (coordinate_descent.jl:65-92):
     alternate full/active passes until two consecutive converged passes,
     the confirming one full.  A stall detector (no ≥30% maxH improvement
@@ -966,7 +986,9 @@ def _solve_at_lambda_ws(kind, opts: CDOptions, prob: BlockedProblem, lam0,
     ``cache`` is the compaction working-set cache (``WsCache`` or ``None``)
     threaded from the caller so warm-started outer loops (λ-path, σ rounds)
     amortize the expensive column gather across solves; returns
-    ``(state, cache)``."""
+    ``(state, cache)``, plus a design-elements-read scalar when
+    ``count_x=True`` (see ``_compact_pass``; quad kind unsupported —
+    its operand is (p, p))."""
     tol = opts.opt_tol
     dtype = st.beta.dtype
     patience = (opts.stall_patience
@@ -974,30 +996,45 @@ def _solve_at_lambda_ws(kind, opts: CDOptions, prob: BlockedProblem, lam0,
     nc = _compact_mode(kind, opts, prob, dtype)
     if not nc:
         cache = None
+    if count_x and kind == "quad":
+        raise ValueError("count_x unsupported for the quad kind")
+    nb, B = prob.lamw.shape
+    n_rows = prob.y.shape[0] if kind != "quad" else nb * B
 
     def cond(c):
-        s, cache, best, stall = c
+        s, cache, best, stall = c[:4]
         return jnp.logical_and(~s.done, s.it < opts.max_iter)
 
     def body(c):
-        s, cache, best, stall = c
+        s, cache, best, stall = c[:4]
         was_full = s.conv
 
         def full(args):
             s, cache = args
             s2, maxh = _full_check(kind, prob, s, lam0, n_scale, tol, opts)
-            return s2, maxh, cache
+            out = (s2, maxh, cache)
+            if count_x:
+                # one streaming read of the padded design per full check
+                out = out + (jnp.float32(float(nb) * B * n_rows),)
+            return out
 
         def act(args):
             s, cache = args
             if nc:
                 return _compact_pass(kind, prob, s, lam0, n_scale, opts, nc,
-                                     cache)
+                                     cache, count_x=count_x)
             s2, maxh = _active_pass(kind, prob, s, lam0, n_scale,
                                     opts.randomize, opts)
-            return s2, maxh, cache
+            out = (s2, maxh, cache)
+            if count_x:
+                out = out + (jnp.sum(s.active).astype(jnp.float32)
+                             * jnp.float32(float(n_rows) * B),)
+            return out
 
-        s2, maxh, cache = lax.cond(was_full, full, act, (s, cache))
+        if count_x:
+            s2, maxh, cache, dxe = lax.cond(was_full, full, act, (s, cache))
+        else:
+            s2, maxh, cache = lax.cond(was_full, full, act, (s, cache))
         conv = maxh < tol
         # stall accounting uses FULL-check maxh only — the certified
         # order-independent measure.  Active-pass maxh is trajectory noise:
@@ -1012,8 +1049,11 @@ def _solve_at_lambda_ws(kind, opts: CDOptions, prob: BlockedProblem, lam0,
                           jnp.where(improved, 0, stall + 1), stall)
         best = jnp.where(was_full, jnp.minimum(best, maxh), best)
         done = (was_full & conv) | (stall >= patience)
-        return (s2._replace(it=s.it + 1, conv=conv, done=done), cache,
-                best, stall)
+        out = (s2._replace(it=s.it + 1, conv=conv, done=done), cache,
+               best, stall)
+        if count_x:
+            out = out + (c[4] + dxe,)
+        return out
 
     st = st._replace(it=jnp.zeros((), jnp.int32),
                      conv=jnp.ones((), bool),      # first pass is full
@@ -1022,6 +1062,10 @@ def _solve_at_lambda_ws(kind, opts: CDOptions, prob: BlockedProblem, lam0,
         cache = _empty_ws_cache(kind, prob, nc, opts)
     init = (st, cache, jnp.asarray(jnp.inf, dtype),
             jnp.zeros((), jnp.int32))
+    if count_x:
+        st, cache, _, _, xe = lax.while_loop(cond, body,
+                                             init + (jnp.float32(0.0),))
+        return st, cache, xe
     st, cache, _, _ = lax.while_loop(cond, body, init)
     return st, cache
 
@@ -1071,9 +1115,11 @@ def _lambda_max(kind, prob: BlockedProblem, st: CDState, n_scale):
 
 
 def solve_blocked(kind: str, opts: CDOptions, prob: BlockedProblem, lam0,
-                  beta0_b, key) -> CDState:
+                  beta0_b, key, count_x: bool = False) -> CDState:
     """Reference ``coordinateDescent!`` (coordinate_descent.jl:7-39):
-    warm start from ``beta0`` or zero-start with log-spaced λ-continuation."""
+    warm start from ``beta0`` or zero-start with log-spaced λ-continuation.
+    ``count_x=True`` appends the design-elements-read accounting scalar
+    (``utils.profiling.solve_x_traffic``)."""
     dtype = beta0_b.dtype
     if kind == "quad":
         n_scale = jnp.asarray(1.0, dtype)
@@ -1083,6 +1129,10 @@ def solve_blocked(kind: str, opts: CDOptions, prob: BlockedProblem, lam0,
 
     if opts.warm_start:
         st = _init_state(kind, prob, beta0_b, key)
+        if count_x:
+            st, _, xe = _solve_at_lambda_ws(kind, opts, prob, lam0, st,
+                                            n_scale, None, count_x=True)
+            return st, xe
         return _solve_at_lambda(kind, opts, prob, lam0, st, n_scale)
 
     # cold start: β = 0, then λmax → λ0 continuation
@@ -1104,20 +1154,26 @@ def solve_blocked(kind: str, opts: CDOptions, prob: BlockedProblem, lam0,
               and kind in ("ls", "wls", "sqrt"))
 
     def scan_body(carry, lam):
-        s, cache, beta_prev, lam_k, lam_km1 = carry
+        s, cache, beta_prev, lam_k, lam_km1, xe = carry
         beta_k = s.beta
         if extrap:
             s = _extrapolate_path_start(s, cache, beta_prev, lam_k,
                                         lam_km1, lam)
-        s, cache = _solve_at_lambda_ws(kind, opts, prob, lam, s, n_scale,
-                                       cache)
-        return (s, cache, beta_k, lam, lam_k), None
+        if count_x:
+            s, cache, dxe = _solve_at_lambda_ws(kind, opts, prob, lam, s,
+                                                n_scale, cache, count_x=True)
+            xe = xe + dxe
+        else:
+            s, cache = _solve_at_lambda_ws(kind, opts, prob, lam, s,
+                                           n_scale, cache)
+        return (s, cache, beta_k, lam, lam_k, xe), None
 
     # both abscissa carries start at the first schedule value so the first
     # two steps skip the shift (secant_alpha)
-    (st, _, _, _, _), _ = lax.scan(
-        scan_body, (st, cache0, st.beta, lams[0], lams[0]), lams)
-    return st
+    (st, _, _, _, _, xe), _ = lax.scan(
+        scan_body, (st, cache0, st.beta, lams[0], lams[0],
+                    jnp.float32(0.0)), lams)
+    return (st, xe) if count_x else st
 
 
 # ---------------------------------------------------------------------------

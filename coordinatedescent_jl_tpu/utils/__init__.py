@@ -12,6 +12,8 @@ from .profiling import (
     simple_timeit,
     solve_with_trace,
     pass_roofline,
+    solve_x_traffic,
+    XTrafficReport,
     debug_nans,
     trace,
 )

@@ -259,3 +259,28 @@ def test_resume_trajectory_identical_compaction(tmp_path):
                            seed=3)
     np.testing.assert_allclose(np.asarray(p_scan.beta_path),
                                np.asarray(p_full.beta_path), atol=1e-9)
+
+
+def test_solve_x_traffic_accounting():
+    # the in-trace X-read counter must not perturb the trajectory, and the
+    # accounting must show real savings vs a cache-less engine at a
+    # compaction-friendly shape
+    X, y = _gen(200, 512, 10, seed=3)
+    lam = 0.1 * float(np.max(np.abs(np.asarray(X).T @ np.asarray(y))
+                             ) / X.shape[0])
+    opts = cd.CDOptions(block_size=16)
+    rep = cd.solve_x_traffic(X, y, lam, options=opts)
+    sol = cd.lasso(X, y, lam, options=opts)
+    assert rep.nnz == int(jnp.sum(sol.x != 0))
+    assert rep.x_bytes > 0
+    assert rep.epochs > 0
+    # at least the first full check streams the design once
+    itemsize = np.dtype(np.asarray(X).dtype).itemsize
+    nb = -(-X.shape[1] // opts.block_size)
+    assert rep.x_bytes >= nb * opts.block_size * X.shape[0] * itemsize
+
+
+def test_measured_peak_hbm_sane():
+    # tiny buffer just to exercise the chained-slope path end-to-end
+    bw = cd.utils.profiling.measured_peak_hbm(nbytes=1 << 22, chain=4)
+    assert np.isfinite(bw) and bw > 0

@@ -981,3 +981,28 @@ def test_row_sharded_path_scan_chunked_bitwise():
                                          scan_chunk=2)
         assert stop_ch.beta_path.shape == stop.beta_path.shape
         assert bool(jnp.all(stop_ch.beta_path == stop.beta_path))
+
+
+def test_sharded_p1m_feature_axis(feature_mesh):
+    # the north-star feature-count axis (BASELINE.json config 5): p = 1M
+    # columns across the mesh — exercises block-index arithmetic, the
+    # distributed top-k working set, and padding at nb = 7813 blocks.
+    # f32 keeps the test's memory at ~128 MB  (the dtype is irrelevant to
+    # the index paths under test; f32 is also the production dtype).
+    p, n, s = 1_000_000, 32, 5
+    rng = np.random.default_rng(42)
+    X = jnp.asarray(rng.standard_normal((n, p)), jnp.float32)
+    beta = np.zeros(p, np.float32)
+    idx = rng.choice(p, s, replace=False)
+    beta[idx] = rng.standard_normal(s)
+    y = jnp.asarray(X @ jnp.asarray(beta)
+                    + 0.1 * rng.standard_normal(n).astype(np.float32))
+    lammax = float(jnp.max(jnp.abs(y @ X)) / n)
+    lam = 0.3 * lammax
+    opts = cd.CDOptions(block_size=128)
+    sol1 = cd.lasso(X, y, lam, options=opts)
+    sol8 = lasso_sharded(X, y, lam, feature_mesh, options=opts)
+    np.testing.assert_allclose(sol8.x, sol1.x, atol=5e-4)
+    gap = cd.lasso_duality_gap(X, y, sol8.x, lam)
+    primal = 0.5 * float(jnp.sum((y - X @ sol8.x) ** 2)) / n
+    assert float(gap) / max(primal, 1e-30) < 1e-3
