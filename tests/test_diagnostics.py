@@ -431,3 +431,98 @@ def test_group_kkt_compensated_matches_numpy_oracle():
         # sanity: small relative residual at a converged solve (the
         # step-size rule at 1e-10 lands near ~1e-6 relative group-KKT)
         assert 0.0 <= kkt_rel < 1e-4
+
+
+def test_polish_sqrt_lasso_reaches_target():
+    """polish_sqrt_lasso: from an f32 sqrt-lasso solve, the f64 active-set
+    polish with the exact three-branch minimizer must certify the
+    compensated per-coordinate relative KKT ≤ 1e-7 (the reference's
+    optTol bar, utils.jl:17, extended to the sqrt loss)."""
+    X, y = _gen(300, 800, 10, seed=13)
+    lam = 1.1 * float(np.sqrt(2 * np.log(800)))
+    sol = cd.sqrt_lasso(jnp.asarray(X), jnp.asarray(y), lam,
+                        standardize_X=False)
+    kkt0, _ = cd.sqrt_lasso_kkt_compensated(X, y, sol.x, lam)
+    res = cd.polish_sqrt_lasso(X, y, sol.x, lam)
+    assert res.converged, (res.kkt_rel, res.rounds)
+    assert res.kkt_rel <= 1e-7
+    assert res.kkt_rel <= max(kkt0, 1e-12)
+    # independent re-certification of the polished iterate
+    kkt_chk, rn = cd.sqrt_lasso_kkt_compensated(X, y, res.beta, lam)
+    assert kkt_chk <= 1.1e-7
+    assert abs(rn - res.norm_r) / rn < 1e-12
+    # weighted variant
+    rng = np.random.default_rng(7)
+    w = (np.abs(rng.standard_normal(800)) + 0.5).astype(np.float32)
+    solw = cd.sqrt_lasso(jnp.asarray(X), jnp.asarray(y), lam,
+                         weights=jnp.asarray(w))
+    resw = cd.polish_sqrt_lasso(X, y, solw.x, lam, weights=w)
+    assert resw.converged and resw.kkt_rel <= 1e-7
+
+
+def test_polish_scaled_lasso_fixed_point():
+    """polish_scaled_lasso: the f64 (β, σ) fixed point — β certified at
+    λ·σ AND σ = ‖r‖/√n self-consistent (reference scaledLasso!
+    alternation at certification accuracy; the σ secant converges in a
+    few rounds where the plain alternation needs dozens)."""
+    X, y = _gen(300, 800, 10, seed=17)
+    lam = float(np.sqrt(2 * np.log(800) / 300))
+    sol = cd.scaled_lasso(jnp.asarray(X), jnp.asarray(y), lam)
+    res = cd.polish_scaled_lasso(X, y, sol.x, lam)
+    assert res.converged, (res.rel_gap, res.sigma_rel_change,
+                           res.sigma_rounds)
+    assert res.rel_gap <= 1e-7
+    assert res.sigma_rel_change <= 1e-7
+    # σ is the exact residual norm of the returned β
+    r = np.asarray(y, np.float64) - np.asarray(X, np.float64) @ res.beta
+    assert abs(np.sqrt(r @ r / 300) - res.sigma) / res.sigma < 1e-9
+    # the polished β is optimal for the lasso at λ·σ (independent check)
+    gap, primal = cd.lasso_duality_gap_compensated(
+        X, y, res.beta, lam * res.sigma)
+    assert gap / primal <= 1.1e-7
+
+
+def test_polish_feasible_lasso_fixed_point():
+    """polish_feasible_lasso: the f64 (β, Γ) loading fixed point — β
+    certified at (λ0, Γ) AND Γ reproduced from β's exact residual to the
+    reference's loading-stability rule (lasso.jl:154-194)."""
+    X, y = _gen(300, 800, 10, seed=19)
+    lam0 = float(np.sqrt(2 * np.log(800) / 300))
+    sol = cd.feasible_lasso(jnp.asarray(X), jnp.asarray(y), lam0)
+    res = cd.polish_feasible_lasso(X, y, sol.x, lam0)
+    assert res.converged, (res.rel_gap, res.loading_rel_change,
+                           res.loading_rounds)
+    assert res.rel_gap <= 1e-7
+    assert res.loading_rel_change <= 1e-7
+    # the loadings are the exact f64 loadings of the returned residual
+    r = np.asarray(y, np.float64) - np.asarray(X, np.float64) @ res.beta
+    gam_chk = np.sqrt(np.mean(
+        (np.asarray(X, np.float64) * r[:, None]) ** 2, axis=0))
+    assert float(np.max(np.abs(gam_chk - res.loadings))
+                 / np.max(gam_chk)) < 1e-12
+    # β optimal for the weighted lasso at those loadings
+    gap, primal = cd.lasso_duality_gap_compensated(
+        X, y, res.beta, lam0, weights=res.loadings)
+    assert gap / primal <= 1.1e-7
+
+
+def test_polish_group_lasso_reaches_target():
+    """polish_group_lasso: from an f32 group solve, the host-f64 block-CD
+    with exact per-group subproblem solves must certify the compensated
+    per-group relative KKT ≤ 1e-7; support groups outside the initial
+    set are picked up by the roll-up augmentation."""
+    X, y = _gen(300, 800, 10, seed=23)
+    G = 8
+    lam = 0.06
+    sol = cd.group_lasso(jnp.asarray(X), jnp.asarray(y), lam, G)
+    kkt0, _ = cd.group_lasso_kkt_compensated(X, y, sol.x, lam, G)
+    res = cd.polish_group_lasso(X, y, sol.x, lam, G)
+    assert res.converged, (res.kkt_rel, res.rounds)
+    assert res.kkt_rel <= 1e-7
+    kkt_chk, _ = cd.group_lasso_kkt_compensated(X, y, res.beta, lam, G)
+    assert kkt_chk <= 1.1e-7
+    # cold start from zero must also work (all support discovered via
+    # augmentation)
+    res0 = cd.polish_group_lasso(X, y, np.zeros(800), lam, G)
+    assert res0.converged and res0.kkt_rel <= 1e-7
+    assert np.max(np.abs(res0.beta - res.beta)) < 1e-8
