@@ -593,7 +593,8 @@ def _stale_certified(kind, prob: BlockedProblem, st: CDState, rsqr, lam0,
 
 
 def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
-                opt_tol, opts: Optional[CDOptions] = None):
+                opt_tol, opts: Optional[CDOptions] = None,
+                count_x: bool = False):
     """Vectorized full pass: KKT sweep + (re)activation of violating blocks
     (replaces the reference's sequential full pass, SURVEY.md §7).
 
@@ -646,21 +647,31 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
 
         mode, interpret = (_pallas_mode(kind, opts, prob)
                            if opts is not None else ("off", False))
+
+        def dense_c():
+            # refresh-heavy sweep (e.g. a λ-path point's scheduling
+            # check, where the warm-start displacement voids every drift
+            # certificate): the dense blocked einsum streams at ~754 GB/s
+            # on-chip vs the scalar-prefetch restricted kernel's ~558 —
+            # when ≥80% of blocks need a refresh, skipping none is faster
+            return jnp.where(need[:, None],
+                             _full_gradient_c(kind, prob, st.r), st.c)
+
         if mode != "off":
             from .pallas_block import restricted_gradient_sweep
 
-            def compute_c():
+            def sparse_c():
                 return _platform_dispatch(
                     mode,
                     lambda: restricted_gradient_sweep(
                         prob.Xwb, st.r, need, st.c, interpret=interpret),
-                    lambda: jnp.where(need[:, None],
-                                      _full_gradient_c(kind, prob, st.r),
-                                      st.c))
-        else:
+                    dense_c)
+
             def compute_c():
-                return jnp.where(need[:, None],
-                                 _full_gradient_c(kind, prob, st.r), st.c)
+                frac = jnp.mean(need.astype(jnp.float32))
+                return lax.cond(frac > 0.8, dense_c, sparse_c)
+        else:
+            compute_c = dense_c
 
         c = lax.cond(jnp.any(need), compute_c, lambda: st.c)
         drift_new = jnp.where(need, 0.0, st.drift)
@@ -680,8 +691,18 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
     maxh = jnp.max(habs)
     viol = jnp.any(habs >= opt_tol, axis=1)
     active = jnp.any(st.beta != 0, axis=1) | viol
-    return st._replace(rsqr=rsqr, active=active, c=c,
-                       drift=drift_new), maxh
+    out_st = st._replace(rsqr=rsqr, active=active, c=c, drift=drift_new)
+    if count_x:
+        # only the REFRESHED blocks physically read X: cached-exact,
+        # drift-certified, and screened blocks are all served from the
+        # cached gradient (the whole point of the three mechanisms above)
+        if kind == "quad":
+            xe = jnp.float32(0.0)
+        else:
+            xe = (jnp.sum(need).astype(jnp.float32)
+                  * jnp.float32(float(prob.y.shape[0]) * B))
+        return out_st, maxh, xe
+    return out_st, maxh
 
 
 # ---------------------------------------------------------------------------
@@ -1011,12 +1032,12 @@ def _solve_at_lambda_ws(kind, opts: CDOptions, prob: BlockedProblem, lam0,
 
         def full(args):
             s, cache = args
-            s2, maxh = _full_check(kind, prob, s, lam0, n_scale, tol, opts)
-            out = (s2, maxh, cache)
             if count_x:
-                # one streaming read of the padded design per full check
-                out = out + (jnp.float32(float(nb) * B * n_rows),)
-            return out
+                s2, maxh, xe = _full_check(kind, prob, s, lam0, n_scale,
+                                           tol, opts, count_x=True)
+                return (s2, maxh, cache, xe)
+            s2, maxh = _full_check(kind, prob, s, lam0, n_scale, tol, opts)
+            return (s2, maxh, cache)
 
         def act(args):
             s, cache = args

@@ -658,10 +658,12 @@ def solve_x_traffic(X, y, lam, weights=None,
 
     Counting rules (logical element reads of the design or its gathered
     working-set copy; see ``_compact_pass``/``_solve_at_lambda_ws``):
-    full check = one streaming read of the padded design; dense active
-    pass = active blocks once; compact round = C·n on a coverage-miss
-    gather plus the inner solve's own traffic over the (n, C) copy, and
-    NO large-X reads on a cache hit.  The counter adds a few scalar ops
+    full check = only its REFRESHED blocks (cached-exact, drift-
+    certified, and screened blocks read nothing — counting the whole
+    design per check implied an impossible 447 GB/s effective bandwidth
+    when measured); dense active pass = active blocks once; compact
+    round = C·n on a coverage-miss gather plus the inner solve's own
+    traffic over the (n, C) copy, and NO large-X reads on a cache hit.  The counter adds a few scalar ops
     per epoch, so timing the counting program is representative.
     """
     X = jnp.asarray(X)
