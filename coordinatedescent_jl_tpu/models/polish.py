@@ -207,18 +207,22 @@ def polish_lasso(X, y, beta, lam0, weights=None, *,
         beta_s_np = np.asarray(beta_s)
         beta_np = np.zeros((p,), np.float64)
         beta_np[idx_np[idx_np < p]] = beta_s_np[idx_np < p]
-        # compensated full certificate: the exact final residual comes
-        # out of the inner solve's own gather (recomputed y − X_S β, not
-        # the incrementally-updated vector), f64-accumulated gradient
-        # over all p
-        # hybrid sweep: exact on the near-max edge set, bounded-f32
-        # elsewhere — exact for BOTH consumers here (the gap's ratio max
-        # and the clipped violation ranking); see grad_f64_certified
+        # compensated full certificate of the (β, exact r64) pair:
+        # hybrid sweep, exact on the near-max edge set (see
+        # grad_f64_certified — exact for BOTH consumers: the gap's ratio
+        # max and the clipped violation ranking).  A fully
+        # device-resident variant (scalars + top-k across the tunnel
+        # instead of the (p,)-vector host reads) was built and measured
+        # SLOWER (0.31 vs 0.30 s polish — per-dispatch tunnel latency
+        # outweighs the payload savings), so the host finish stays
         g_np = grad_f64_certified(X, r64, n * lam0 * w_np,
                                   col_chunk=min(col_chunk, p),
                                   as_numpy=True)
-        r_np = np.asarray(r64)
-        gap, primal = host_gap(r_np, g_np, beta_np)
+        gap, primal = host_gap(np.asarray(r64), g_np, beta_np)
+        viol = np.maximum(np.abs(g_np) / n - lam0 * w_np, 0.0)
+        viol[idx_np[idx_np < p]] = 0.0
+        nz = np.nonzero(viol > 0)[0]
+        extra_ranked = nz[np.argsort(-viol[nz])]
         rel = gap / max(primal, 1e-300)
         rounds += 1
         if rel <= target_rel_gap:
@@ -226,17 +230,14 @@ def polish_lasso(X, y, beta, lam0, weights=None, *,
             break
         if rounds >= max_rounds:
             break
-        # augment: support + the strongest off-set violations
-        viol = np.maximum(np.abs(g_np) / n - lam0 * w_np, 0.0)
-        viol[idx_np[idx_np < p]] = 0.0
-        sup_now = np.nonzero(beta_np)[0]
-        extra = np.nonzero(viol > 0)[0]
-        # the working set may GROW past its current allocation (the loop
+        # augment: support + the strongest off-set violations.  The
+        # working set may GROW past its current allocation (the loop
         # top re-sizes C): room is bounded by support_cap, and per-round
-        # additions by max(256, C) so one loose coarse solve cannot force
-        # a single enormous gather — growth is geometric instead
+        # additions by max(256, C) so one loose coarse solve cannot
+        # force a single enormous gather — growth is geometric instead
+        sup_now = np.nonzero(beta_np)[0]
         room = max(0, min(support_cap, p) - sup_now.size)
-        extra = extra[np.argsort(-viol[extra])][: min(room, max(256, C))]
+        extra = extra_ranked[: min(room, max(256, C))]
         new_sup = np.union1d(sup_now, extra)
         if new_sup.size == sup.size and np.array_equal(new_sup, sup):
             # no new candidates and gap still above target: the residual

@@ -177,6 +177,9 @@ def _make_locpoly_batch(degree: int, kernel_type, mesh: Mesh, axis: str):
 
     def local_fn(X, z, y, h, zgrid_local):
         kernel = kernel_type(h)
+        # (coef, normal-equation relres) per point — the conditioning
+        # proxy rides out so the wrapper can host-patch near-singular
+        # points through lstsq exactly like single-device ``locpoly``
         return lax.map(
             lambda z0: _locpoly_point(X, z, y, z0, degree, kernel),
             zgrid_local)
@@ -185,7 +188,7 @@ def _make_locpoly_batch(degree: int, kernel_type, mesh: Mesh, axis: str):
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis)),
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -204,8 +207,19 @@ def locpoly_batch(X, z, y, zgrid, degree, kernel, mesh: Mesh, *,
     D = mesh.shape[batch_axis]
     zg, L = _pad_batch(zgrid, D)
     solver = _make_locpoly_batch(degree, type(kernel), mesh, batch_axis)
-    out = solver(X, z, y, jnp.asarray(kernel.h, X.dtype), zg)
-    return out[:L].T
+    out, relres = solver(X, z, y, jnp.asarray(kernel.h, X.dtype), zg)
+    out, relres = out[:L], relres[:L]
+    # rank-deficient / near-singular grid points: lstsq patch, same
+    # contract as single-device locpoly (ADVICE r4)
+    bad = np.asarray(~jnp.all(jnp.isfinite(out), axis=1)
+                     | (relres > 1e-3))
+    if bad.any():
+        from ..models.varying_coefficient import _locpoly_point_lstsq
+        idx = jnp.asarray(np.nonzero(bad)[0])
+        fit_f = jax.vmap(lambda z0: _locpoly_point_lstsq(
+            X, z, y, z0, degree, kernel))
+        out = jnp.asarray(out).at[idx].set(fit_f(zgrid[idx]))
+    return out.T
 
 
 @functools.lru_cache(maxsize=None)
@@ -247,24 +261,26 @@ def _make_lvocv_l1_batch(degree: int, kernel_type, opts: CDOptions,
     )
 
     def local_fn(X, z, y, lam0, key, hs_local):
+        n = X.shape[0]
         if cv_batch:
             # batched held-out lanes per bandwidth (the 32× on-chip
-            # lever, models/varying_coefficient.py); per-bandwidth
-            # certification flags + stall-escape counts ride back so
-            # the wrapper can recompute any uncertified bandwidth
-            # sequentially and surface escape accounting
+            # lever, models/varying_coefficient.py); PER-LANE errors and
+            # escape masks ride back so the wrapper can both recompute
+            # uncertified bandwidths AND re-solve individual
+            # stall-escaped lanes at strict tolerance
             def one(h):
                 return _lvocv_locpolyl1_one_h_batched(
                     X, z, y, h, lam0, degree, kernel_type, opts,
                     batch=cv_batch)
 
             return lax.map(one, hs_local)
-        mses = lax.map(
+        errs = lax.map(
             lambda h: _lvocv_locpolyl1_one_h(X, z, y, h, lam0, key,
-                                             degree, kernel_type, opts),
+                                             degree, kernel_type, opts,
+                                             points=jnp.arange(n)),
             hs_local)
-        return (mses, jnp.ones(hs_local.shape, bool),
-                jnp.zeros(hs_local.shape, jnp.int32))
+        return (errs, jnp.ones(hs_local.shape, bool),
+                jnp.zeros(hs_local.shape + (n,), bool))
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
@@ -289,8 +305,9 @@ def lvocv_locpolyl1_batch(X, z, y, degree, h_arr, kernel_type, lam0,
     ``lvocv_locpolyl1(cv_batch=…)`` with the bandwidth sharding (same
     auto default and certified-or-fallback contract: any bandwidth whose
     batched run fails to certify is recomputed sequentially).  ``stats``,
-    if a dict, receives ``batched_certified`` and ``stall_escaped_lanes``
-    with the same semantics as ``lvocv_locpolyl1``."""
+    if a dict, receives ``batched_certified``, ``stall_escaped_lanes``
+    (always 0 — escaped lanes are re-solved, see ``lvocv_locpolyl1``) and
+    ``lanes_resolved_sequentially``."""
     import warnings
 
     X = jnp.asarray(X)
@@ -306,24 +323,35 @@ def lvocv_locpolyl1_batch(X, z, y, degree, h_arr, kernel_type, lam0,
                                   batch_axis, int(cv_batch))
     key = jax.random.PRNGKey(seed)
     lam0j = jnp.asarray(lam0, X.dtype)
-    mses, oks, escs = solver(X, z, y, lam0j, key, hs)
-    mses, oks = mses[:L], np.asarray(oks[:L])
+    errs, oks, escs = solver(X, z, y, lam0j, key, hs)
+    errs, oks = np.array(errs[:L]), np.asarray(oks[:L])
     escs = np.asarray(escs[:L])
+    from ..models.varying_coefficient import _lvocv_locpolyl1_one_h
+    n_resolved = 0
+    for i in range(L):
+        if not oks[i]:
+            continue
+        # certified bandwidth: re-solve its stall-escaped lanes (if any)
+        # at strict tolerance — same contract as lvocv_locpolyl1
+        esc_idx = np.nonzero(escs[i])[0]
+        if esc_idx.size:
+            fixed = _lvocv_locpolyl1_one_h(
+                X, z, y, hs[i], lam0j, key, degree, kernel_type, opts,
+                points=jnp.asarray(esc_idx, jnp.int32))
+            errs[i, esc_idx] = np.asarray(fixed)
+            n_resolved += int(esc_idx.size)
     if stats is not None:
         stats["batched_certified"] = bool(cv_batch) and bool(oks.all())
-        # only certified (returned-batched) bandwidths count
-        stats["stall_escaped_lanes"] = int(escs[oks].sum())
+        # escape-accepted lanes remaining in the output: always 0 now
+        stats["stall_escaped_lanes"] = 0
+        stats["lanes_resolved_sequentially"] = n_resolved
+    mses = errs.sum(axis=1)
     if not oks.all():
-        from ..models.varying_coefficient import _lvocv_locpolyl1_one_h
-
         warnings.warn(
             "lvocv_locpolyl1_batch: batched LOO runs for "
             f"{int((~oks).sum())} bandwidth(s) did not certify; "
             "recomputing those sequentially", RuntimeWarning)
-        # np.array (copy): np.asarray of a jax array is a READ-ONLY view
-        mses = np.array(mses)
         for i in np.nonzero(~oks)[0]:
             mses[i] = _lvocv_locpolyl1_one_h(
                 X, z, y, hs[i], lam0j, key, degree, kernel_type, opts)
-        mses = jnp.asarray(mses)
-    return mses
+    return jnp.asarray(mses)

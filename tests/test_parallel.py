@@ -446,7 +446,8 @@ def test_lvocv_locpolyl1_batch_matches_serial(batch_mesh):
                                     0.05, batch_mesh, options=opts,
                                     cv_batch=16, stats=st)
     # f64: strict certification only — the stall escape never fires
-    assert st == {"batched_certified": True, "stall_escaped_lanes": 0}
+    assert st == {"batched_certified": True, "stall_escaped_lanes": 0,
+                  "lanes_resolved_sequentially": 0}
     np.testing.assert_allclose(np.asarray(m8b), np.asarray(m1),
                                rtol=1e-8)
 

@@ -436,7 +436,8 @@ def test_lvocv_locpolyl1_batched_matches_sequential():
         warnings.simplefilter("error", RuntimeWarning)
         m2 = cd.lvocv_locpolyl1(X, z, y, 1, hs, cd.GaussianKernel, 0.1,
                                 options=opts, cv_batch=32, stats=st)
-    assert st == {"batched_certified": True, "stall_escaped_lanes": 0}
+    assert st == {"batched_certified": True, "stall_escaped_lanes": 0,
+                  "lanes_resolved_sequentially": 0}
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
                                rtol=1e-10)
 
@@ -495,3 +496,29 @@ def test_locpoly_degenerate_point_falls_back_to_lstsq():
     # scalar-z0 degenerate path too
     out_s = np.asarray(cd.locpoly(X, z, y, jnp.asarray(50.0), 1, kern))
     assert np.all(np.isfinite(out_s))
+
+
+def test_locpoly_near_singular_routes_to_lstsq():
+    """ADVICE r4: a NEAR-singular local fit (tiny kernel mass at an
+    off-data grid point, f32) is finite but low-accuracy through the
+    normal equations; the conditioning proxy must route such points to
+    the rank-robust lstsq path so the whole grid matches a pure-lstsq
+    reference."""
+    rng = np.random.default_rng(3)
+    n, p, degree = 60, 2, 1
+    z = np.concatenate([rng.uniform(0.4, 0.6, n - 2),
+                        np.array([0.9, 0.905])]).astype(np.float32)
+    X = rng.standard_normal((n, p)).astype(np.float32)
+    y = (X[:, 0] * np.sin(4 * z) + 0.1 * rng.standard_normal(n)
+         ).astype(np.float32)
+    kernel = GaussianKernel(0.02)
+    zgrid = np.array([0.5, 0.9], np.float32)   # healthy + near-singular
+    out = np.asarray(locpoly(X, z, y, zgrid, degree, kernel))
+    from coordinatedescent_jl_tpu.models.varying_coefficient import (
+        _locpoly_point_lstsq)
+    for k, z0 in enumerate(zgrid):
+        ref = np.asarray(_locpoly_point_lstsq(
+            jnp.asarray(X), jnp.asarray(z), jnp.asarray(y),
+            jnp.asarray(z0), degree, kernel))
+        denom = max(float(np.max(np.abs(ref))), 1e-6)
+        assert np.max(np.abs(out[:, k] - ref)) / denom < 5e-3, (k, z0)
