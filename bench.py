@@ -27,6 +27,25 @@ import time
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
+
+def _mem_report(tag):
+    """BENCH_DEBUG_MEM=1: live device-array census at section boundaries
+    (the 16 GB chip runs the heavy sections back-to-back with thin
+    margins — a lingering GB-scale buffer OOMs a later section and the
+    error surfaces far from the leak)."""
+    if os.environ.get("BENCH_DEBUG_MEM") != "1":
+        return
+    import jax
+    tot = 0
+    big = []
+    for a in jax.live_arrays():
+        nb = a.size * a.dtype.itemsize
+        tot += nb
+        if nb > 50e6:
+            big.append((round(nb / 1e9, 2), tuple(a.shape), str(a.dtype)))
+    _log(f"mem[{tag}]: live {tot/1e9:.2f} GB; big: "
+         f"{sorted(big, reverse=True)[:10]}")
+
 import numpy as np
 
 
@@ -50,6 +69,60 @@ def main():
         except Exception as e:  # pragma: no cover - jax-version-specific
             _log(f"bench: compilation cache unavailable ({e})")
 
+    # device-heavy self-contained sections (roofline, sharded 10K×100K,
+    # p=1M) run in a CHILD process that owns the chip ALONE, spawned
+    # BEFORE this process attaches to the backend: the tunnel session
+    # never reclaims HBM while its process lives (measured: 0.04 GB of
+    # live arrays yet RESOURCE_EXHAUSTED late in the run; a fresh
+    # process alone on the chip allocates 10 GB fine, but a child
+    # spawned while the parent is attached inherits the exhausted chip)
+    heavy_extra = None
+    if (os.environ.get("BENCH_ONLY") != "heavy"
+            and os.environ.get("BENCH_SMALL") != "1"
+            and os.environ.get("BENCH_NO_ISOLATE") != "1"):
+        try:
+            import subprocess as _sp
+            # ONE child per section, each a fresh process that owns the
+            # chip alone: the tunnel leaks a few GB per big
+            # build/release cycle within a session, so even two
+            # full-shape sections in one process can exhaust it.  Retry
+            # once per section (the tunnel reclaims a dead session's
+            # HBM asynchronously; a re-run after a wait passes).
+            heavy_extra = {}
+            for section in ("roofline", "sharded", "p1m"):
+                env = dict(os.environ)
+                env["BENCH_ONLY"] = f"heavy:{section}"
+                for attempt in range(2):
+                    out = _sp.run([sys.executable,
+                                   os.path.abspath(__file__)],
+                                  env=env, capture_output=True,
+                                  text=True, timeout=2400)
+                    for line in out.stderr.splitlines():
+                        _log(line)
+                    hx = None
+                    for line in out.stdout.splitlines():
+                        if line.startswith('{"heavy_extra"'):
+                            hx = json.loads(line)["heavy_extra"]
+                    if hx is None:
+                        _log(f"bench: heavy child [{section}] produced "
+                             f"no result (rc={out.returncode})")
+                        break
+                    oom = any("RESOURCE_EXHAUSTED" in str(v)
+                              for k, v in hx.items()
+                              if k.endswith("_error"))
+                    if not oom:
+                        heavy_extra.update(hx)
+                        break
+                    if attempt == 0:
+                        _log(f"bench: heavy child [{section}] hit "
+                             "RESOURCE_EXHAUSTED; re-spawning after "
+                             "reclaim wait")
+                        time.sleep(45)
+                    else:
+                        heavy_extra.update(hx)
+        except Exception as e:  # pragma: no cover
+            _log(f"bench: heavy-sections child failed: {e}")
+
     # the axon TPU tunnel can be down for hours at a time (observed
     # backend-init UNAVAILABLE); a CPU fallback keeps the bench recording
     # a (small-mode) line instead of crashing the round
@@ -71,6 +144,22 @@ def main():
         n, p, s, L = 1000, 5000, 50, 20
     else:
         n, p, s, L = 10_000, 100_000, 100, 100
+
+    if os.environ.get("BENCH_ONLY", "").startswith("heavy"):
+        # child mode: ONLY the device-heavy self-contained sections, one
+        # JSON line with their extra fields.  Placed BEFORE the headline
+        # data generation — the child must not hold the 4 GB design
+        # while the roofline/sharded sections build their own
+        hx = {}
+        which = (os.environ["BENCH_ONLY"].split(":", 1)[1]
+                 if ":" in os.environ["BENCH_ONLY"] else None)
+        if not small:
+            _heavy_sections(
+                hx, small, n, p,
+                int(os.environ.get("BENCH_BLOCK_SIZE", "128")),
+                float(os.environ.get("BENCH_TOL", "1e-6")), which)
+        print(json.dumps({"heavy_extra": hx}, default=float), flush=True)
+        return
 
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
@@ -99,6 +188,7 @@ def main():
     opts = cd.CDOptions(opt_tol=opt_tol, max_iter=300, block_size=bs,
                         randomize=False, block_iters=block_iters,
                         inner=inner)
+
 
     # first call compiles; second call times the cached executable
     t0 = time.perf_counter()
@@ -245,6 +335,26 @@ def main():
         # scale, test/lasso.jl:114/145; the √(2·log p/n) level of the
         # (1/n)-scaled Lasso is ~√n too small here and lands in a
         # degenerate dense-support regime)
+        # PRODUCTION X-traffic of the benchmark solve itself (VERDICT r4
+        # weak 6): the engine's in-trace read accounting, so the artifact
+        # records what the real solve streams after caching/screening/
+        # compaction — alongside the synthetic all-active microbench
+        try:
+            xt = cd.solve_x_traffic(X, y, float(lams[-1]), options=opts)
+            extra["solve_achieved_x_gbs"] = round(xt.achieved_gbps, 2)
+            extra["solve_x_bytes"] = int(xt.x_bytes)
+            extra["solve_x_dense_equiv_bytes"] = int(xt.dense_equiv_bytes)
+            extra["solve_x_traffic_saving"] = round(
+                xt.dense_equiv_bytes / max(xt.x_bytes, 1), 2)
+            _log(f"bench: solve X-traffic {xt.x_bytes/1e9:.3f} GB in "
+                 f"{xt.seconds:.3f}s = {xt.achieved_gbps:.1f} GB/s "
+                 f"({xt.dense_equiv_bytes/max(xt.x_bytes,1):.1f}x less "
+                 f"than a cache-less engine)")
+        except Exception as e:  # pragma: no cover - backend-specific
+            extra["solve_x_traffic_error"] = f"{type(e).__name__}: {e}"[:200]
+            _log(f"bench: solve_x_traffic failed: {e}")
+
+        _mem_report("pre-sqrt")
         lam_sq = 1.1 * float(np.sqrt(2 * np.log(p)))
         # reference-default semantics: warmStart=true ⇒ ONE direct solve
         # at λ from the supplied (zero) start (utils.jl:19,
@@ -500,6 +610,7 @@ def main():
              f"{extra.get('lvocv_locpolyl1_batched_s', 'not-recorded')}s "
              f"certified={cv_cert})")
 
+        _mem_report("pre-group")
         # group lasso (AtomIterate surface) at the BASELINE shape
         # (VERDICT r2 item 5): G=8 groups, scattered support, λ at
         # 0.3·group-λmax (sparse-recovery regime).  Free the 4 GB path
@@ -560,39 +671,9 @@ def main():
         except Exception as e:  # pragma: no cover - backend-specific
             extra["group_polish_error"] = str(e)[:120]
 
-        # fused-pass roofline at the headline shape (the north-star
-        # kernel-level metric, VERDICT r3 weak 1: pass_roofline existed
-        # but was never driver-captured).  pass_roofline builds its OWN
-        # (n, p) design + blocked layout, so the group design (4 GB at
-        # full scale) is freed first.  The measured-peak fraction is the
-        # honest number on the virtualized tunnel (its deliverable
-        # bandwidth is ~0.2-0.3 of spec and fluctuates run-to-run);
-        # spec-fraction is recorded for cross-device comparability
+        # free the 4 GB group design before the host-side sections and
+        # the heavy-tier child spawn
         del Xg, yg, bg, cg, sol
-        try:
-            if small:
-                # small-mode slopes (ms-scale passes through the tunnel)
-                # are noise-dominated and print absurd numbers; the
-                # roofline is a full-shape metric only
-                raise RuntimeError("skipped in small mode (noise-dominated)")
-            rr = cd.pass_roofline(n, p, block_size=bs)
-            extra["pass_roofline_gbs"] = round(rr.achieved_gbps, 2)
-            extra["pass_roofline_frac_measured"] = round(
-                rr.fraction_of_measured_peak, 4)
-            extra["pass_roofline_frac_spec"] = round(
-                rr.fraction_of_roofline, 4)
-            extra["pass_roofline_measured_peak_gbs"] = round(
-                rr.measured_peak_gbps, 2)
-            extra["pass_roofline_seconds_per_pass"] = round(
-                rr.seconds_per_pass, 6)
-            _log(f"bench: pass_roofline {rr.achieved_gbps:.1f} GB/s "
-                 f"({rr.fraction_of_measured_peak:.2f}x measured peak "
-                 f"{rr.measured_peak_gbps:.1f} GB/s, "
-                 f"{rr.fraction_of_roofline:.2f} of spec)")
-        except Exception as e:  # pragma: no cover - backend-specific
-            extra["pass_roofline_error"] = f"{type(e).__name__}: {e}"[:200]
-            _log(f"bench: pass_roofline failed: {e}")
-
         # multi-process strong-scaling artifact (VERDICT r4 missing 2):
         # 2-process Gloo CPU mesh vs 1-process, 1 pinned core each, plus
         # the compiled program's static collective schedule — runs on
@@ -617,272 +698,14 @@ def main():
             extra["multiproc_error"] = f"{type(e).__name__}: {e}"[:200]
             _log(f"bench: multiproc measurement failed: {e}")
 
-        # PRODUCTION X-traffic of the benchmark solve itself (VERDICT r4
-        # weak 6): the engine's in-trace read accounting, so the artifact
-        # records what the real solve streams after caching/screening/
-        # compaction — alongside the synthetic all-active microbench
-        try:
-            xt = cd.solve_x_traffic(X, y, float(lams[-1]), options=opts)
-            extra["solve_achieved_x_gbs"] = round(xt.achieved_gbps, 2)
-            extra["solve_x_bytes"] = int(xt.x_bytes)
-            extra["solve_x_dense_equiv_bytes"] = int(xt.dense_equiv_bytes)
-            extra["solve_x_traffic_saving"] = round(
-                xt.dense_equiv_bytes / max(xt.x_bytes, 1), 2)
-            _log(f"bench: solve X-traffic {xt.x_bytes/1e9:.3f} GB in "
-                 f"{xt.seconds:.3f}s = {xt.achieved_gbps:.1f} GB/s "
-                 f"({xt.dense_equiv_bytes/max(xt.x_bytes,1):.1f}x less "
-                 f"than a cache-less engine)")
-        except Exception as e:  # pragma: no cover - backend-specific
-            extra["solve_x_traffic_error"] = f"{type(e).__name__}: {e}"[:200]
-            _log(f"bench: solve_x_traffic failed: {e}")
-
-        # feature-sharded solver on a 1-device mesh: exercises the real
-        # shard_map + collective composition on the actual backend
-        # (VERDICT r1 item 4).  Certificates use all_gather+max instead of
-        # pmax (parallel/sharded_cd._pmax_scalar) so the axon AOT compiler
-        # accepts the program; gated because sharded support through the
-        # tunnel is still the least-proven surface
-        try:
-            from jax.sharding import Mesh
-            mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("feature",))
-            # headline shape (VERDICT r3 item 2 closed): the sharded
-            # programs now pad X INSIDE the trace (XLA fuses the pad into
-            # the blockify copy), so the live set is X + blocked layout —
-            # 10K×100K fits one v5e chip (measured 0.13 s solve / 0.25 s
-            # 100-pt batched path; rounds 1-3 OOMed above 5K×50K)
-            ns, ps = (500, 2000) if small else (10_000, 100_000)
-            ks = jax.random.split(jax.random.PRNGKey(13), 3)
-            Xs = jax.random.normal(ks[0], (ns, ps), dtype)
-            bs_true = jnp.zeros((ps,), dtype).at[:40].set(
-                jax.random.normal(ks[1], (40,), dtype))
-            ys = Xs @ bs_true + 0.3 * jax.random.normal(ks[2], (ns,), dtype)
-            lam_s = 0.1 * float(jnp.max(jnp.abs(jnp.dot(
-                ys, Xs, precision=jax.lax.Precision.HIGHEST))) / ns)
-            os_ = cd.CDOptions(opt_tol=opt_tol, randomize=False)
-            sol_sh = cd.parallel.lasso_sharded(Xs, ys, lam_s, mesh1,
-                                               options=os_)  # compile
-            float(jnp.sum(sol_sh.x))
-            t_sh = float("inf")
-            lam_rep = lam_s
-            for rep in range(2):
-                lam_rep = lam_s * (1.0 + 1e-7 * (rep + 1))
-                t0 = time.perf_counter()
-                sol_sh = cd.parallel.lasso_sharded(Xs, ys, lam_rep, mesh1,
-                                                   options=os_)
-                nnz_sh = int(jnp.sum(sol_sh.x != 0))
-                t_sh = min(t_sh, time.perf_counter() - t0)
-            # agreement at the SAME λ as the last timed rep — otherwise
-            # the metric conflates the λ perturbation with divergence
-            sol_ref = cd.lasso(Xs, ys, lam_rep, options=os_)
-            agree_sh = float(jnp.max(jnp.abs(sol_sh.x - sol_ref.x)))
-            extra["sharded_1dev_s"] = round(t_sh, 4)
-            extra["sharded_vs_single_max_abs_diff"] = agree_sh
-            _log(f"bench: sharded(1-dev mesh) {extra['sharded_1dev_s']}s "
-                 f"nnz={nnz_sh} vs-single {agree_sh:.2e}")
-
-            # sharded GROUP engine on the same 1-device mesh (round-3
-            # surface: whole groups per shard + safeguarded merge).
-            # λ from the data (0.3·group-λmax, the single-device group
-            # section's sparse-recovery regime) — the old hardcoded 0.1
-            # was scale-appropriate only at the 5K×50K shape
-            bg_s = jnp.zeros((Xs.shape[1],), dtype).at[:8].set(1.0)
-            ys_g = Xs @ bg_s + 0.3 * jax.random.normal(ks[2], (ns,), dtype)
-            cg_s = jax.jit(lambda A, b: jnp.dot(
-                A.T, b, precision=jax.lax.Precision.HIGHEST))(Xs, ys_g)
-            lam_gs = 0.3 * float(jnp.max(jnp.sqrt(jnp.sum(
-                jnp.reshape(cg_s, (-1, 4)) ** 2, axis=1)) / ns))
-            sol_g = cd.parallel.group_lasso_sharded(Xs, ys_g, lam_gs, 4,
-                                                    mesh1, options=os_)
-            float(jnp.sum(sol_g.x))
-            t_gs = float("inf")
-            lam_rep = lam_gs
-            for rep in range(2):
-                lam_rep = lam_gs * (1.0 + 1e-7 * (rep + 1))
-                t0 = time.perf_counter()
-                sol_g = cd.parallel.group_lasso_sharded(
-                    Xs, ys_g, lam_rep, 4, mesh1, options=os_)
-                float(jnp.sum(sol_g.x))
-                t_gs = min(t_gs, time.perf_counter() - t0)
-            ref_g = cd.group_lasso(Xs, ys_g, lam_rep, 4, options=os_)
-            agree_g = float(jnp.max(jnp.abs(sol_g.x - ref_g.x)))
-            extra["group_sharded_1dev_s"] = round(t_gs, 4)
-            extra["group_sharded_vs_single_max_abs_diff"] = agree_g
-            _log(f"bench: group-sharded(1-dev mesh) "
-                 f"{extra['group_sharded_1dev_s']}s vs-single "
-                 f"{agree_g:.2e}")
-
-            # batched sharded λ-path on the same 1-device mesh (round-3
-            # surface: distributed certify GEMM + distributed-top-k union
-            # working set), at the headline shape since round 4 (in-trace
-            # padding); certified-or-fallback contract is the
-            # single-device one
-            import warnings as _w
-
-            Lsp = 20 if small else 100
-            lam_hi_s = float(jnp.max(jnp.abs(jnp.dot(
-                ys, Xs, precision=jax.lax.Precision.HIGHEST))) / ns)
-            lams_sp = jnp.asarray(
-                lam_hi_s * np.logspace(-0.05, -1.6, Lsp), dtype)
-            # warmup + timed reps all inside the warnings catcher: a
-            # fallback during ANY rep means the rep timed batched-attempt
-            # + scan (+ scan compile) — such a time is never recorded
-            # (same policy as the single-device batched headline)
-            t_sp = float("inf")
-            sst = {}
-            sp_esc = 0
-            with _w.catch_warnings(record=True) as _ws:
-                _w.simplefilter("always")
-                psh = cd.parallel.lasso_path_sharded(
-                    Xs, ys, lams_sp, mesh1, options=os_,
-                    standardize_X=False, path_batch=min(128, Lsp),
-                    coarse_stride=Lsp - 1, stats=sst)  # compile
-                float(jnp.sum(psh.beta_path))
-                sp_esc = max(sp_esc, sst.get("stall_escaped_lanes", 0))
-                for rep in range(2):
-                    lams_rep = lams_sp * (1.0 + 1e-7 * (rep + 1))
-                    t0 = time.perf_counter()
-                    psh = cd.parallel.lasso_path_sharded(
-                        Xs, ys, lams_rep, mesh1, options=os_,
-                        standardize_X=False, path_batch=min(128, Lsp),
-                        coarse_stride=Lsp - 1, stats=sst)
-                    float(jnp.sum(psh.beta_path))
-                    t_sp = min(t_sp, time.perf_counter() - t0)
-                    sp_esc = max(sp_esc,
-                                 sst.get("stall_escaped_lanes", 0))
-                sp_cert = not any("falling back" in str(w.message)
-                                  for w in _ws)
-            extra["sharded_path_batched_certified"] = bool(sp_cert)
-            extra["sharded_path_stall_escaped_lanes"] = int(sp_esc)
-            extra["sharded_path_1dev_points"] = int(psh.beta_path.shape[0])
-            if sp_cert:
-                extra["sharded_path_1dev_s"] = round(t_sp, 4)
-            _log(f"bench: sharded-path(1-dev mesh) "
-                 f"{extra.get('sharded_path_1dev_s', 'not-recorded')}s "
-                 f"({extra['sharded_path_1dev_points']} pts, "
-                 f"certified={sp_cert})")
-
-            # observation-sharded (data-parallel) tier on a 1-device
-            # 'obs' mesh: tall-data shape, row psums + replicated β
-            nr, pr_ = (2000, 200) if small else (50_000, 2000)
-            kr = jax.random.split(jax.random.PRNGKey(29), 3)
-            Xr = jax.random.normal(kr[0], (nr, pr_), dtype)
-            br_true = jnp.zeros((pr_,), dtype).at[:20].set(
-                jax.random.normal(kr[1], (20,), dtype))
-            yr = Xr @ br_true + 0.3 * jax.random.normal(kr[2], (nr,),
-                                                        dtype)
-            lam_r = 0.3 * float(jnp.max(jnp.abs(jnp.dot(
-                yr, Xr, precision=jax.lax.Precision.HIGHEST))) / nr)
-            mesh_o = Mesh(np.asarray(jax.devices()[:1]), ("obs",))
-            sol_r = cd.parallel.lasso_row_sharded(Xr, yr, lam_r, mesh_o,
-                                                  options=os_)  # compile
-            float(jnp.sum(sol_r.x))
-            t_r = float("inf")
-            for rep in range(2):
-                lam_rep = lam_r * (1.0 + 1e-7 * (rep + 1))
-                t0 = time.perf_counter()
-                sol_r = cd.parallel.lasso_row_sharded(
-                    Xr, yr, lam_rep, mesh_o, options=os_)
-                float(jnp.sum(sol_r.x))
-                t_r = min(t_r, time.perf_counter() - t0)
-            ref_r = cd.lasso(Xr, yr, lam_rep, options=os_)
-            agree_r = float(jnp.max(jnp.abs(sol_r.x - ref_r.x)))
-            extra["row_sharded_1dev_s"] = round(t_r, 4)
-            extra["row_sharded_vs_single_max_abs_diff"] = agree_r
-            _log(f"bench: row-sharded(1-dev obs mesh, n={nr}) "
-                 f"{extra['row_sharded_1dev_s']}s vs-single "
-                 f"{agree_r:.2e}")
-        except Exception as e:  # pragma: no cover - backend-specific
-            extra["sharded_1dev_error"] = f"{type(e).__name__}: {e}"[:200]
-            _log(f"bench: sharded(1-dev mesh) failed: {e}")
-
-        # p = 1M feature axis (VERDICT r4 missing 1 / item 3): the
-        # north-star column count (BASELINE.json config 5) on one chip —
-        # X is 4 GB (n=1K), the same budget as the 10K×100K sharded line.
-        # nb = 7813 blocks exercises index arithmetic / top-k working
-        # sets / padding at scale.  Certification is the duality gap of
-        # the sharded output directly (a single-device reference solve
-        # would double the footprint for no extra information — the
-        # sharded-vs-single equivalence is pinned at 10K×100K above and
-        # in the p=1M CPU-mesh suite test).
-        try:
-            if small:
-                raise RuntimeError("skipped in small mode")
-            # rebind to drop the 4 GB 10K×100K design (and friends) before
-            # allocating the p=1M one — ``del`` would raise on names the
-            # previous section's try left unbound
-            Xs = ys = sol_sh = sol_ref = psh = None
-            Xr = yr = sol_r = ref_r = ys_g = sol_g = None
-            from jax.sharding import Mesh
-            mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("feature",))
-            n1, p1, s1 = 1000, 1_000_000, 100
-            km = jax.random.split(jax.random.PRNGKey(31), 3)
-            X1 = jax.random.normal(km[0], (n1, p1), dtype)
-            idx1 = jax.random.choice(km[2], p1, (s1,), replace=False)
-            b1_true = jnp.zeros((p1,), dtype).at[idx1].set(
-                jax.random.normal(km[1], (s1,), dtype))
-            y1 = (X1 @ b1_true
-                  + 0.3 * jax.random.normal(km[2], (n1,), dtype))
-            lam_1 = 0.1 * float(jnp.max(jnp.abs(jnp.dot(
-                y1, X1, precision=jax.lax.Precision.HIGHEST))) / n1)
-            os1 = cd.CDOptions(opt_tol=opt_tol, randomize=False)
-            sol_1 = cd.parallel.lasso_sharded(X1, y1, lam_1, mesh1,
-                                              options=os1)  # compile
-            float(jnp.sum(sol_1.x))
-            t_1m = float("inf")
-            for rep in range(2):
-                lam_rep = lam_1 * (1.0 + 1e-7 * (rep + 1))
-                t0 = time.perf_counter()
-                sol_1 = cd.parallel.lasso_sharded(X1, y1, lam_rep, mesh1,
-                                                  options=os1)
-                nnz_1 = int(jnp.sum(sol_1.x != 0))
-                t_1m = min(t_1m, time.perf_counter() - t0)
-            gap_1, primal_1 = cd.lasso_duality_gap_f64(
-                X1, y1, sol_1.x, lam_rep)
-            rel_1 = float(gap_1) / max(float(primal_1), 1e-300)
-            extra["sharded_p1m_s"] = round(t_1m, 4)
-            extra["sharded_p1m_nnz"] = nnz_1
-            extra["sharded_p1m_rel_gap"] = rel_1
-            extra["sharded_p1m_certified"] = bool(rel_1 < 100 * opt_tol)
-            _log(f"bench: sharded p=1M (n={n1}) {t_1m:.3f}s nnz={nnz_1} "
-                 f"rel_gap={rel_1:.2e}")
-
-            # batched sharded λ-path at p=1M (20 points)
-            import warnings as _w
-            L1 = 20
-            lam_hi1 = float(jnp.max(jnp.abs(jnp.dot(
-                y1, X1, precision=jax.lax.Precision.HIGHEST))) / n1)
-            lams_1 = jnp.asarray(lam_hi1 * np.logspace(-0.05, -1.3, L1),
-                                 dtype)
-            t_p1 = float("inf")
-            s1m = {}
-            with _w.catch_warnings(record=True) as _ws:
-                _w.simplefilter("always")
-                pp1 = cd.parallel.lasso_path_sharded(
-                    X1, y1, lams_1, mesh1, options=os1,
-                    standardize_X=False, path_batch=L1,
-                    coarse_stride=L1 - 1, stats=s1m)  # compile
-                float(jnp.sum(pp1.beta_path))
-                for rep in range(2):
-                    lams_rep = lams_1 * (1.0 + 1e-7 * (rep + 1))
-                    t0 = time.perf_counter()
-                    pp1 = cd.parallel.lasso_path_sharded(
-                        X1, y1, lams_rep, mesh1, options=os1,
-                        standardize_X=False, path_batch=L1,
-                        coarse_stride=L1 - 1, stats=s1m)
-                    float(jnp.sum(pp1.beta_path))
-                    t_p1 = min(t_p1, time.perf_counter() - t0)
-                p1_cert = not any("falling back" in str(w.message)
-                                  for w in _ws)
-            extra["sharded_path_p1m_certified"] = bool(p1_cert)
-            if p1_cert:
-                extra["sharded_path_p1m_s"] = round(t_p1, 4)
-            _log(f"bench: sharded-path p=1M ({L1} pts) "
-                 f"{extra.get('sharded_path_p1m_s', 'not-recorded')}s "
-                 f"certified={p1_cert}")
-            del X1, y1, sol_1, pp1
-        except Exception as e:  # pragma: no cover - backend-specific
-            extra["sharded_p1m_error"] = f"{type(e).__name__}: {e}"[:200]
-            _log(f"bench: sharded p=1M failed: {e}")
+        if heavy_extra is not None:
+            extra.update(heavy_extra)
+        elif small or os.environ.get("BENCH_NO_ISOLATE") == "1":
+            _heavy_sections(extra, small, n, p, bs, opt_tol)
+        else:
+            # the start-of-run child failed — last-resort inline attempt
+            extra["heavy_sections_child_failed"] = True
+            _heavy_sections(extra, small, n, p, bs, opt_tol)
 
     # --- vs_baseline: NumPy sequential-CD oracle on the reference's
     # cd_bench shape (benchmark/cd_bench.jl:8-14), same λ / tolerance ------
@@ -1003,6 +826,7 @@ def main():
         "row_sharded_1dev_s",
         "sharded_p1m_s", "sharded_p1m_certified",
         "pass_roofline_gbs", "pass_roofline_frac_measured",
+        "pass_roofline_stream_gbs", "pass_roofline_stream_frac_measured",
         "solve_achieved_x_gbs",
         "multiproc_efficiency",
         "oracle_cd_bench_s",
@@ -1024,6 +848,348 @@ def main():
         "details": compact,
     }), flush=True)
 
+
+
+
+def _heavy_sections(extra, small, n, p, bs, opt_tol, which=None):
+    """Device-heavy self-contained sections (roofline, 10Kx100K sharded
+    tier, p=1M): normally executed in a CHILD process via BENCH_ONLY=heavy
+    — the long-lived bench session exhausts tunnel-device HBM that neither
+    array deletion nor jax.clear_caches() reclaims (measured: 0.04 GB of
+    live arrays yet RESOURCE_EXHAUSTED on a 4 GB alloc, while a fresh
+    process allocates 10 GB fine).  Each section builds its own data."""
+    import jax
+    import jax.numpy as jnp
+
+    import coordinatedescent_jl_tpu as cd  # noqa: F401 (section imports)
+
+    if which in (None, "roofline"):
+        _roofline_section(extra, small, n, p, bs)
+    if which in (None, "sharded"):
+        _sharded_section(extra, small, opt_tol)
+    if which in (None, "p1m"):
+        _p1m_section(extra, small, opt_tol)
+
+
+def _roofline_section(extra, small, n, p, bs):
+    import jax  # noqa: F401
+    import jax.numpy as jnp  # noqa: F401
+
+    import coordinatedescent_jl_tpu as cd
+
+    dtype = jnp.float32  # noqa: F841
+
+    # fused-pass roofline at the headline shape (the north-star
+    # kernel-level metric, VERDICT r3 weak 1: pass_roofline existed
+    # but was never driver-captured).  pass_roofline builds its OWN
+    # (n, p) design + blocked layout, so the group design (4 GB at
+    # full scale) is freed first.  The measured-peak fraction is the
+    # honest number on the virtualized tunnel (its deliverable
+    # bandwidth is ~0.2-0.3 of spec and fluctuates run-to-run);
+    # spec-fraction is recorded for cross-device comparability
+    try:
+        if small:
+            # small-mode slopes (ms-scale passes through the tunnel)
+            # are noise-dominated and print absurd numbers; the
+            # roofline is a full-shape metric only
+            raise RuntimeError("skipped in small mode (noise-dominated)")
+        rr, rs = cd.pass_roofline_multi(n, p, block_size=bs,
+                                        iters_list=(16, 1))
+        extra["pass_roofline_gbs"] = round(rr.achieved_gbps, 2)
+        extra["pass_roofline_frac_measured"] = round(
+            rr.fraction_of_measured_peak, 4)
+        extra["pass_roofline_frac_spec"] = round(
+            rr.fraction_of_roofline, 4)
+        extra["pass_roofline_measured_peak_gbs"] = round(
+            rr.measured_peak_gbps, 2)
+        extra["pass_roofline_seconds_per_pass"] = round(
+            rr.seconds_per_pass, 6)
+        _log(f"bench: pass_roofline {rr.achieved_gbps:.1f} GB/s "
+             f"({rr.fraction_of_measured_peak:.2f}x measured peak "
+             f"{rr.measured_peak_gbps:.1f} GB/s, "
+             f"{rr.fraction_of_roofline:.2f} of spec)")
+        # streaming-bound configuration (iters=1): the production
+        # pass does 16 inner FISTA steps per block read and is
+        # compute-rich — this line is the pure-bandwidth roofline
+        # (shares the build + peak with the line above)
+        extra["pass_roofline_stream_gbs"] = round(rs.achieved_gbps, 2)
+        extra["pass_roofline_stream_frac_measured"] = round(
+            rs.fraction_of_measured_peak, 4)
+        _log(f"bench: pass_roofline(iters=1) "
+             f"{rs.achieved_gbps:.1f} GB/s "
+             f"({rs.fraction_of_measured_peak:.2f}x measured peak)")
+    except Exception as e:  # pragma: no cover - backend-specific
+        extra["pass_roofline_error"] = f"{type(e).__name__}: {e}"[:200]
+        _log(f"bench: pass_roofline failed: {e}")
+
+
+
+
+def _sharded_section(extra, small, opt_tol):
+    import jax
+    import jax.numpy as jnp
+
+    import coordinatedescent_jl_tpu as cd
+
+    dtype = jnp.float32
+    _mem_report("pre-sharded")
+    # feature-sharded solver on a 1-dev mesh: exercises the real
+    # shard_map + collective composition on the actual backend
+    # (VERDICT r1 item 4).  Certificates use all_gather+max instead of
+    # pmax (parallel/sharded_cd._pmax_scalar) so the axon AOT compiler
+    # accepts the program; gated because sharded support through the
+    # tunnel is still the least-proven surface
+    try:
+        from jax.sharding import Mesh
+        mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("feature",))
+        # headline shape (VERDICT r3 item 2 closed): the sharded
+        # programs now pad X INSIDE the trace (XLA fuses the pad into
+        # the blockify copy), so the live set is X + blocked layout —
+        # 10K×100K fits one v5e chip (measured 0.13 s solve / 0.25 s
+        # 100-pt batched path; rounds 1-3 OOMed above 5K×50K)
+        ns, ps = (500, 2000) if small else (10_000, 100_000)
+        ks = jax.random.split(jax.random.PRNGKey(13), 3)
+        Xs = jax.random.normal(ks[0], (ns, ps), dtype)
+        bs_true = jnp.zeros((ps,), dtype).at[:40].set(
+            jax.random.normal(ks[1], (40,), dtype))
+        ys = Xs @ bs_true + 0.3 * jax.random.normal(ks[2], (ns,), dtype)
+        lam_s = 0.1 * float(jnp.max(jnp.abs(jnp.dot(
+            ys, Xs, precision=jax.lax.Precision.HIGHEST))) / ns)
+        os_ = cd.CDOptions(opt_tol=opt_tol, randomize=False)
+        sol_sh = cd.parallel.lasso_sharded(Xs, ys, lam_s, mesh1,
+                                           options=os_)  # compile
+        float(jnp.sum(sol_sh.x))
+        t_sh = float("inf")
+        lam_rep = lam_s
+        for rep in range(2):
+            lam_rep = lam_s * (1.0 + 1e-7 * (rep + 1))
+            t0 = time.perf_counter()
+            sol_sh = cd.parallel.lasso_sharded(Xs, ys, lam_rep, mesh1,
+                                               options=os_)
+            nnz_sh = int(jnp.sum(sol_sh.x != 0))
+            t_sh = min(t_sh, time.perf_counter() - t0)
+        # agreement at the SAME λ as the last timed rep — otherwise
+        # the metric conflates the λ perturbation with divergence
+        sol_ref = cd.lasso(Xs, ys, lam_rep, options=os_)
+        agree_sh = float(jnp.max(jnp.abs(sol_sh.x - sol_ref.x)))
+        extra["sharded_1dev_s"] = round(t_sh, 4)
+        extra["sharded_vs_single_max_abs_diff"] = agree_sh
+        _log(f"bench: sharded(1-dev mesh) {extra['sharded_1dev_s']}s "
+             f"nnz={nnz_sh} vs-single {agree_sh:.2e}")
+
+        # sharded GROUP engine on the same 1-device mesh (round-3
+        # surface: whole groups per shard + safeguarded merge).
+        # λ from the data (0.3·group-λmax, the single-device group
+        # section's sparse-recovery regime) — the old hardcoded 0.1
+        # was scale-appropriate only at the 5K×50K shape
+        bg_s = jnp.zeros((Xs.shape[1],), dtype).at[:8].set(1.0)
+        ys_g = Xs @ bg_s + 0.3 * jax.random.normal(ks[2], (ns,), dtype)
+        cg_s = jax.jit(lambda A, b: jnp.dot(
+            A.T, b, precision=jax.lax.Precision.HIGHEST))(Xs, ys_g)
+        lam_gs = 0.3 * float(jnp.max(jnp.sqrt(jnp.sum(
+            jnp.reshape(cg_s, (-1, 4)) ** 2, axis=1)) / ns))
+        sol_g = cd.parallel.group_lasso_sharded(Xs, ys_g, lam_gs, 4,
+                                                mesh1, options=os_)
+        float(jnp.sum(sol_g.x))
+        t_gs = float("inf")
+        lam_rep = lam_gs
+        for rep in range(2):
+            lam_rep = lam_gs * (1.0 + 1e-7 * (rep + 1))
+            t0 = time.perf_counter()
+            sol_g = cd.parallel.group_lasso_sharded(
+                Xs, ys_g, lam_rep, 4, mesh1, options=os_)
+            float(jnp.sum(sol_g.x))
+            t_gs = min(t_gs, time.perf_counter() - t0)
+        ref_g = cd.group_lasso(Xs, ys_g, lam_rep, 4, options=os_)
+        agree_g = float(jnp.max(jnp.abs(sol_g.x - ref_g.x)))
+        extra["group_sharded_1dev_s"] = round(t_gs, 4)
+        extra["group_sharded_vs_single_max_abs_diff"] = agree_g
+        _log(f"bench: group-sharded(1-dev mesh) "
+             f"{extra['group_sharded_1dev_s']}s vs-single "
+             f"{agree_g:.2e}")
+
+        # batched sharded λ-path on the same 1-device mesh (round-3
+        # surface: distributed certify GEMM + distributed-top-k union
+        # working set), at the headline shape since round 4 (in-trace
+        # padding); certified-or-fallback contract is the
+        # single-device one
+        import warnings as _w
+
+        Lsp = 20 if small else 100
+        lam_hi_s = float(jnp.max(jnp.abs(jnp.dot(
+            ys, Xs, precision=jax.lax.Precision.HIGHEST))) / ns)
+        lams_sp = jnp.asarray(
+            lam_hi_s * np.logspace(-0.05, -1.6, Lsp), dtype)
+        # warmup + timed reps all inside the warnings catcher: a
+        # fallback during ANY rep means the rep timed batched-attempt
+        # + scan (+ scan compile) — such a time is never recorded
+        # (same policy as the single-device batched headline)
+        t_sp = float("inf")
+        sst = {}
+        sp_esc = 0
+        with _w.catch_warnings(record=True) as _ws:
+            _w.simplefilter("always")
+            psh = cd.parallel.lasso_path_sharded(
+                Xs, ys, lams_sp, mesh1, options=os_,
+                standardize_X=False, path_batch=min(128, Lsp),
+                coarse_stride=Lsp - 1, stats=sst)  # compile
+            float(jnp.sum(psh.beta_path))
+            sp_esc = max(sp_esc, sst.get("stall_escaped_lanes", 0))
+            for rep in range(2):
+                lams_rep = lams_sp * (1.0 + 1e-7 * (rep + 1))
+                t0 = time.perf_counter()
+                psh = cd.parallel.lasso_path_sharded(
+                    Xs, ys, lams_rep, mesh1, options=os_,
+                    standardize_X=False, path_batch=min(128, Lsp),
+                    coarse_stride=Lsp - 1, stats=sst)
+                float(jnp.sum(psh.beta_path))
+                t_sp = min(t_sp, time.perf_counter() - t0)
+                sp_esc = max(sp_esc,
+                             sst.get("stall_escaped_lanes", 0))
+            sp_cert = not any("falling back" in str(w.message)
+                              for w in _ws)
+        extra["sharded_path_batched_certified"] = bool(sp_cert)
+        extra["sharded_path_stall_escaped_lanes"] = int(sp_esc)
+        extra["sharded_path_1dev_points"] = int(psh.beta_path.shape[0])
+        if sp_cert:
+            extra["sharded_path_1dev_s"] = round(t_sp, 4)
+        _log(f"bench: sharded-path(1-dev mesh) "
+             f"{extra.get('sharded_path_1dev_s', 'not-recorded')}s "
+             f"({extra['sharded_path_1dev_points']} pts, "
+             f"certified={sp_cert})")
+
+        # observation-sharded (data-parallel) tier on a 1-device
+        # 'obs' mesh: tall-data shape, row psums + replicated β
+        nr, pr_ = (2000, 200) if small else (50_000, 2000)
+        kr = jax.random.split(jax.random.PRNGKey(29), 3)
+        Xr = jax.random.normal(kr[0], (nr, pr_), dtype)
+        br_true = jnp.zeros((pr_,), dtype).at[:20].set(
+            jax.random.normal(kr[1], (20,), dtype))
+        yr = Xr @ br_true + 0.3 * jax.random.normal(kr[2], (nr,),
+                                                    dtype)
+        lam_r = 0.3 * float(jnp.max(jnp.abs(jnp.dot(
+            yr, Xr, precision=jax.lax.Precision.HIGHEST))) / nr)
+        mesh_o = Mesh(np.asarray(jax.devices()[:1]), ("obs",))
+        sol_r = cd.parallel.lasso_row_sharded(Xr, yr, lam_r, mesh_o,
+                                              options=os_)  # compile
+        float(jnp.sum(sol_r.x))
+        t_r = float("inf")
+        for rep in range(2):
+            lam_rep = lam_r * (1.0 + 1e-7 * (rep + 1))
+            t0 = time.perf_counter()
+            sol_r = cd.parallel.lasso_row_sharded(
+                Xr, yr, lam_rep, mesh_o, options=os_)
+            float(jnp.sum(sol_r.x))
+            t_r = min(t_r, time.perf_counter() - t0)
+        ref_r = cd.lasso(Xr, yr, lam_rep, options=os_)
+        agree_r = float(jnp.max(jnp.abs(sol_r.x - ref_r.x)))
+        extra["row_sharded_1dev_s"] = round(t_r, 4)
+        extra["row_sharded_vs_single_max_abs_diff"] = agree_r
+        _log(f"bench: row-sharded(1-dev obs mesh, n={nr}) "
+             f"{extra['row_sharded_1dev_s']}s vs-single "
+             f"{agree_r:.2e}")
+    except Exception as e:  # pragma: no cover - backend-specific
+        extra["sharded_1dev_error"] = f"{type(e).__name__}: {e}"[:200]
+        _log(f"bench: sharded(1-dev mesh) failed: {e}")
+
+
+
+def _p1m_section(extra, small, opt_tol):
+    import jax
+    import jax.numpy as jnp
+
+    import coordinatedescent_jl_tpu as cd
+
+    dtype = jnp.float32
+    _mem_report("pre-p1m")
+    # p = 1M feature axis (VERDICT r4 missing 1 / item 3): the
+    # north-star column count (BASELINE.json config 5) on one chip —
+    # X is 4 GB (n=1K), the same budget as the 10K×100K sharded line.
+    # nb = 7813 blocks exercises index arithmetic / top-k working
+    # sets / padding at scale.  Certification is the duality gap of
+    # the sharded output directly (a single-device reference solve
+    # would double the footprint for no extra information — the
+    # sharded-vs-single equivalence is pinned at 10K×100K above and
+    # in the p=1M CPU-mesh suite test).
+    try:
+        if small:
+            raise RuntimeError("skipped in small mode")
+        # rebind to drop the 4 GB 10K×100K design (and friends) before
+        # allocating the p=1M one — ``del`` would raise on names the
+        # previous section's try left unbound
+        Xs = ys = sol_sh = sol_ref = psh = None
+        Xr = yr = sol_r = ref_r = ys_g = sol_g = None
+        from jax.sharding import Mesh
+        mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("feature",))
+        n1, p1, s1 = 1000, 1_000_000, 100
+        km = jax.random.split(jax.random.PRNGKey(31), 3)
+        X1 = jax.random.normal(km[0], (n1, p1), dtype)
+        idx1 = jax.random.choice(km[2], p1, (s1,), replace=False)
+        b1_true = jnp.zeros((p1,), dtype).at[idx1].set(
+            jax.random.normal(km[1], (s1,), dtype))
+        y1 = (X1 @ b1_true
+              + 0.3 * jax.random.normal(km[2], (n1,), dtype))
+        lam_1 = 0.1 * float(jnp.max(jnp.abs(jnp.dot(
+            y1, X1, precision=jax.lax.Precision.HIGHEST))) / n1)
+        os1 = cd.CDOptions(opt_tol=opt_tol, randomize=False)
+        sol_1 = cd.parallel.lasso_sharded(X1, y1, lam_1, mesh1,
+                                          options=os1)  # compile
+        float(jnp.sum(sol_1.x))
+        t_1m = float("inf")
+        for rep in range(2):
+            lam_rep = lam_1 * (1.0 + 1e-7 * (rep + 1))
+            t0 = time.perf_counter()
+            sol_1 = cd.parallel.lasso_sharded(X1, y1, lam_rep, mesh1,
+                                              options=os1)
+            nnz_1 = int(jnp.sum(sol_1.x != 0))
+            t_1m = min(t_1m, time.perf_counter() - t0)
+        gap_1, primal_1 = cd.lasso_duality_gap_f64(
+            X1, y1, sol_1.x, lam_rep)
+        rel_1 = float(gap_1) / max(float(primal_1), 1e-300)
+        extra["sharded_p1m_s"] = round(t_1m, 4)
+        extra["sharded_p1m_nnz"] = nnz_1
+        extra["sharded_p1m_rel_gap"] = rel_1
+        extra["sharded_p1m_certified"] = bool(rel_1 < 100 * opt_tol)
+        _log(f"bench: sharded p=1M (n={n1}) {t_1m:.3f}s nnz={nnz_1} "
+             f"rel_gap={rel_1:.2e}")
+
+        # batched sharded λ-path at p=1M (20 points)
+        import warnings as _w
+        L1 = 20
+        lam_hi1 = float(jnp.max(jnp.abs(jnp.dot(
+            y1, X1, precision=jax.lax.Precision.HIGHEST))) / n1)
+        lams_1 = jnp.asarray(lam_hi1 * np.logspace(-0.05, -1.3, L1),
+                             dtype)
+        t_p1 = float("inf")
+        s1m = {}
+        with _w.catch_warnings(record=True) as _ws:
+            _w.simplefilter("always")
+            pp1 = cd.parallel.lasso_path_sharded(
+                X1, y1, lams_1, mesh1, options=os1,
+                standardize_X=False, path_batch=L1,
+                coarse_stride=L1 - 1, stats=s1m)  # compile
+            float(jnp.sum(pp1.beta_path))
+            for rep in range(2):
+                lams_rep = lams_1 * (1.0 + 1e-7 * (rep + 1))
+                t0 = time.perf_counter()
+                pp1 = cd.parallel.lasso_path_sharded(
+                    X1, y1, lams_rep, mesh1, options=os1,
+                    standardize_X=False, path_batch=L1,
+                    coarse_stride=L1 - 1, stats=s1m)
+                float(jnp.sum(pp1.beta_path))
+                t_p1 = min(t_p1, time.perf_counter() - t0)
+            p1_cert = not any("falling back" in str(w.message)
+                              for w in _ws)
+        extra["sharded_path_p1m_certified"] = bool(p1_cert)
+        if p1_cert:
+            extra["sharded_path_p1m_s"] = round(t_p1, 4)
+        _log(f"bench: sharded-path p=1M ({L1} pts) "
+             f"{extra.get('sharded_path_p1m_s', 'not-recorded')}s "
+             f"certified={p1_cert}")
+        del X1, y1, sol_1, pp1
+    except Exception as e:  # pragma: no cover - backend-specific
+        extra["sharded_p1m_error"] = f"{type(e).__name__}: {e}"[:200]
+        _log(f"bench: sharded p=1M failed: {e}")
 
 if __name__ == "__main__":
     main()

@@ -79,6 +79,7 @@ from .utils.profiling import (
     scaled_lasso_with_trace,
     group_solve_with_trace,
     pass_roofline,
+    pass_roofline_multi,
     solve_x_traffic,
     XTrafficReport,
     debug_nans,
@@ -134,7 +135,8 @@ __all__ = [
     "lasso_path_resumable", "EpochTrace", "RooflineReport", "simple_timeit",
     "solve_with_trace", "lasso_sharded_with_trace",
     "scaled_lasso_with_trace", "group_solve_with_trace",
-    "SigmaRoundTrace", "pass_roofline", "solve_x_traffic",
+    "SigmaRoundTrace", "pass_roofline", "pass_roofline_multi",
+    "solve_x_traffic",
     "XTrafficReport", "debug_nans",
     # helpers
     "std_X", "get_loadings", "get_sigma", "sample_std",

@@ -373,14 +373,27 @@ def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
                 rsqr=jnp.dot(r_new, r_new, precision=lax.Precision.HIGHEST))
         return st2, maxh, cache
 
-    if nc and n_shards > 1:
+    # union-round capacity is gated on the GLOBAL padded width, not the
+    # per-shard compaction decision `nc` (which turns off exactly when
+    # shards are small — the regime where the Jacobi crawl hurts most:
+    # measured 30 epochs vs 3 single-device at 8 shards × 4 local
+    # blocks).  All dtypes: the sharded trajectory is never the
+    # reference-sequential one anyway, and correctness is certified by
+    # the KKT sweep regardless of the working-set choice.
+    nc_u = 0
+    if kind in ("ls", "wls", "sqrt") and opts is not None             and opts.compact is not False and n_shards > 1:
+        Bb = prob.lamw.shape[1]
+        ncand = -(-opts.compact_size // Bb)
+        if ncand + 1 <= prob.lamw.shape[0] * n_shards:
+            nc_u = ncand
+    if nc_u:
         # replicated union-working-set round when the global support
         # fits: single-device epoch counts instead of the Jacobi
         # coupling crawl (see _sharded_union_compact_pass); the Jacobi
         # round remains the dense-support / late-round fallback and the
         # two branches return identical pytrees
         Bb = prob.lamw.shape[1]
-        Cg = nc * Bb
+        Cg = nc_u * Bb
         nnzg = lax.psum(jnp.sum(st.beta != 0), axis)
         use_union = ((nnzg <= Cg - Bb)
                      & (st.it < 2 * opts.compact_rounds))
@@ -388,7 +401,8 @@ def _sharded_active_pass(kind, prob, st: CDState, lam0, n_scale, randomize,
         def _union(args):
             st_, cache_ = args
             st2_, mh_ = _sharded_union_compact_pass(
-                kind, prob, st_, lam0, n_scale, opts, nc, axis, n_shards)
+                kind, prob, st_, lam0, n_scale, opts, nc_u, axis,
+                n_shards)
             return st2_, mh_, cache_
 
         def _jac(args):

@@ -12,6 +12,7 @@ from .profiling import (
     simple_timeit,
     solve_with_trace,
     pass_roofline,
+    pass_roofline_multi,
     solve_x_traffic,
     XTrafficReport,
     debug_nans,

@@ -563,14 +563,32 @@ class RooflineReport(NamedTuple):
 
 def pass_roofline(n: int, p: int, *, block_size: int = 128,
                   dtype=jnp.float32, active_fraction: float = 1.0,
-                  inner: str = "ista", seed: int = 0) -> RooflineReport:
+                  inner: str = "ista", iters: int = 16,
+                  seed: int = 0) -> RooflineReport:
+    """Single-configuration wrapper around :func:`pass_roofline_multi`
+    (see there for semantics)."""
+    return pass_roofline_multi(n, p, block_size=block_size, dtype=dtype,
+                               active_fraction=active_fraction,
+                               inner=inner, iters_list=(iters,),
+                               seed=seed)[0]
+
+
+def pass_roofline_multi(n: int, p: int, *, block_size: int = 128,
+                        dtype=jnp.float32, active_fraction: float = 1.0,
+                        inner: str = "ista", iters_list=(16,),
+                        seed: int = 0) -> list:
     """Measure the fused active-pass kernel's achieved HBM bandwidth on a
     synthetic problem and report it against the chip's peak (the
     north-star roofline metric).
 
     Bandwidth accounting: the resident and chunked-with-retention variants
     read each active X block once (4·n·B bytes f32); the plain chunked
-    fallback reads it twice.
+    fallback reads it twice.  ``iters`` is the per-block inner-solve
+    iteration count: at the production 16 the kernel is COMPUTE-rich
+    (16 FISTA steps on each (B, B) Gram per block read) and the
+    achieved-bandwidth metric understates it; ``iters=1`` is the
+    streaming-bound configuration the roofline fraction is really
+    about — the bench records both.
     """
     from ..ops.pallas_block import (_resident_fits, _retention_fits,
                                     fused_active_pass)
@@ -578,10 +596,16 @@ def pass_roofline(n: int, p: int, *, block_size: int = 128,
     opts = CDOptions(block_size=block_size, randomize=False)
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
+    # denominator FIRST: its 2 GiB streaming buffer must not coexist
+    # with the design + blocked layout (4 GB each at the headline shape
+    # — the three together are borderline on a 16 GB chip and OOM
+    # depending on session fragmentation)
+    mpeak = measured_peak_hbm()
     X = jax.random.normal(k1, (n, p), dtype)
     y = jax.random.normal(k2, (n,), dtype)
     lamw = jnp.ones((p,), dtype)
     prob = build_blocked("ls", opts, lamw, X=X, y=y)
+    del X          # only the blocked layout is read from here on
     nb, B = prob.lamw.shape
     n_act = max(1, int(round(active_fraction * nb)))
     beta_b = jnp.zeros((nb, B), dtype).at[:n_act, 0].set(1e-6)
@@ -595,42 +619,48 @@ def pass_roofline(n: int, p: int, *, block_size: int = 128,
     # passes inside one jit call: a standalone call pays a one-time layout
     # conversion of the blocked design (~30ms for 60MB through the device
     # tunnel) that in-solver invocations never see, so absolute
-    # single-call times wildly overstate the kernel cost.
+    # single-call times wildly overstate the kernel cost.  All
+    # ``iters_list`` configurations share ONE design build and ONE peak
+    # measurement: the tunnel leaks a few GB per big build/release cycle
+    # within a session (measured — repeated full-shape calls in one
+    # process RESOURCE_EXHAUST), so one call must do all the variants.
     interp = jax.default_backend() != "tpu"
 
-    def chained(k):
+    def chained(k, iters):
         @jax.jit
         def fn(prob, beta_b, r, active):
             for _ in range(k):
                 beta_b, r, mh, _ = fused_active_pass(
                     prob, beta_b, r, active, lam0, nsc, border, corder,
-                    kind="ls", inner=inner, interpret=interp)
+                    kind="ls", inner=inner, iters=iters, interpret=interp)
             return beta_b, r
         return fn
 
-    k = 16
-    t1 = simple_timeit(chained(1), prob, st.beta, st.r, st.active)
-    tk = simple_timeit(chained(1 + k), prob, st.beta, st.r, st.active)
-    sec = max((tk - t1) / k, 1e-9)
-    # resident AND chunked-with-retention variants read each active block
-    # exactly once; only the plain chunked fallback pays the second read
     reads = (1 if (_resident_fits(n, B) or _retention_fits(n, B, nb, False))
              else 2)
     nbytes = reads * n_act * n * B * np.dtype(np.float32).itemsize
     kind = jax.devices()[0].device_kind
     peak = _PEAK_HBM.get(kind, 8.2e11)
-    mpeak = measured_peak_hbm()
-    achieved = nbytes / sec
-    return RooflineReport(
-        seconds_per_pass=sec,
-        bytes_per_pass=int(nbytes),
-        achieved_gbps=achieved / 1e9,
-        peak_gbps=peak / 1e9,
-        measured_peak_gbps=mpeak / 1e9,
-        fraction_of_roofline=achieved / peak,
-        fraction_of_measured_peak=achieved / mpeak,
-        device_kind=kind,
-    )
+    out = []
+    k = 16
+    for iters in iters_list:
+        t1 = simple_timeit(chained(1, iters), prob, st.beta, st.r,
+                           st.active)
+        tk = simple_timeit(chained(1 + k, iters), prob, st.beta, st.r,
+                           st.active)
+        sec = max((tk - t1) / k, 1e-9)
+        achieved = nbytes / sec
+        out.append(RooflineReport(
+            seconds_per_pass=sec,
+            bytes_per_pass=int(nbytes),
+            achieved_gbps=achieved / 1e9,
+            peak_gbps=peak / 1e9,
+            measured_peak_gbps=mpeak / 1e9,
+            fraction_of_roofline=achieved / peak,
+            fraction_of_measured_peak=achieved / mpeak,
+            device_kind=kind,
+        ))
+    return out
 
 
 class XTrafficReport(NamedTuple):

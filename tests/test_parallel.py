@@ -475,7 +475,14 @@ def test_lasso_sharded_with_trace(feature_mesh):
                                                options=oc)
     np.testing.assert_allclose(np.asarray(beta_c), np.asarray(ref.x),
                                atol=1e-6)
-    assert tr_c.max_h[-1] < oc.opt_tol and tr_c.duality_gap[-1] < 1e-7
+    # maxH < opt_tol is the reference convergence contract; the gap bar
+    # is looser than opt_tol because a tiny compact_size (32 of 96
+    # columns here) leaves non-covered coordinates at their near-tol KKT
+    # values — each below opt_tol (certified by the sweep), but their
+    # summed dual-scaling effect lands the measured gap a small factor
+    # above it (the union round's endpoint; the Jacobi path polished
+    # every coordinate each pass and happened to land tighter)
+    assert tr_c.max_h[-1] < oc.opt_tol and tr_c.duality_gap[-1] < 1e-6
 
 
 def test_sharded_symmetric_matches_single_device(feature_mesh):
@@ -1007,3 +1014,29 @@ def test_sharded_p1m_feature_axis(feature_mesh):
     gap = cd.lasso_duality_gap(X, y, sol8.x, lam)
     primal = 0.5 * float(jnp.sum((y - X @ sol8.x) ** 2)) / n
     assert float(gap) / max(primal, 1e-30) < 1e-3
+
+
+def test_sharded_union_pass_epoch_parity(feature_mesh):
+    """The replicated union working-set round must keep the sharded
+    epoch count at the single-device engine's level — the block-Jacobi
+    coupling rate previously inflated 5 single-device epochs to 21 at
+    2 shards (PERF.md round 5).  f32 on the 8-device mesh; epoch counts
+    come from the per-epoch traces."""
+    rng = np.random.default_rng(17)
+    n, p, s = 2000, 4096, 30
+    X = jnp.asarray(rng.standard_normal((n, p)), jnp.float32)
+    beta = np.zeros(p, np.float32)
+    beta[rng.choice(p, s, replace=False)] = rng.standard_normal(s)
+    y = jnp.asarray(X @ jnp.asarray(beta)
+                    + 0.3 * rng.standard_normal(n).astype(np.float32))
+    lam = 0.1 * float(jnp.max(jnp.abs(y @ X)) / n)
+    opts = cd.CDOptions(block_size=128)
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("feature",))
+    b1, tr1 = cd.lasso_sharded_with_trace(X, y, lam, mesh1, options=opts)
+    b8, tr8 = cd.lasso_sharded_with_trace(X, y, lam, feature_mesh,
+                                          options=opts)
+    np.testing.assert_allclose(b8, b1, atol=5e-4)
+    # parity within the alternation's granularity (one extra
+    # full-check/active pair of slack)
+    assert len(tr8.max_h) <= len(tr1.max_h) + 2, (
+        len(tr8.max_h), len(tr1.max_h))
