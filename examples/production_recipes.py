@@ -12,7 +12,8 @@ Four patterns a deployment actually needs on top of the estimator APIs:
 
 Runs on whatever backend JAX selects (TPU if available, else CPU):
 
-    python examples/production_recipes.py
+    python examples/production_recipes.py          # default backend
+    python examples/production_recipes.py --cpu    # force CPU
 """
 
 import os
@@ -24,6 +25,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 
 import numpy as np
 import jax
+
+if "--cpu" in sys.argv:
+    # env JAX_PLATFORMS is not enough when a TPU plugin is registered;
+    # the config update must land before the first backend touch
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 import coordinatedescent_jl_tpu as cd
@@ -77,6 +83,21 @@ def main():
     full = cd.lasso_path(X, y, lams, path_batch=0)
     same = bool(jnp.all(chunked.beta_path == full.beta_path))
     print(f"scan_chunk: bitwise identical to the monolithic scan: {same}")
+
+    # -- 3b. the 1e-7 certification tier for every estimator -------------
+    # each polish refines the f32 solution in f64 on its active set and
+    # certifies against the real design (scoped x64; see README)
+    lam_sq = 1.1 * float(np.sqrt(2 * np.log(X.shape[1])))
+    sq = cd.sqrt_lasso(X, y, lam_sq, standardize_X=False)
+    with jax.enable_x64(True):
+        rs = cd.polish_sqrt_lasso(X, y, sq.x, lam_sq)
+        print(f"sqrt polish: kkt_rel {rs.kkt_rel:.1e} "
+              f"(converged={rs.converged})")
+        lam_sc = float(np.sqrt(2 * np.log(X.shape[1]) / X.shape[0]))
+        sc = cd.scaled_lasso(X, y, lam_sc)
+        rsc = cd.polish_scaled_lasso(X, y, sc.x, lam_sc)
+        print(f"scaled polish: rel_gap {rsc.rel_gap:.1e} "
+              f"σ consistent to {rsc.sigma_rel_change:.1e}")
 
     # -- 4. checkpoint / resume ------------------------------------------
     with tempfile.TemporaryDirectory() as d:

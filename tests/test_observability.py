@@ -284,3 +284,25 @@ def test_measured_peak_hbm_sane():
     # tiny buffer just to exercise the chained-slope path end-to-end
     bw = cd.utils.profiling.measured_peak_hbm(nbytes=1 << 22, chain=4)
     assert np.isfinite(bw) and bw > 0
+
+
+def test_pass_roofline_multi_shares_build(monkeypatch):
+    # tiny shapes, interpret-mode Pallas on CPU: the multi variant must
+    # return one report per iters configuration off a single build, with
+    # consistent byte accounting and a sane peak denominator.  The real
+    # peak measurement streams a 2 GiB buffer — pointless on CPU, so it
+    # is stubbed (its own path is exercised by
+    # test_measured_peak_hbm_sane)
+    from coordinatedescent_jl_tpu.utils import profiling as prof
+    monkeypatch.setattr(prof, "measured_peak_hbm",
+                        lambda *a, **k: 1e11)
+    reps = cd.pass_roofline_multi(128, 256, block_size=16,
+                                  iters_list=(4, 1))
+    assert len(reps) == 2
+    assert reps[0].bytes_per_pass == reps[1].bytes_per_pass > 0
+    assert reps[0].measured_peak_gbps == reps[1].measured_peak_gbps > 0
+    for r in reps:
+        assert np.isfinite(r.achieved_gbps) and r.achieved_gbps > 0
+    # single-config wrapper agrees structurally
+    r1 = cd.pass_roofline(128, 256, block_size=16, iters=2)
+    assert r1.bytes_per_pass == reps[0].bytes_per_pass
