@@ -526,3 +526,31 @@ def test_polish_group_lasso_reaches_target():
     res0 = cd.polish_group_lasso(X, y, np.zeros(800), lam, G)
     assert res0.converged and res0.kkt_rel <= 1e-7
     assert np.max(np.abs(res0.beta - res.beta)) < 1e-8
+
+
+def test_polish_group_lasso_ragged_tail_group():
+    """p not divisible by group_size: the gathered set pads the tail
+    group's out-of-range columns and the host block-CD must keep them
+    pinned at zero while certifying the real coordinates."""
+    X, y = _gen(200, 203, 6, seed=29)   # 203 = 25*8 + 3: ragged tail
+    G = 8
+    lam = 0.08
+    sol = cd.group_lasso(jnp.asarray(X), jnp.asarray(y), lam, G)
+    res = cd.polish_group_lasso(X, y, sol.x, lam, G)
+    assert res.converged and res.kkt_rel <= 1e-7
+    kkt_chk, _ = cd.group_lasso_kkt_compensated(X, y, res.beta, lam, G)
+    assert kkt_chk <= 1.1e-7
+    assert res.beta.shape == (203,)
+
+
+def test_polish_sqrt_lasso_cold_start():
+    """Cold start from zero: the sqrt polisher's KKT augmentation must
+    discover the whole support and still certify at 1e-7."""
+    X, y = _gen(300, 500, 8, seed=31)
+    lam = 1.1 * float(np.sqrt(2 * np.log(500)))
+    sol = cd.sqrt_lasso(jnp.asarray(X), jnp.asarray(y), lam,
+                        standardize_X=False)
+    ref = cd.polish_sqrt_lasso(X, y, sol.x, lam)
+    res = cd.polish_sqrt_lasso(X, y, np.zeros(500), lam)
+    assert res.converged and res.kkt_rel <= 1e-7
+    assert np.max(np.abs(res.beta - ref.beta)) < 1e-8
