@@ -825,6 +825,7 @@ def main():
         "sharded_path_1dev_s", "sharded_path_batched_certified",
         "row_sharded_1dev_s",
         "sharded_p1m_s", "sharded_p1m_certified",
+        "sharded_path_p1m_s", "sharded_path_p1m_certified",
         "pass_roofline_gbs", "pass_roofline_frac_measured",
         "pass_roofline_stream_gbs", "pass_roofline_stream_frac_measured",
         "solve_achieved_x_gbs",
