@@ -77,7 +77,7 @@ def main():
     # process alone on the chip allocates 10 GB fine, but a child
     # spawned while the parent is attached inherits the exhausted chip)
     heavy_extra = None
-    if (os.environ.get("BENCH_ONLY") != "heavy"
+    if (not os.environ.get("BENCH_ONLY", "").startswith("heavy")
             and os.environ.get("BENCH_SMALL") != "1"
             and os.environ.get("BENCH_NO_ISOLATE") != "1"):
         try:

@@ -505,6 +505,65 @@ def _potential_steps(kind, prob, beta, c, rsqr, lam0, n_scale):
     return h
 
 
+def _habs_reduce_core(h, bound, use_bound2, cand2, beta, xwnorm, rn2,
+                      opt_tol):
+    """Raw-array f32 tail of the full check: bound substitution for
+    certified-stale blocks, screened-block zeroing, the per-coordinate
+    noise floor (``noise_floor_mask`` + ``_step_noise`` inlined — the
+    fused path is gated on f32, where both always apply), and the
+    maxH / block-activation reductions.  Shared by the plain XLA check
+    and the fused Pallas check kernel (ops/pallas_check.py).
+
+    ``use_bound2`` / ``cand2`` are ``(nb, 1)`` bool; returns
+    ``(maxh scalar, active (nb, 1) bool)``."""
+    dt = beta.dtype
+    eps = jnp.finfo(dt).eps
+    habs = jnp.abs(h)
+    habs = jnp.where(use_bound2, bound, habs)
+    habs = jnp.where(cand2, habs, 0.0)
+    sn = 4.0 * eps * jnp.sqrt(rn2) / jnp.maximum(xwnorm, 1e-30)
+    floor = 2.0 * eps * jnp.abs(beta) + sn
+    habs = jnp.where(habs <= floor, 0.0, habs)
+    maxh = jnp.max(habs)
+    viol2 = jnp.max(jnp.where(habs >= opt_tol, 1.0, 0.0),
+                    axis=1, keepdims=True) > 0
+    nz2 = jnp.max(jnp.where(beta != 0, 1.0, 0.0),
+                  axis=1, keepdims=True) > 0
+    return maxh, nz2 | viol2
+
+
+def _gap_safe_core(c, beta, drift2, adiag, lamw, valid, lam0, n_scale,
+                   rn2, ry):
+    """Raw-array core of the gap-safe screen (shared by the plain XLA check
+    and the fused Pallas check kernel, ops/pallas_check.py).  ``drift2`` is
+    the per-block drift broadcast to ``(nb, 1)``; ``ry = r'y`` is computed
+    by the caller.  Returns the per-block candidate mask as ``(nb, 1)``."""
+    dt = beta.dtype
+    eps = jnp.finfo(dt).eps
+    xnorm = jnp.sqrt(jnp.maximum(adiag, 0.0))             # ‖X_j‖
+    # rounding slack on the cached dot products (RMS-style bound)
+    c_slack = xnorm * jnp.sqrt(rn2) * (8.0 * jnp.sqrt(n_scale) * eps)
+    u = jnp.abs(c) + xnorm * drift2 + c_slack
+    lamvec = n_scale * lam0 * lamw                        # n·λ0·ω_j
+    pos = valid & (lamvec > 0)
+    ratio_ub = jnp.max(jnp.where(pos, u, 0.0)
+                       / jnp.where(pos, lamvec, 1.0))
+    # the residual-rescaling dual certificate needs every valid coordinate
+    # penalized; otherwise disable screening for this solve
+    ok = jnp.max(jnp.where(valid & ~(lamvec > 0), 1.0, 0.0)) == 0
+    scale = jnp.minimum(1.0, 1.0 / jnp.maximum(ratio_ub, 1e-30))
+    primal = rn2 / (2.0 * n_scale) + lam0 * jnp.sum(
+        jnp.where(valid, lamw * jnp.abs(beta), 0.0))
+    dual = (2.0 * scale * ry - scale * scale * rn2) / (2.0 * n_scale)
+    gap = (jnp.maximum(primal - dual, 0.0)
+           + 64.0 * eps * (jnp.abs(primal) + jnp.abs(dual)))
+    rho = jnp.sqrt(2.0 * n_scale * gap)
+    screened = (ok & pos & (beta == 0)
+                & (scale * u + rho * xnorm < lamvec * (1.0 - 8.0 * eps)))
+    return jnp.max(jnp.where(valid & ~screened, 1.0, 0.0),
+                   axis=1, keepdims=True) > 0
+
+
 def _gap_safe_candidates(prob: BlockedProblem, st: CDState, lam0, n_scale,
                          rn2):
     """Gap-safe screening for the least-squares Lasso (a capability the
@@ -528,31 +587,10 @@ def _gap_safe_candidates(prob: BlockedProblem, st: CDState, lam0, n_scale,
     Screened blocks are certified β*=0 at the exact optimum, which is a
     stronger statement than the tol-level KKT the sweep would report.
     """
-    nb, B = prob.lamw.shape
-    dt = st.beta.dtype
-    eps = jnp.finfo(dt).eps
-    xnorm = jnp.sqrt(jnp.maximum(prob.adiag, 0.0))        # ‖X_j‖
-    # rounding slack on the cached dot products (RMS-style bound)
-    c_slack = xnorm * jnp.sqrt(rn2) * (8.0 * jnp.sqrt(n_scale) * eps)
-    u = jnp.abs(st.c) + xnorm * st.drift[:, None] + c_slack
-    lamvec = n_scale * lam0 * prob.lamw                   # n·λ0·ω_j
-    pos = prob.valid & (lamvec > 0)
-    ratio_ub = jnp.max(jnp.where(pos, u, 0.0)
-                       / jnp.where(pos, lamvec, 1.0))
-    # the residual-rescaling dual certificate needs every valid coordinate
-    # penalized; otherwise disable screening for this solve
-    ok = jnp.all(~prob.valid | (lamvec > 0))
-    scale = jnp.minimum(1.0, 1.0 / jnp.maximum(ratio_ub, 1e-30))
     ry = jnp.dot(st.r, prob.y, precision=_PREC)
-    primal = rn2 / (2.0 * n_scale) + lam0 * jnp.sum(
-        jnp.where(prob.valid, prob.lamw * jnp.abs(st.beta), 0.0))
-    dual = (2.0 * scale * ry - scale * scale * rn2) / (2.0 * n_scale)
-    gap = (jnp.maximum(primal - dual, 0.0)
-           + 64.0 * eps * (jnp.abs(primal) + jnp.abs(dual)))
-    rho = jnp.sqrt(2.0 * n_scale * gap)
-    screened = (ok & pos & (st.beta == 0)
-                & (scale * u + rho * xnorm < lamvec * (1.0 - 8.0 * eps)))
-    return jnp.any(prob.valid & ~screened, axis=1)
+    return _gap_safe_core(st.c, st.beta, st.drift[:, None], prob.adiag,
+                          prob.lamw, prob.valid, lam0, n_scale, rn2,
+                          ry)[:, 0]
 
 
 def _stale_certified(kind, prob: BlockedProblem, st: CDState, rsqr, lam0,
@@ -573,23 +611,172 @@ def _stale_certified(kind, prob: BlockedProblem, st: CDState, rsqr, lam0,
     Returns ``(certified, bound)`` with ``bound`` the per-coordinate upper
     bound on ``|h_exact|`` (valid only where certified can be trusted, i.e.
     finite entries)."""
+    if kind != "sqrt":
+        certified2, bound, _ = _stale_core_ls(
+            st.c, st.beta, st.drift[:, None], prob.adiag, prob.lamw,
+            prob.valid, prob.xwnorm, lam0, n_scale, opt_tol)
+        return certified2[:, 0], bound
     dt = st.beta.dtype
     # drift accumulation rounding slack (the norm sums are finite-precision)
     dball = st.drift[:, None] * (1.0 + 64.0 * jnp.finfo(dt).eps)
     e_c = prob.xwnorm * dball                       # |c_exact − c_stale| ≤
-    if kind == "sqrt":
-        zero_blk = ~jnp.any(st.beta != 0, axis=1)
-        thr = lam0 * prob.lamw * jnp.sqrt(jnp.maximum(rsqr, 0.0))
-        ok = (jnp.abs(st.c) + e_c) <= thr
-        bound = jnp.where(ok & zero_blk[:, None], 0.0, jnp.inf)
-    else:
-        h_stale = _potential_steps(kind, prob, st.beta, st.c, rsqr, lam0,
-                                   n_scale)
-        asafe = jnp.where(prob.adiag > 0, prob.adiag, 1.0)
-        bound = jnp.abs(h_stale) + e_c / asafe
+    zero_blk = ~jnp.any(st.beta != 0, axis=1)
+    thr = lam0 * prob.lamw * jnp.sqrt(jnp.maximum(rsqr, 0.0))
+    ok = (jnp.abs(st.c) + e_c) <= thr
+    bound = jnp.where(ok & zero_blk[:, None], 0.0, jnp.inf)
     bound = jnp.where(prob.valid, bound, 0.0)
     certified = jnp.all(bound < opt_tol, axis=1)
     return certified, bound
+
+
+def _stale_core_ls(c, beta, drift2, adiag, lamw, valid, xwnorm, lam0,
+                   n_scale, opt_tol):
+    """Raw-array ls/wls core of ``_stale_certified`` (shared with the fused
+    Pallas check kernel).  Returns ``(certified (nb,1), bound (nb,B),
+    h_stale (nb,B))`` — ``h_stale`` is the potential step evaluated with the
+    *cached* gradient, which IS the exact step for unrefreshed blocks."""
+    dt = beta.dtype
+    dball = drift2 * (1.0 + 64.0 * jnp.finfo(dt).eps)
+    e_c = xwnorm * dball                            # |c_exact − c_stale| ≤
+    val = _ls_candidate(beta, c, adiag, lam0, lamw, n_scale)
+    h_stale = jnp.where(valid, val - beta, 0.0)
+    asafe = jnp.where(adiag > 0, adiag, 1.0)
+    bound = jnp.abs(h_stale) + e_c / asafe
+    bound = jnp.where(valid, bound, 0.0)
+    certified2 = jnp.max(jnp.where(bound < opt_tol, 0.0, 1.0),
+                         axis=1, keepdims=True) == 0
+    return certified2, bound, h_stale
+
+
+def _refresh_c(kind, prob: BlockedProblem, st: CDState, need, mode,
+               interpret):
+    """Refresh the cached gradient ``c`` for the ``need`` blocks (the only
+    X traffic a full check generates).  Dense blocked einsum when ≥80% of
+    blocks refresh (streams at ~754 GB/s on-chip vs the scalar-prefetch
+    restricted kernel's ~558 — e.g. a λ-path point's scheduling check,
+    where the warm-start displacement voids every drift certificate);
+    otherwise the restricted Pallas sweep reads only the needed blocks."""
+
+    def dense_c():
+        return jnp.where(need[:, None],
+                         _full_gradient_c(kind, prob, st.r), st.c)
+
+    if mode == "off":
+        return dense_c()
+    from .pallas_block import restricted_gradient_sweep
+
+    def sparse_c():
+        return _platform_dispatch(
+            mode,
+            lambda: restricted_gradient_sweep(
+                prob.Xwb, st.r, need, st.c, interpret=interpret),
+            dense_c)
+
+    frac = jnp.mean(need.astype(jnp.float32))
+    return lax.cond(frac > 0.8, dense_c, sparse_c)
+
+
+def _fused_full_check(kind, prob: BlockedProblem, st: CDState, lam0,
+                      n_scale, opt_tol, rsqr, screen, mode, interpret,
+                      count_x):
+    """Fused-kernel execution of the ls/wls full check (f32/TPU fast path).
+
+    The plain check's screening + stale-certification + potential-step +
+    noise-floor math is ~100 small ``(nb, B)`` elementwise/reduce ops —
+    pure op latency (~5-10 ms/check at the benchmark shape, over half the
+    sequential λ-path scan floor by the PERF.md round-5 decomposition).
+    Two single-grid-step Pallas kernels (ops/pallas_check.py) collapse it:
+
+    - **phase A** evaluates the whole no-refresh check in one kernel —
+      gap-safe screen, drift-ball certification, the potential steps with
+      the cached gradient (exact for unrefreshed blocks), noise floor, and
+      the maxH/activation reductions — and emits the ``need`` refresh mask;
+    - when nothing needs a refresh (the common confirming check) that ONE
+      kernel was the entire check;
+    - otherwise the existing restricted/dense gradient sweep refreshes
+      ``c`` and **phase B** re-evaluates the steps with the fresh gradient
+      in a second kernel.
+
+    Both kernel bodies call the SAME raw-array cores as the plain path
+    (``_gap_safe_core`` / ``_stale_core_ls`` / ``_habs_reduce_core``), so
+    the fused and plain checks are formula-identical; `_platform_dispatch`
+    lowers the plain path on CPU.  Decisions stay certificate-exact
+    (drift-ball conservative) either way."""
+    from .pallas_check import check_phase_a, check_phase_b
+
+    nb, B = prob.lamw.shape
+    dt = st.beta.dtype
+    rn2 = jnp.dot(st.r, st.r, precision=_PREC)
+    ry = (jnp.dot(st.r, prob.y, precision=_PREC) if screen
+          else jnp.zeros((), dt))
+    # scalars ride in one lane-padded VMEM row (vmap-friendly; see
+    # pallas_check module doc)
+    scal = jnp.pad(jnp.stack([jnp.asarray(lam0, dt),
+                              jnp.asarray(n_scale, dt),
+                              rn2, ry,
+                              jnp.asarray(opt_tol, dt)]).reshape(1, 5),
+                   ((0, 0), (0, 123)))
+    validf = prob.valid.astype(dt)
+    drift2 = st.drift[:, None]
+
+    def a_plain():
+        cand2 = (_gap_safe_core(st.c, st.beta, drift2, prob.adiag,
+                                prob.lamw, prob.valid, lam0, n_scale,
+                                rn2, ry)
+                 if screen else jnp.ones((nb, 1), bool))
+        certified2, bound, h_stale = _stale_core_ls(
+            st.c, st.beta, drift2, prob.adiag, prob.lamw, prob.valid,
+            prob.xwnorm, lam0, n_scale, opt_tol)
+        stale2 = drift2 > 0
+        need2 = cand2 & stale2 & ~certified2
+        ub2 = stale2 & certified2
+        maxh0, active2 = _habs_reduce_core(
+            h_stale, bound, ub2, cand2, st.beta, prob.xwnorm, rn2, opt_tol)
+        return (need2.astype(dt), ub2.astype(dt), cand2.astype(dt),
+                bound, maxh0, active2.astype(dt))
+
+    def a_pallas():
+        return check_phase_a(st.c, st.beta, drift2, prob.adiag, prob.lamw,
+                             validf, prob.xwnorm, scal, screen=screen,
+                             interpret=interpret)
+
+    needf, ubf, candf, bound, maxh0, activef0 = _platform_dispatch(
+        mode, a_pallas, a_plain)
+    need = needf[:, 0] > 0
+
+    def noref(_):
+        return st.c, maxh0, activef0
+
+    def ref(_):
+        c_new = _refresh_c(kind, prob, st, need, mode, interpret)
+
+        def b_plain():
+            h = jnp.where(prob.valid,
+                          _ls_candidate(st.beta, c_new, prob.adiag, lam0,
+                                        prob.lamw, n_scale) - st.beta,
+                          0.0)
+            maxh1, active2 = _habs_reduce_core(
+                h, bound, ubf > 0, candf > 0, st.beta, prob.xwnorm, rn2,
+                opt_tol)
+            return maxh1, active2.astype(dt)
+
+        def b_pallas():
+            return check_phase_b(c_new, st.beta, bound, ubf, candf,
+                                 prob.adiag, prob.lamw, validf,
+                                 prob.xwnorm, scal, interpret=interpret)
+
+        maxh1, activef1 = _platform_dispatch(mode, b_pallas, b_plain)
+        return c_new, maxh1, activef1
+
+    c, maxh, activef = lax.cond(jnp.any(need), ref, noref, None)
+    drift_new = jnp.where(need, 0.0, st.drift)
+    out_st = st._replace(rsqr=rsqr, active=activef[:, 0] > 0, c=c,
+                         drift=drift_new)
+    if count_x:
+        xe = (jnp.sum(need).astype(jnp.float32)
+              * jnp.float32(float(prob.y.shape[0]) * B))
+        return out_st, maxh, xe
+    return out_st, maxh
 
 
 def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
@@ -634,6 +821,19 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
     else:
         screen = (kind == "ls" and opts is not None
                   and opts.screen is not False)
+        mode, interpret = (_pallas_mode(kind, opts, prob)
+                           if opts is not None else ("off", False))
+
+        from .pallas_check import fused_check_fits
+        fuse = (kind in ("ls", "wls") and mode != "off"
+                and opts.fuse_check is not False
+                and st.beta.dtype == jnp.float32
+                and fused_check_fits(nb, B))
+        if fuse:
+            return _fused_full_check(kind, prob, st, lam0, n_scale,
+                                     opt_tol, rsqr, screen, mode,
+                                     interpret, count_x)
+
         if screen:
             rn2 = jnp.dot(st.r, st.r, precision=_PREC)
             cand = _gap_safe_candidates(prob, st, lam0, n_scale, rn2)
@@ -645,35 +845,10 @@ def _full_check(kind, prob: BlockedProblem, st: CDState, lam0, n_scale,
         need = cand & stale & ~certified
         use_bound = stale & certified      # keep stale c; report the bound
 
-        mode, interpret = (_pallas_mode(kind, opts, prob)
-                           if opts is not None else ("off", False))
-
-        def dense_c():
-            # refresh-heavy sweep (e.g. a λ-path point's scheduling
-            # check, where the warm-start displacement voids every drift
-            # certificate): the dense blocked einsum streams at ~754 GB/s
-            # on-chip vs the scalar-prefetch restricted kernel's ~558 —
-            # when ≥80% of blocks need a refresh, skipping none is faster
-            return jnp.where(need[:, None],
-                             _full_gradient_c(kind, prob, st.r), st.c)
-
-        if mode != "off":
-            from .pallas_block import restricted_gradient_sweep
-
-            def sparse_c():
-                return _platform_dispatch(
-                    mode,
-                    lambda: restricted_gradient_sweep(
-                        prob.Xwb, st.r, need, st.c, interpret=interpret),
-                    dense_c)
-
-            def compute_c():
-                frac = jnp.mean(need.astype(jnp.float32))
-                return lax.cond(frac > 0.8, dense_c, sparse_c)
-        else:
-            compute_c = dense_c
-
-        c = lax.cond(jnp.any(need), compute_c, lambda: st.c)
+        c = lax.cond(jnp.any(need),
+                     lambda: _refresh_c(kind, prob, st, need, mode,
+                                        interpret),
+                     lambda: st.c)
         drift_new = jnp.where(need, 0.0, st.drift)
 
     h = _potential_steps(kind, prob, st.beta, c, rsqr, lam0, n_scale)

@@ -106,6 +106,15 @@ class CDOptions:
       locpolyl1 z-grid (0.62 s vs 0.83 s at the bench config) and the
       scaled-lasso σ rounds (neutral-to-positive).  ``True``/``False``
       force (new).
+    - ``fuse_check``: fused-kernel execution of the ls/wls KKT full check
+      (ops/pallas_check.py).  The plain check's screening/certification/
+      noise-floor math is ~100 tiny ``(nb, B)`` ops of pure dispatch
+      latency — over half the sequential λ-path floor (PERF.md round 5);
+      one single-grid-step Pallas kernel evaluates the whole no-refresh
+      check at once.  Formula-identical to the plain path (both call the
+      same raw-array cores).  ``None`` (default) = auto: on whenever the
+      Pallas tier is on (TPU, f32, check operands fit VMEM); ``False``
+      forces the plain XLA check (new).
     """
 
     max_iter: int = 2000
@@ -124,6 +133,7 @@ class CDOptions:
     compact_rounds: int = 32
     cache_gram: bool | None = None
     extrapolate: bool | None = None
+    fuse_check: bool | None = None
 
     def replace(self, **kw) -> "CDOptions":
         return dataclasses.replace(self, **kw)
